@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+package object queries {
+  /** A declared query: (session, scale-factor dir) => result frame. */
+  type Q = (SparkSession, String) => DataFrame
+}
+
+package queries {
+  /** Determinism helpers for the DuckDB hash-compare (SURVEY §7.4).
+    *
+    * Float reductions are order-dependent; Spark's partial aggregation and
+    * DuckDB's sequential scan would disagree in the last ulp. Casting each
+    * row to an exact decimal BEFORE the sum makes the reduction exact and
+    * order-independent, and the final decimal->double cast is the same
+    * IEEE-nearest value on both engines.
+    */
+  object Det {
+    /** Exact, order-independent sum of a double column, rounded to 2dp and
+      * returned as double. The ROUND-to-2 before the double cast matters:
+      * DuckDB's decimal->double cast is int128->double then /10^scale (two
+      * roundings, can be 1 ulp off correctly-rounded), so high-scale decimal
+      * sums must be scale-reduced until the unscaled int fits a double
+      * exactly. SQL twin: CAST(ROUND(SUM(CAST(x AS DECIMAL(30,8))), 2) AS DOUBLE). */
+    def dsum(c: Column): Column =
+      round(sum(c.cast("decimal(30,8)")), 2).cast("double")
+
+    /** Deterministic mean: 2dp-rounded exact sum divided by count (the same
+      * double division on both engines).
+      * SQL twin: CAST(ROUND(SUM(CAST(x AS DECIMAL(30,8))), 2) AS DOUBLE) / COUNT(x). */
+    def davg(c: Column): Column = dsum(c) / count(c)
+
+    /** Deterministic double cast of any exact-decimal aggregate. */
+    def d2(c: Column): Column = round(c, 2).cast("double")
+
+    /** Source money/quantity column (<= 2 decimal digits) as exact decimal.
+      * A double holding a 2-dp value is ~1e-17 from it, so the cast is
+      * unambiguous on both engines — unlike casting a full-precision double
+      * PRODUCT, where Spark (shortest-repr HALF_UP) and DuckDB (binary)
+      * round the 8th decimal differently. Always cast operands, not results. */
+    def dec2(c: Column): Column = c.cast("decimal(12,2)")
+
+    /** Small rate column (discount/tax, <= 4 decimal digits) as exact decimal. */
+    def rate(c: Column): Column = c.cast("decimal(6,4)")
+
+    /** Literal 1 with tight decimal precision so Spark's decimal type
+      * arithmetic stays under precision 38 (no allowPrecisionLoss rounding). */
+    def one: Column = lit(1).cast("decimal(2,0)")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites: local[4] mirrors the driver's Verify
+  * config; shuffle partitions pinned to cores (not 200). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + invariants for every declared query at sf0.001. Value-level
+  * correctness is the driver's DuckDB gate (tools/check.py locally). */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every query key has runnable plan and stable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name: no columns")
+      assert(df.columns.distinct.length == df.columns.length,
+        s"$name: duplicate column names ${df.columns.mkString(",")}")
+      val n = df.count()
+      assert(n > 0, s"$name: produced 0 rows at sf0.001")
+    }
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys with no query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_scan_pushdown pushes the shipdate filter to parquet") {
+    val df = SparkEntry.queries("q_scan_pushdown")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("l_shipdate"),
+      s"expected parquet-pushed l_shipdate filter in plan:\n$physical")
+  }
+
+  test("q_limit_topk plans as TakeOrderedAndProject (no global sort)") {
+    val df = SparkEntry.queries("q_limit_topk")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+}
