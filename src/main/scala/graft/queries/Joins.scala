@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join surface (SURVEY §2.3): inner/outer/semi/anti/cross/theta/broadcast/
+  * multiway/as-of.
+  *
+  * Scale notes: equi joins shuffle on their keys (SortMergeJoin) unless one
+  * side is broadcast-able — dims (region/nation/supplier/part/customer at
+  * small SF) auto-broadcast under the 10 MB threshold, and q_join_broadcast
+  * pins the hint explicitly. The theta join is a bounded nested-loop on a
+  * deliberately small dim side (supplier): at 1000 executors the big side
+  * streams partition-parallel against the broadcast dim, so it scales with
+  * |customer|, not |customer|x|supplier| memory. The as-of join is a
+  * partition-local window (single shuffle on user_id), not a row-by-row
+  * correlated lookup.
+  */
+object Joins {
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val q: Map[String, Q] = Map(
+    "q_join_inner" -> ((s, d) => {
+      val o = Tables(s, d, "orders"); val c = Tables(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(o("o_orderkey"), o("o_custkey"), c("c_name"),
+          c("c_mktsegment"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+          o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_last)
+    }),
+
+    "q_join_right" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").filter(col("o_totalprice") > 300000)
+      o.join(c, c("c_custkey") === o("o_custkey"), "right")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+          o("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_last)
+    }),
+
+    "q_join_full" -> ((s, d) => {
+      val c = Tables(s, d, "customer").filter(col("c_acctbal") > 5000)
+      val o = Tables(s, d, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+          o("o_custkey"), o("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_last,
+          col("o_orderkey").asc_nulls_last)
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_cross" -> ((s, d) => {
+      val r = Tables(s, d, "region"); val n = Tables(s, d, "nation")
+      r.crossJoin(n)
+        .select(r("r_regionkey"), r("r_name"), n("n_nationkey"), n("n_name"))
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    // Pure non-equi range join: small dim side => BroadcastNestedLoopJoin;
+    // output bounded by the +/-50 acctbal band.
+    "q_join_theta" -> ((s, d) => {
+      val c = Tables(s, d, "customer"); val sup = Tables(s, d, "supplier")
+      c.join(sup, c("c_acctbal").between(
+          sup("s_acctbal") - 50, sup("s_acctbal") + 50))
+        .select(c("c_custkey"), sup("s_suppkey"), c("c_acctbal"),
+          sup("s_acctbal"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+
+    "q_join_broadcast" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem"); val sup = Tables(s, d, "supplier")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(sup("s_suppkey"), sup("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(li("l_quantity")).as("sum_qty"))
+        .orderBy("s_suppkey")
+    }),
+
+    // 4-way star join, revenue per nation (TPC-H Q5 shape). Dim chain
+    // broadcasts; only lineitem x orders is a real shuffle at scale.
+    "q_join_multiway" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem"); val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer"); val n = Tables(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"))
+        .agg(
+          Det.d2(sum(Det.dec2(li("l_extendedprice"))
+            * (Det.one - Det.rate(li("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // As-of join: per event, the latest 'error' event time at-or-before it
+    // for the same user. rangeBetween(..., currentRow) gives exact <=
+    // semantics including ties — one shuffle on user_id, no correlated loop.
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_error_ts",
+          max(when(col("event_type") === "error", col("ts"))).over(w))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), tsFmt).as("ts_s"), col("event_type"),
+          date_format(col("last_error_ts"), tsFmt).as("last_error_ts_s"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS LAST""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |RIGHT JOIN customer ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS LAST""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey ASC NULLS LAST, o.o_orderkey ASC NULLS LAST""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  e.event_type,
+        |  strftime((SELECT max(e2.ts) FROM events e2
+        |            WHERE e2.user_id = e.user_id
+        |              AND e2.event_type = 'error'
+        |              AND e2.ts <= e.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts_s
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}
