@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function surface (SURVEY §2.3): ranking, lag/lead, row & range
+  * frames, ntile/percent_rank/cume_dist, top-k per group.
+  *
+  * Scale notes: every window here partitions by a real key (customer/user/
+  * segment) — one shuffle, then partition-local sort; no single-partition
+  * global windows. Top-k-per-group is row_number + filter, which Spark
+  * executes with a partial sort limit per partition (WindowGroupLimit).
+  */
+object Windows {
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val q: Map[String, Q] = Map(
+    // row_number over a unique ordering; rank/dense_rank over a banded
+    // (tie-prone) ordering so they actually diverge from row_number.
+    "q_win_rank" -> ((s, d) => {
+      val wu = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wt = Window.partitionBy("o_custkey")
+        .orderBy(floor(col("o_totalprice") / 10000).desc)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(wu).as("rn"),
+          rank().over(wt).as("rnk"),
+          dense_rank().over(wt).as("drnk"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), tsFmt).as("ts_s"), col("value"),
+          lag(col("value"), 1, -1.0).over(w).as("prev_val"),
+          lead(col("value"), 1, -1.0).over(w).as("next_val"))
+        .orderBy("event_id")
+    }),
+
+    "q_win_frame_rows" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          sum(Det.dec2(col("o_totalprice"))).over(w).cast("double")
+            .as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Value-range frame: all orders of the same customer within 50k below
+    // the current price. Range frames include ties, so no tie-break needed.
+    "q_win_frame_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-50000, 0)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"),
+          sum(Det.dec2(col("o_totalprice"))).over(w).cast("double")
+            .as("sum_in_band"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 10000) DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 10000) DESC) AS drnk
+        |FROM orders
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, value,
+        |  lag(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val,
+        |  lead(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_win_frame_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_frame_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_in_band,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_in_band
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+  )
+}
