@@ -15,13 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that throws must be VISIBLY broken, not silently absent
+        // from the correctness report (round-1 verdict #4).
+        val dir = new java.io.File(s"$outDir/$name"); dir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/ERROR.txt"),
+          s"$name: ${e.toString}\n")
       }
     }
+    if (failed > 0) System.err.println(s"[verify] $failed queries FAILED")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -42,16 +42,20 @@ object Aggregates {
           .as("sum_distinct_total"),
         count(lit(1)).as("n_rows"))),
 
+    // Pre-select to unqualified columns before rollup: df-qualified refs
+    // through a join trip DetectAmbiguousSelfJoin (round-1 AnalysisException).
     "q_agg_rollup" -> ((s, d) => {
       val c = Tables(s, d, "customer"); val n = Tables(s, d, "nation")
       val r = Tables(s, d, "region")
       c.join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
-        .rollup(r("r_name"), n("n_name"))
+        .select(r("r_name").as("r_name"), n("n_name").as("n_name"),
+          c("c_acctbal").as("c_acctbal"))
+        .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          Det.dsum(c("c_acctbal")).as("sum_bal"),
-          grouping(r("r_name")).cast("int").as("g_r"),
-          grouping(n("n_name")).cast("int").as("g_n"))
+          Det.dsum(col("c_acctbal")).as("sum_bal"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
         .orderBy(col("r_name").asc_nulls_last, col("n_name").asc_nulls_last)
     }),
 
