@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** LLM-data-pipeline block (BASELINE.json north star): exact dedup, text
+  * analysis, cosine similarity, per-probe kNN, approximate distinct.
+  *
+  * Scale notes (the designs that survive 100 TB):
+  *  - dedup is ONE shuffle keyed on the md5 digest + a partition-local
+  *    window — never a pairwise self-join;
+  *  - token top-k is explode → two-phase hash agg → TakeOrderedAndProject
+  *    (agg-then-limit, nothing driver-side);
+  *  - similarity is probe-vs-corpus with the (tiny) probe side broadcast:
+  *    the corpus streams partition-parallel, cost O(|corpus| * dim), no
+  *    all-pairs corpus x corpus product anywhere;
+  *  - kNN fans each corpus row out to k broadcast probes (O(k*|corpus|))
+  *    and takes per-probe top-k with a window. At true 100 TB the scale
+  *    path is bucketed ANN — see AnnOps for the LSH/IVF variant;
+  *  - approx distinct is HLL (approx_count_distinct): constant-size
+  *    mergeable sketch per partition, no exact-distinct shuffle.
+  *
+  * Determinism (§7.4): float dot products are accumulated as exact
+  * float-by-float products in double, summed in engine-specific order, and
+  * rounded to 6dp on both sides; order-then-limit always tie-breaks on ids.
+  */
+object LlmOps {
+
+  /** Sum of elementwise products of two float vectors, accumulated in
+    * double, in array order (codegen'd higher-order functions — no UDF). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  val q: Map[String, Q] = Map(
+    // Exact dedup by normalized-text hash: digest shuffle + window, keep
+    // the lowest doc_id per digest. Scales as a single hash shuffle.
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
+      val w = Window.partitionBy("digest").orderBy("doc_id")
+      docs.withColumn("rn", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(
+          Window.partitionBy("digest")))
+        .filter(col("rn") === 1)
+        .select("doc_id", "digest", "lang", "source", "n_copies")
+        .orderBy("doc_id")
+    }),
+
+    // Global token frequency top-50: explode -> two-phase agg -> top-k.
+    "q_text_tokens" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(50)),
+
+    // Every corpus vector vs the vec_id=0 probe, top-20 by cosine. The
+    // probe is a broadcast 1-row dim; corpus side never shuffles.
+    "q_similarity_cosine" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      emb.crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(dot(col("embedding"), col("probe"))
+            / (norm(col("embedding")) * norm(col("probe"))), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
+    // 5 probes x corpus with broadcast probes, per-probe top-5 window.
+    "q_knn_pergroup" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      emb.crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot(col("embedding"), col("probe"))
+            / (norm(col("embedding")) * norm(col("probe"))), 6)
+            .as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "vec_id", "cos_sim")
+        .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
+    }),
+
+    // HLL sketch distinct — no oracle (approximate); ScalaTest pins the
+    // 5% relative-error contract against exact counts.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+  )
+
+  /** DuckDB twin of the position-aligned double dot product. */
+  private def dotSql(where: String): String =
+    s"""SELECT vec_id, unnest(embedding) AS v,
+       |       generate_subscripts(embedding, 1) AS i
+       |FROM embeddings $where""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS digest, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, digest, lang, source, n_copies
+        |FROM h WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY cnt DESC, word ASC
+        |LIMIT 50""".stripMargin,
+
+    "q_similarity_cosine" ->
+      s"""WITH ce AS (${dotSql("")}),
+         |pe AS (${dotSql("WHERE vec_id = 0")}),
+         |dots AS (
+         |  SELECT ce.vec_id,
+         |         SUM(CAST(ce.v AS DOUBLE) * CAST(pe.v AS DOUBLE)) AS dot
+         |  FROM ce JOIN pe ON ce.i = pe.i GROUP BY ce.vec_id),
+         |norms AS (
+         |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+         |  FROM ce GROUP BY vec_id)
+         |SELECT d.vec_id, round(d.dot / (n.nrm * p.nrm), 6) AS cos_sim
+         |FROM dots d
+         |JOIN norms n ON n.vec_id = d.vec_id
+         |JOIN norms p ON p.vec_id = 0
+         |ORDER BY cos_sim DESC, d.vec_id ASC
+         |LIMIT 20""".stripMargin,
+
+    "q_knn_pergroup" ->
+      s"""WITH ce AS (${dotSql("")}),
+         |pe AS (${dotSql("WHERE vec_id < 5")}),
+         |dots AS (
+         |  SELECT pe.vec_id AS probe_id, ce.vec_id,
+         |         SUM(CAST(ce.v AS DOUBLE) * CAST(pe.v AS DOUBLE)) AS dot
+         |  FROM ce JOIN pe ON ce.i = pe.i GROUP BY pe.vec_id, ce.vec_id),
+         |norms AS (
+         |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+         |  FROM ce GROUP BY vec_id),
+         |scored AS (
+         |  SELECT d.probe_id, d.vec_id,
+         |         round(d.dot / (nc.nrm * np.nrm), 6) AS cos_sim
+         |  FROM dots d
+         |  JOIN norms nc ON nc.vec_id = d.vec_id
+         |  JOIN norms np ON np.vec_id = d.probe_id)
+         |SELECT probe_id, vec_id, cos_sim FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+         |  ORDER BY cos_sim DESC, vec_id ASC) <= 5
+         |ORDER BY probe_id ASC, cos_sim DESC, vec_id ASC""".stripMargin,
+    // q_approx_distinct: deliberately no oracle — approximate result,
+    // contract pinned in LlmOpsSpec (±5% of exact distinct).
+  )
+}

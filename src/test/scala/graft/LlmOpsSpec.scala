@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the LLM-pipeline block that the DuckDB oracle can't
+  * express (approximation bounds) plus plan-shape pins for the designs
+  * that must survive 100 TB. */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_approx_distinct is within 5% of exact per event_type") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05,
+        s"$k: approx=$ap exact=$ex relerr=${math.abs(ap - ex).toDouble / ex}")
+    }
+  }
+
+  test("q_dedup_exact keeps one row per normalized digest") {
+    val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val digests = deduped.select("digest").collect().map(_.getString(0))
+    assert(digests.distinct.length == digests.length)
+    // idempotence: total copies across survivors == corpus size
+    val copies = deduped.agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    assert(copies == Tables(spark, sf, "documents").count())
+  }
+
+  test("q_similarity_cosine broadcasts the probe (no corpus shuffle)") {
+    val plan = SparkEntry.queries("q_similarity_cosine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"expected broadcast probe in plan:\n$plan")
+    assert(SparkEntry.queries("q_similarity_cosine")(spark, sf)
+      .collect().head.getLong(0) == 0L) // self-similarity ranks first
+  }
+
+  test("q_knn_pergroup returns exactly k per probe, self first") {
+    val rows = SparkEntry.queries("q_knn_pergroup")(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.length == 5, s"probe $p: ${rs.length} rows")
+      assert(rs.head.getLong(1) == p, s"probe $p: self not nearest")
+    }
+  }
+}
