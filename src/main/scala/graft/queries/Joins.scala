@@ -10,12 +10,10 @@ import org.apache.spark.sql.expressions.Window
   * Scale notes: equi joins shuffle on their keys (SortMergeJoin) unless one
   * side is broadcast-able — dims (region/nation/supplier/part/customer at
   * small SF) auto-broadcast under the 10 MB threshold, and q_join_broadcast
-  * pins the hint explicitly. The theta join is a bounded nested-loop on a
-  * deliberately small dim side (supplier): at 1000 executors the big side
-  * streams partition-parallel against the broadcast dim, so it scales with
-  * |customer|, not |customer|x|supplier| memory. The as-of join is a
-  * partition-local window (single shuffle on user_id), not a row-by-row
-  * correlated lookup.
+  * pins the hint explicitly. The band (theta) join is rewritten to a
+  * bucketed equi join so it never plans a nested loop; the as-of join is a
+  * union + partition-local window (single shuffle on the user key), not a
+  * row-by-row correlated lookup.
   */
 object Joins {
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -80,12 +78,21 @@ object Joins {
         .orderBy("r_regionkey", "n_nationkey")
     }),
 
-    // Pure non-equi range join: small dim side => BroadcastNestedLoopJoin;
-    // output bounded by the +/-50 acctbal band.
+    // Band join as a bucketed EQUI join (round-1 verdict #7): bucket width
+    // 100 = band width, supplier side exploded to {b-1,b,b+1}, exact
+    // BETWEEN as post-filter. One shuffle (or broadcast-hash on the small
+    // dim), O(n*k) comparisons — a pure-BNLJ band join is O(n*m) and dies
+    // at 100 TB. Each (c,s) pair matches at most once: c's bucket is
+    // single-valued and s's three exploded buckets are distinct.
     "q_join_theta" -> ((s, d) => {
-      val c = Tables(s, d, "customer"); val sup = Tables(s, d, "supplier")
-      c.join(sup, c("c_acctbal").between(
-          sup("s_acctbal") - 50, sup("s_acctbal") + 50))
+      val c = Tables(s, d, "customer")
+        .withColumn("bucket", floor(col("c_acctbal") / 100).cast("long"))
+      val sb = floor(col("s_acctbal") / 100).cast("long")
+      val sup = Tables(s, d, "supplier")
+        .withColumn("bucket", explode(array(sb - 1, sb, sb + 1)))
+      c.join(sup, c("bucket") === sup("bucket") &&
+          c("c_acctbal").between(
+            sup("s_acctbal") - 50, sup("s_acctbal") + 50))
         .select(c("c_custkey"), sup("s_suppkey"), c("c_acctbal"),
           sup("s_acctbal"))
         .orderBy("c_custkey", "s_suppkey")
@@ -116,18 +123,37 @@ object Joins {
         .orderBy("n_name")
     }),
 
-    // As-of join: per event, the latest 'error' event time at-or-before it
-    // for the same user. rangeBetween(..., currentRow) gives exact <=
-    // semantics including ties — one shuffle on user_id, no correlated loop.
+    // Two-table as-of join (round-1 verdict #8): per event, the latest
+    // order at-or-before the event's as-of time for user_id -> o_custkey.
+    // Union both tables onto one (user, time) axis, sort each partition
+    // once, and carry the last-seen order forward with last(_, ignoreNulls)
+    // — one shuffle on the user key, never a correlated per-row lookup.
+    // At equal times order rows sort before event rows (is_event 0 < 1),
+    // giving exact <= semantics; okey ascending makes the tie-break among
+    // same-date orders the max o_orderkey, deterministically.
     "q_join_asof" -> ((s, d) => {
       val e = Tables(s, d, "events")
-      val w = Window.partitionBy("user_id").orderBy("ts")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("last_error_ts",
-          max(when(col("event_type") === "error", col("ts"))).over(w))
-        .select(col("event_id"), col("user_id"),
-          date_format(col("ts"), tsFmt).as("ts_s"), col("event_type"),
-          date_format(col("last_error_ts"), tsFmt).as("last_error_ts_s"))
+        .withColumn("asof", date_add(lit("1992-01-01").cast("date"),
+          (col("event_id") % 2500).cast("int")))
+      val ev = e.select(col("user_id").as("uid"),
+        col("asof").cast("timestamp").as("t"), lit(1).as("is_event"),
+        col("event_id"), lit(null).cast("timestamp").as("odate"),
+        lit(null).cast("long").as("okey"))
+      val or = Tables(s, d, "orders").select(
+        col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        col("o_orderdate").as("odate"), col("o_orderkey").as("okey"))
+      val w = Window.partitionBy("uid")
+        .orderBy(col("t"), col("is_event"), col("okey").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(or)
+        .withColumn("last_odate", last(col("odate"), ignoreNulls = true).over(w))
+        .withColumn("last_okey", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("uid").as("user_id"),
+          date_format(col("t"), "yyyy-MM-dd").as("asof_date"),
+          date_format(col("last_odate"), "yyyy-MM-dd").as("order_date"),
+          col("last_okey").as("o_orderkey"))
         .orderBy("event_id")
     }),
   )
@@ -198,15 +224,28 @@ object Joins {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
 
+    // Oracle expresses the as-of as correlated subqueries (SURVEY §2.3):
+    // latest order date at-or-before the as-of time, then max orderkey
+    // among orders at that date.
     "q_join_asof" ->
-      """SELECT e.event_id, e.user_id,
-        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-        |  e.event_type,
-        |  strftime((SELECT max(e2.ts) FROM events e2
-        |            WHERE e2.user_id = e.user_id
-        |              AND e2.event_type = 'error'
-        |              AND e2.ts <= e.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts_s
-        |FROM events e
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         DATE '1992-01-01' + CAST(event_id % 2500 AS INT) AS asof
+        |  FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.asof, '%Y-%m-%d') AS asof_date,
+        |  strftime((SELECT max(o.o_orderdate) FROM orders o
+        |            WHERE o.o_custkey = e.user_id
+        |              AND CAST(o.o_orderdate AS DATE) <= e.asof),
+        |           '%Y-%m-%d') AS order_date,
+        |  (SELECT max(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND CAST(o.o_orderdate AS DATE) <= e.asof
+        |     AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey = e.user_id
+        |                            AND CAST(o2.o_orderdate AS DATE) <= e.asof)
+        |  ) AS o_orderkey
+        |FROM e
         |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -57,4 +57,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
   }
+
+  test("q_join_theta plans the bucketed band join, not a nested loop") {
+    val plan = SparkEntry.queries("q_join_theta")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band join regressed to a nested loop:\n$plan")
+  }
 }
