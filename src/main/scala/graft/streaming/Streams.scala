@@ -1,0 +1,232 @@
+package graft.streaming
+
+import graft.queries.Cdc
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.types._
+import java.util.concurrent.ConcurrentHashMap
+
+/** Structured-Streaming rebuild of the reference's dataflow (SURVEY §2.4).
+  *
+  * The bridge's HTTP POST of ndjson file chunks (publisher.go:137-214)
+  * becomes a file-drop directory stream: CRDB's `experimental-http://` sink
+  * delivers whole files, so a directory source preserves the unit of
+  * delivery (one file = one request) and Spark's checkpoint replaces the
+  * HTTP 201/500 ack protocol — a failed micro-batch is replayed, the same
+  * at-least-once contract as CRDB re-POSTing on 500 (publisher.go:167-175),
+  * with the async-ack data-loss bug (SURVEY §8-B2) fixed by construction:
+  * foreachBatch only commits the epoch after the sink write returns.
+  *
+  * Scale notes: every transform here is per-row or per-key-partition;
+  * stateful ops (windows, dedup, counters) keep watermark-bounded state in
+  * the state store, shuffled once on their key. The topic-ensure cache is
+  * driver-side and O(|topics|), mirroring publisher.go:99-129.
+  */
+object Streams {
+
+  /** Event payload for the windowed/stateful surface (events fixture). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class UserCount(user_id: Long, n_events: Long, sum_value: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  // ---------------------------------------------------------------- ingest
+
+  /** s_ingest_ndjson (R1+R2, publisher.go:137-202): file-drop ndjson
+    * directory stream, one row per line, with the originating path. */
+  def ingestLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .withColumn("path", input_file_name())
+
+  /** Envelope parse of an ingested line stream (same schema family as
+    * q_cdc_envelope_parse). */
+  def parseEnvelope(lines: DataFrame, payload: StructType): DataFrame = {
+    val env = StructType(Seq(
+      StructField("after", payload),
+      StructField("key", ArrayType(LongType)),
+      StructField("updated", StringType)))
+    lines
+      .withColumn("env", from_json(col("value"), env))
+      .select(col("path"), col("value"),
+        col("env.after").as("after"),
+        col("env.key").as("key"),
+        col("env.updated").as("updated"))
+      .withColumn("op",
+        when(col("value").contains("\"resolved\""), "resolved")
+          .when(col("after").isNull && col("key").isNull, "invalid")
+          .when(col("after").isNull, "delete")
+          .otherwise("upsert"))
+  }
+
+  /** s_auth_filter (R3, publisher.go:143-150): shared-key predicate on
+    * request metadata — here the key travels in the delivery path
+    * (`.../sharedKey=<k>/...`); multiple keys supported for rotation. */
+  def authFilter(df: DataFrame, keys: Set[String]): DataFrame =
+    df.filter(regexp_extract(col("path"), "sharedKey=([^/]+)", 1)
+      .isin(keys.toSeq: _*))
+
+  // ----------------------------------------------------------------- route
+
+  /** R4+R5+R7: destructure the changefeed path and pick the destination
+    * topic (prefix applied), `tbl` = table, "RESOLVED", or "404". */
+  def route(df: DataFrame, prefix: String): DataFrame = {
+    val isResolved = regexp_extract(col("path"), Cdc.resolvedFile, 1) =!= ""
+    val isGeneral = regexp_extract(col("path"), Cdc.generalFile, 1) =!= ""
+    df.withColumn("tbl",
+        when(isResolved, "RESOLVED")
+          .when(isGeneral, regexp_extract(col("path"), Cdc.generalFile, 5))
+          .otherwise("404"))
+      .withColumn("topic",
+        when(isResolved,
+          concat(lit(prefix), regexp_extract(col("path"), Cdc.resolvedFile, 1)))
+          .when(isGeneral,
+            concat(lit(prefix), regexp_extract(col("path"), Cdc.generalFile, 1)))
+          .otherwise(lit(null)))
+  }
+
+  /** Driver-side lazy topic materializer mirroring the double-checked-lock
+    * cache at publisher.go:99-129: exactly one create per topic name per
+    * process, concurrent-safe via computeIfAbsent. */
+  object TopicCache {
+    private val created = new ConcurrentHashMap[String, java.nio.file.Path]()
+    @volatile var createCount = 0
+    def ensure(root: String, topic: String): java.nio.file.Path =
+      created.computeIfAbsent(s"$root/$topic", { k =>
+        createCount += 1
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(k))
+      })
+    def reset(): Unit = { created.clear(); createCount = 0 }
+  }
+
+  /** s_route_publish (R4+R5+R7+R8+R9): per-topic partitioned sink writes
+    * with lazy topic creation. The epoch commits only after the write
+    * returns — a sink failure replays the batch (at-least-once, with the
+    * §8-B2 silent-ack bug structurally impossible). */
+  def routePublish(routed: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    routed.filter(col("tbl") =!= "404")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("topic").distinct().collect()
+          .foreach(r => TopicCache.ensure(s"$outDir/topics", r.getString(0)))
+        batch.write.mode("append").partitionBy("topic")
+          .parquet(s"$outDir/data")
+        ()
+      }
+      .start()
+
+  /** s_resolved_watermark (R5 with the §8-B1 regex fixed): forward incoming
+    * RESOLVED markers and emit this engine's own per-batch resolved
+    * watermark (max `updated` seen), one marker file per micro-batch —
+    * downstream consumers get the same in-band "no earlier updates" promise
+    * CRDB gives the bridge (publisher.go:155-157). */
+  def resolvedWatermark(parsed: DataFrame, markerDir: String, checkpoint: String): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(markerDir))
+    parsed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val incoming = batch.filter(col("op") === "resolved")
+          .select(get_json_object(col("value"), "$.resolved").as("r"))
+          .agg(max(col("r"))).collect()(0).getString(0)
+        val own = batch.filter(col("updated").isNotNull)
+          .agg(max(col("updated"))).collect()(0).getString(0)
+        val hi = Seq(Option(incoming), Option(own)).flatten
+          .reduceOption((a, b) => if (a >= b) a else b)
+        hi.foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"$markerDir/batch-$id%05d.RESOLVED"),
+            s"""{"resolved": "$r"}""")
+        }
+        ()
+      }
+      .start()
+  }
+
+  // --------------------------------------------------------------- windows
+
+  /** s_window_tumbling: per-type counts/sums in 1-minute tumbling
+    * event-time windows, watermark-bounded state. */
+  def windowTumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+
+  /** s_window_sliding: 5-minute windows sliding every minute. */
+  def windowSliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** s_window_session: per-user session windows with a 30-minute gap. */
+  def windowSession(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  // -------------------------------------------------------------- stateful
+
+  /** s_dedup_ids (R11 semantics): at-least-once delivery made
+    * effectively-once by id within the watermark — the Spark-native form of
+    * the compaction the bridge's missing OrderingKey forces downstream. */
+  def dedupIds(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** s_late_data: same shape as tumbling, exposed so tests can assert
+    * numRowsDroppedByWatermark > 0 when a row arrives beyond the
+    * watermark (append mode). */
+  def lateDataAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+
+  /** s_stateful_counter: running per-user state machine via
+    * mapGroupsWithState (the general form of the reference's only state,
+    * the topic cache R8). */
+  def statefulCounter(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserCount](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var sum = s0
+          it.foreach { e => n += 1; sum += e.value }
+          state.update((n, sum))
+          UserCount(uid, n, math.round(sum * 100).toDouble / 100)
+      }
+  }
+
+  // ------------------------------------------------------------- lifecycle
+
+  /** s_console_dump (R10, `--dumpOnly`): log rows instead of publishing. */
+  def consoleDump(df: DataFrame): StreamingQuery =
+    df.writeStream.format("console")
+      .option("numRows", 5).option("truncate", true).start()
+
+  /** s_graceful_drain (R12, server.go:92-98): stop accepting input and
+    * drain in-flight work, bounded by a grace period. Returns true if the
+    * query drained and stopped within the grace period. */
+  def gracefulDrain(q: StreamingQuery, graceMs: Long): Boolean = {
+    val drainer = new Thread(() => q.processAllAvailable())
+    drainer.setDaemon(true)
+    drainer.start()
+    drainer.join(graceMs)
+    val drained = !drainer.isAlive
+    q.stop() // like the latch timeout: stop regardless once grace elapses
+    q.awaitTermination(graceMs)
+    drained && !q.isActive
+  }
+}

@@ -1,0 +1,286 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** Golden tests for the §2.4 streaming surface: file-source micro-batches
+  * in, batch-computed goldens out (stream-batch equivalence), plus the
+  * delivery-semantics and lifecycle contracts that have no oracle.
+  * Each test name carries its SURVEY §2.4 key. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ---------------------------------------------------------- fixtures
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def write(root: String, rel: String, lines: Seq[String]): Unit = {
+    val p = Paths.get(root, rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, lines.mkString("\n"))
+  }
+
+  private val payload = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def upd(k: Long): String = f"$k%023d.0000000001"
+
+  private def envLine(k: Long): String =
+    s"""{"after": {"o_orderkey": $k, "o_custkey": ${k % 10}, "o_totalprice": ${k * 10}.5}, "key": [$k], "updated": "${upd(k)}"}"""
+
+  private def delLine(k: Long): String =
+    s"""{"after": null, "key": [$k], "updated": "${upd(k)}"}"""
+
+  private def ts33(n: Int): String = "0" * 30 + f"$n%03d"
+
+  /** Canonical CDC drop: 2 good data files (one containing a delete), one
+    * RESOLVED marker, one bad-key file, one unroutable name. */
+  private def writeCdcDrop(in: String): Unit = {
+    write(in, s"sharedKey=k1/ord_topic/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
+      Seq(envLine(1), envLine(2), delLine(3)))
+    write(in, s"sharedKey=k1/ord_topic/2024-01-01/${ts33(2)}-u2-orders-1.ndjson",
+      Seq(envLine(4), envLine(5)))
+    write(in, s"sharedKey=k1/ord_topic/2024-01-01/${ts33(3)}.RESOLVED",
+      Seq(s"""{"resolved": "${upd(6)}"}"""))
+    write(in, s"sharedKey=badkey/ord_topic/2024-01-01/${ts33(4)}-u3-orders-1.ndjson",
+      Seq(envLine(7)))
+    write(in, s"sharedKey=k1/junk.txt", Seq("""{"x": 1}"""))
+  }
+
+  /** Batch twin of ingest: identical transforms over read.text. */
+  private def batchLines(dir: String): DataFrame =
+    spark.read.format("text").option("recursiveFileLookup", "true").load(dir)
+      .withColumn("path", input_file_name())
+
+  private def evLine(id: Long, ts: String, uid: Long, typ: String, v: Double): String =
+    s"""{"event_id": $id, "ts": "$ts", "user_id": $uid, "event_type": "$typ", "value": $v}"""
+
+  private def eventStream(dir: String): DataFrame =
+    spark.readStream.schema(Streams.eventSchema).json(dir)
+
+  private def eventBatch(dir: String): DataFrame =
+    spark.read.schema(Streams.eventSchema).json(dir)
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ------------------------------------------------------------ ingest
+
+  test("s_ingest_ndjson: file-drop stream parses envelopes == batch golden") {
+    val in = tmp("cdc-in"); writeCdcDrop(in)
+    val parsed = Streams.parseEnvelope(Streams.ingestLines(spark, in), payload)
+      .select("op", "updated", "after.o_orderkey")
+    runToMemory(parsed, "t_ingest", "append")
+    val got = sortedRows(spark.table("t_ingest"))
+    val golden = sortedRows(
+      Streams.parseEnvelope(batchLines(in), payload)
+        .select("op", "updated", "after.o_orderkey"))
+    assert(got == golden && got.size == 8) // 6 data + 1 resolved + 1 junk
+    assert(spark.table("t_ingest").filter(col("op") === "delete").count() == 1)
+  }
+
+  test("s_auth_filter: rows from bad-sharedKey deliveries are dropped") {
+    val in = tmp("cdc-auth"); writeCdcDrop(in)
+    val authed = Streams.authFilter(
+      Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
+      Set("k1", "k2rotation"))
+    runToMemory(authed.select("op", "updated"), "t_auth", "append")
+    assert(spark.table("t_auth").count() == 7) // 8 minus the badkey file's 1
+    val golden = Streams.authFilter(
+      Streams.parseEnvelope(batchLines(in), payload), Set("k1", "k2rotation"))
+    assert(sortedRows(spark.table("t_auth")) ==
+      sortedRows(golden.select("op", "updated")))
+  }
+
+  // ------------------------------------------------------------- route
+
+  test("s_route_publish: per-topic partitioned sink, topic created once") {
+    val in = tmp("cdc-route"); val out = tmp("cdc-out")
+    writeCdcDrop(in)
+    Streams.TopicCache.reset()
+    val routed = Streams.route(
+      Streams.authFilter(
+        Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
+        Set("k1")), "cdc-")
+      .select("topic", "tbl", "value", "updated", "op")
+    val q = Streams.routePublish(routed, out, tmp("cdc-ckpt"))
+    q.processAllAvailable()
+    // second delivery: same topic must NOT be created again
+    write(in, s"sharedKey=k1/ord_topic/2024-01-02/${ts33(9)}-u9-orders-1.ndjson",
+      Seq(envLine(8)))
+    q.processAllAvailable()
+    q.stop()
+    assert(Streams.TopicCache.createCount == 1, "topic created more than once")
+    assert(Files.exists(Paths.get(s"$out/topics/cdc-ord_topic")))
+    val published = spark.read.parquet(s"$out/data")
+    assert(published.filter(col("topic") === "cdc-ord_topic").count() == 7)
+    assert(published.filter(col("tbl") === "RESOLVED").count() == 1)
+    assert(published.filter(col("tbl") === "404").count() == 0)
+  }
+
+  test("s_resolved_watermark: markers advance monotonically per batch") {
+    val in = tmp("cdc-res"); val markers = tmp("cdc-markers")
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
+      Seq(envLine(1), envLine(2)))
+    val parsed = Streams.parseEnvelope(Streams.ingestLines(spark, in), payload)
+    val q = Streams.resolvedWatermark(parsed, markers, tmp("cdc-res-ckpt"))
+    q.processAllAvailable()
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(2)}.RESOLVED",
+      Seq(s"""{"resolved": "${upd(10)}"}"""))
+    q.processAllAvailable()
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(3)}-u2-orders-1.ndjson",
+      Seq(envLine(20)))
+    q.processAllAvailable()
+    q.stop()
+    val ms = Files.list(Paths.get(markers)).sorted().toArray.toSeq
+      .map(p => Files.readString(p.asInstanceOf[Path]))
+    assert(ms.nonEmpty)
+    val values = ms.map(s => s.split("\"")(3))
+    assert(values == values.sorted, s"markers not monotone: $values")
+    assert(values.last == upd(20))
+  }
+
+  // ------------------------------------------------------------ windows
+
+  private def writeEventFixture(dir: String): Unit = {
+    write(dir, "b1.ndjson", Seq(
+      evLine(1, "2024-01-01T00:00:10Z", 1, "click", 1.5),
+      evLine(2, "2024-01-01T00:00:50Z", 1, "click", 2.0),
+      evLine(3, "2024-01-01T00:01:10Z", 2, "buy", 10.0),
+      evLine(4, "2024-01-01T00:03:30Z", 2, "click", 0.5),
+      evLine(5, "2024-01-01T00:04:00Z", 1, "buy", 7.25)))
+  }
+
+  test("s_window_tumbling: stream == batch golden") {
+    val dir = tmp("ev-tumble"); writeEventFixture(dir)
+    runToMemory(Streams.windowTumbling(eventStream(dir)), "t_tumble", "complete")
+    assert(sortedRows(spark.table("t_tumble")) ==
+      sortedRows(Streams.windowTumbling(eventBatch(dir))))
+    assert(spark.table("t_tumble").count() == 4)
+  }
+
+  test("s_window_sliding: stream == batch golden") {
+    val dir = tmp("ev-slide"); writeEventFixture(dir)
+    runToMemory(Streams.windowSliding(eventStream(dir)), "t_slide", "complete")
+    assert(sortedRows(spark.table("t_slide")) ==
+      sortedRows(Streams.windowSliding(eventBatch(dir))))
+    // 5-min windows sliding 1 min: every event lands in 5 windows
+    assert(spark.table("t_slide").agg(sum(col("n"))).collect()(0).getLong(0) == 25)
+  }
+
+  test("s_window_session: closed sessions == batch golden") {
+    val dir = tmp("ev-sess"); writeEventFixture(dir)
+    val q = Streams.windowSession(eventStream(dir)).writeStream
+      .format("memory").queryName("t_sess").outputMode("append").start()
+    q.processAllAvailable()
+    // flush event 2h later: watermark passes, closing all real sessions
+    write(dir, "b2.ndjson", Seq(evLine(99, "2024-01-01T02:00:00Z", 9, "x", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val flushTs = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+    val golden = Streams.windowSession(eventBatch(dir))
+      .filter(col("s_start") < lit(flushTs))
+    assert(sortedRows(spark.table("t_sess")) == sortedRows(golden))
+    // users 1 and 2 each have one 30-min-gap session over these events
+    assert(spark.table("t_sess").count() == 2)
+  }
+
+  // ----------------------------------------------------------- stateful
+
+  test("s_dedup_ids: at-least-once replay becomes effectively-once") {
+    val dir = tmp("ev-dedup")
+    write(dir, "b1.ndjson", Seq(
+      evLine(1, "2024-01-01T00:00:10Z", 1, "click", 1.0),
+      evLine(2, "2024-01-01T00:00:20Z", 1, "click", 2.0)))
+    val q = Streams.dedupIds(eventStream(dir)).writeStream
+      .format("memory").queryName("t_dedup").outputMode("append").start()
+    q.processAllAvailable()
+    // CRDB re-POST on 500 (publisher.go:167-175): same file content again
+    write(dir, "b2.ndjson", Seq(
+      evLine(1, "2024-01-01T00:00:10Z", 1, "click", 1.0), // dup
+      evLine(3, "2024-01-01T00:00:30Z", 2, "buy", 3.0)))  // new
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
+  test("s_late_data: rows beyond the watermark are dropped") {
+    val dir = tmp("ev-late")
+    write(dir, "b1.ndjson", Seq(
+      evLine(1, "2024-01-01T01:00:00Z", 1, "click", 1.0)))
+    val q = Streams.lateDataAgg(eventStream(dir)).writeStream
+      .format("memory").queryName("t_late").outputMode("append").start()
+    q.processAllAvailable() // watermark -> 00:50
+    write(dir, "b2.ndjson", Seq(
+      evLine(2, "2024-01-01T00:10:00Z", 1, "late", 1.0))) // < 00:50: late
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    assert(dropped == 1, s"expected 1 watermark-dropped row, got $dropped")
+  }
+
+  test("s_stateful_counter: running per-user state == batch aggregate") {
+    val dir = tmp("ev-state"); writeEventFixture(dir)
+    import spark.implicits._
+    val finalState = TrieMap[Long, (Long, Double)]()
+    val counted = Streams.statefulCounter(
+      eventStream(dir).as[Streams.Event])
+    val q = counted.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.UserCount], _: Long) =>
+        b.collect().foreach(u =>
+          finalState(u.user_id) = (u.n_events, u.sum_value))
+        ()
+      }.start()
+    q.processAllAvailable()
+    // second batch: state carries across micro-batches
+    write(dir, "b2.ndjson", Seq(evLine(6, "2024-01-01T00:05:00Z", 1, "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val golden = eventBatch(dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finalState.toMap == golden, s"state=$finalState golden=$golden")
+  }
+
+  // ---------------------------------------------------------- lifecycle
+
+  test("s_console_dump: --dumpOnly mode logs instead of publishing") {
+    val dir = tmp("ev-console"); writeEventFixture(dir)
+    val q = Streams.consoleDump(eventStream(dir))
+    q.processAllAvailable()
+    val progressed = q.recentProgress.nonEmpty
+    q.stop()
+    assert(progressed, "console query made no progress")
+  }
+
+  test("s_graceful_drain: drains in-flight input within the grace period") {
+    val dir = tmp("ev-drain"); writeEventFixture(dir)
+    val q = eventStream(dir).writeStream.format("memory")
+      .queryName("t_drain").outputMode("append").start()
+    val drained = Streams.gracefulDrain(q, graceMs = 30000)
+    assert(drained, "query did not drain within grace period")
+    assert(!q.isActive)
+    assert(spark.table("t_drain").count() == 5)
+  }
+}
