@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (north star):
+  * language-ID, quality scoring, token counting, document fingerprinting,
+  * and exact n-gram-Jaccard near-dup pairs.
+  *
+  * Scale notes: lang-ID / quality / token-count are stateless codegen'd
+  * projections (higher-order array functions, no UDFs). Fingerprinting is
+  * a per-row shingle fold. The Jaccard pair query is the scale-correct
+  * shingle-join shape: explode distinct shingles -> equi-join on shingle
+  * -> pair aggregate. Shuffle volume is O(total shingles), never the
+  * O(n^2) all-pairs product — hot shingles would need a stop-shingle
+  * filter at 100 TB, noted inline.
+  *
+  * Portability: the shingle hash is the first 15 hex chars of md5 read as
+  * a 60-bit int — identical in Spark (conv(_,16,10)) and DuckDB
+  * ('0x'||prefix cast). No engine-specific hash() anywhere.
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** 60-bit portable hash of a string via md5 hex prefix. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Token n-gram shingles of a token array (n fixed per call site). */
+  private def shingles(tok: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tok) - n),
+      i => concat_ws(" ", slice(tok, i + 1, lit(n))))
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val q: Map[String, Q] = Map(
+    // n-gram(1) profile heuristic: occurrence count per language marker
+    // set, argmax with fixed priority tie-break. (The fixture text is
+    // synthetic word soup; the contract is the deterministic scoring
+    // pipeline, not linguistic accuracy.)
+    "q_lang_id" -> ((s, d) => {
+      val base = Tables(s, d, "documents")
+        .withColumn("tok", toks(col("text")))
+      val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("tok"), t => t.isInCollection(words))).cast("long"))
+      }
+      val Seq(en, es, de, fr) =
+        Seq("s_en", "s_es", "s_de", "s_fr").map(col)
+      scored.select(col("doc_id"), col("lang"), en, es, de, fr,
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Length / stopword-ratio / token-shape quality signals + a composite
+    // score; all exact-integer arithmetic until the final division.
+    "q_quality_score" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("tok", toks(col("text")))
+        .withColumn("n_tok", size(col("tok")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("tok"), t => t.isInCollection(stopwords)))
+            .cast("long"))
+        .withColumn("alpha_chars",
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+        .select(col("doc_id"), col("n_tok"), col("n_stop"),
+          col("alpha_chars"),
+          round(col("alpha_chars").cast("double") / col("n_tok"), 4)
+            .as("avg_tok_len"),
+          round(col("n_stop").cast("double") / col("n_tok"), 4)
+            .as("stop_ratio"),
+          round(
+            least(lit(1.0), col("n_tok").cast("double") / 200.0) * 0.5
+              + (col("n_stop").cast("double") / col("n_tok")) * 0.5, 4)
+            .as("quality"))
+        .orderBy("doc_id")),
+
+    // Whitespace tokens vs BPE-ish subword pieces vs raw chars.
+    "q_token_count" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("bpe_pieces"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+
+    // Winnowing-style fingerprint: min/max/count-distinct over hashed
+    // token 4-grams — constant-size per-document sketch.
+    "q_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("sh", shingles(toks(col("text")), 4))
+        .withColumn("hashes", transform(col("sh"), h60 _))
+        .select(col("doc_id"),
+          array_min(col("hashes")).as("fp_min"),
+          array_max(col("hashes")).as("fp_max"),
+          size(array_distinct(col("sh"))).cast("long").as("n_shingles"))
+        .orderBy("doc_id")),
+
+    // Exact 3-gram Jaccard near-dup pairs >= 0.8: the oracle ground truth
+    // the approximate dedup family (AnnOps) is tested against. At 100 TB
+    // add a stop-shingle (document-frequency) cutoff before the join.
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(toks(col("text")), 3))).as("s"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          round(col("inter").cast("double")
+            / (col("s1.n") + col("s2.n") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("d1", "d2")
+    }),
+  )
+
+  private val profSql = langProfiles.map { case (lang, words) =>
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($set))) AS s_$lang"
+  }.mkString(",\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "q_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $profSql
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split(lower(text), ' ')) AS n_tok,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tok, n_stop, alpha_chars,
+         |  round(CAST(alpha_chars AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+         |  round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+         |  round(least(1.0, CAST(n_tok AS DOUBLE) / 200.0) * 0.5
+         |        + (CAST(n_stop AS DOUBLE) / n_tok) * 0.5, 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_pieces,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    [array_to_string(tok[i+1:i+4], ' ') for i in range(len(tok)-3)] AS sl
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(sl,
+        |      s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS hashes,
+        |    sl
+        |  FROM sh)
+        |SELECT doc_id,
+        |  list_aggregate(hashes, 'min') AS fp_min,
+        |  list_aggregate(hashes, 'max') AS fp_max,
+        |  len(list_distinct(sl)) AS n_shingles
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(tok[i+1:i+3], ' ') for i in range(len(tok)-2)])) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sz s1 ON s1.doc_id = d1
+        |JOIN sz s2 ON s2.doc_id = d2
+        |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+  )
+}
