@@ -12,12 +12,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.q ++ Joins.q ++ Aggregates.q ++ Windows.q ++ SetOps.q ++
-      Functions.q ++ Cdc.q ++ Udfs.q ++ LlmOps.q ++ TextOps.q
+      Functions.q ++ Cdc.q ++ Udfs.q ++ LlmOps.q ++ TextOps.q ++
+      AnnOps.q ++ MultiModal.q
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ SetOps.oracle ++ Functions.oracle ++
-      Cdc.oracle ++ Udfs.oracle ++ LlmOps.oracle ++ TextOps.oracle
+      Cdc.oracle ++ Udfs.oracle ++ LlmOps.oracle ++ TextOps.oracle ++
+      AnnOps.oracle
 }

@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate dedup + ANN family (north star): MinHash+LSH banding,
+  * SimHash with chunk banding, and an IVF-bucketed ANN search — the scale
+  * paths for the exact operators in TextOps/LlmOps.
+  *
+  * Scale notes: all three share the bucket-join shape — per-doc sketch,
+  * explode to O(1) bucket keys, equi-join on the bucket, exact verify on
+  * the (tiny) candidate set. Shuffle volume is O(rows * bands), never
+  * O(n^2). Sketches are built by EXPLODING shingles once and aggregating
+  * (two-phase HashAggregate with map-side partial min/sum) rather than by
+  * nested array expressions: higher-order Catalyst expressions are
+  * interpreted per reference, so a 48-way array fold over a derived array
+  * re-evaluates the md5 pipeline 48x per row — the aggregate shape hashes
+  * each shingle exactly once and is also the plan that scales (sketch
+  * build is one shuffle keyed on doc_id).
+  *
+  * Determinism: hash parameters derive from the same 60-bit md5-prefix as
+  * TextOps (portable to SQL), so results are stable across runs/engines.
+  *  - q_dedup_minhash emits pairs with exact Jaccard >= 0.8 among LSH
+  *    candidates; with b=16 bands of r=3 the miss probability at J >= 0.9
+  *    (the fixture's weakest planted pair at sf0.01) is ~4e-8, so it
+  *    shares the exact-Jaccard oracle.
+  *  - q_dedup_simhash emits pairs at Hamming <= 3 over a 48-bit simhash;
+  *    4 banding chunks of 12 bits give GUARANTEED recall at <= 3 by
+  *    pigeonhole, so the output is exactly deterministic.
+  */
+object AnnOps {
+
+  private val P = 2147483647L // Mersenne prime 2^31-1 for affine rehashing
+  private val numHashes = 48
+  private val bands = 16 // r = 3 rows per band
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private def shingles3(tok: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(tok) - 3),
+      i => concat_ws(" ", slice(tok, i + 1, lit(3)))))
+
+  /** (doc_id, sh: array, h: exploded 60-bit shingle hash) — each shingle
+    * hashed exactly once. */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("h"))
+
+  /** Affine permutation parameters, derived (not random) so both the Scala
+    * and any SQL twin can regenerate them. */
+  private def affine(i: Int): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long =
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    ((h(s"mh-a-$i") % (P - 1)) + 1, h(s"mh-b-$i") % P)
+  }
+
+  // ------------------------------------------------------------- queries
+
+  val q: Map[String, Q] = Map(
+    // MinHash via 48 parallel min-aggregates over the exploded shingle
+    // hashes (one codegen'd HashAggregate), LSH banding, exact-Jaccard
+    // verify on candidates.
+    "q_dedup_minhash" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+      val minAggs = (0 until numHashes).map { i =>
+        val (a, b) = affine(i)
+        min((col("h") % P * a + b) % P).as(s"m$i")
+      }
+      val sig = shingleHashes(s, d).groupBy("doc_id")
+        .agg(minAggs.head, minAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws(",",
+            slice(col("sig"), b * (numHashes / bands) + 1,
+              lit(numHashes / bands)))))))
+        .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+        .withColumn("inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .select(col("d1"), col("d2"), col("inter"),
+          round(col("inter").cast("double")
+            / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("d1", "d2")
+    }),
+
+    // 48-bit SimHash via 48 parallel bit-sum aggregates; 4 banding chunks
+    // of 12 bits; exact Hamming <= 3 on candidates.
+    "q_dedup_simhash" -> ((s, d) => {
+      val mask48 = (1L << 48) - 1
+      // bit b of h as floor(h / 2^b) % 2 — 48-bit values are exact in
+      // double (< 2^53), and b here is a Scala literal per agg column.
+      val bitAggs = (0 until 48).map { b =>
+        sum((floor(col("h").bitwiseAND(mask48) / lit(math.pow(2.0, b)))
+          .cast("long") % 2)).as(s"b$b")
+      }
+      val sig = shingleHashes(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), bitAggs: _*)
+        .select(col("doc_id"),
+          array((0 until 48).map(b =>
+            when(col(s"b$b") * 2 > col("n"), 1L).otherwise(0L)): _*)
+            .as("bits"))
+      val chunked = sig
+        .withColumn("chunks", transform(sequence(lit(0), lit(3)),
+          c => aggregate(sequence(lit(0), lit(11)), lit(0.0),
+            (acc, j) => acc
+              + element_at(col("bits"), (c * 12 + j + 1).cast("int"))
+                * pow(lit(2.0), j)).cast("long")))
+        .select(col("doc_id"), col("bits"), posexplode(col("chunks")))
+        .withColumnRenamed("col", "v").withColumnRenamed("pos", "c")
+      val cand = chunked.as("a").join(chunked.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.bits").as("ba"), col("b.bits").as("bb"))
+        .dropDuplicates("d1", "d2")
+      cand
+        .withColumn("hamming",
+          aggregate(zip_with(col("ba"), col("bb"),
+            (x, y) => abs(x - y)), lit(0L), (acc, x) => acc + x))
+        .filter(col("hamming") <= 3)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    }),
+
+    // IVF-bucketed ANN: nprobe=2 of 8 cells (see ivfKnn for the structure;
+    // no oracle — approximate; AnnSpec pins nprobe=cells == brute force).
+    "q_ann_ivf" -> ((s, d) => ivfKnn(s, d, nprobe = 2)),
+  )
+
+  // ------------------------------------------------------------ IVF ANN
+
+  val numCells = 8
+
+  /** Deterministic pseudo-random unit-ish centroids (same md5 derivation
+    * as the hash params — reproducible anywhere). */
+  private def centroidDf(spark: SparkSession): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(c: Int, j: Int): Float = {
+      val hx = md.digest(s"ivf-$c-$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hx, 16) % 1000L) / 500.0f - 1.0f
+    }
+    import spark.implicits._
+    (0 until numCells)
+      .map(c => (c, (0 until 64).map(w(c, _)).toArray))
+      .toDF("cell", "centroid")
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** IVF search: assign corpus rows to their nearest coarse cell (one
+    * broadcast pass), probe only the `nprobe` cells nearest each query,
+    * exact cosine top-5 inside the visited cells. nprobe = numCells
+    * degrades to exact brute force — the invariant AnnSpec pins. */
+  def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val emb = Tables(s, d, "embeddings")
+    val cents = broadcast(centroidDf(s))
+    def assign(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("cdot").desc, col("cell").asc)
+      df.crossJoin(cents)
+        .withColumn("cdot", dot(col(vecCol), col("centroid"))
+          / norm(col("centroid")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= k)
+        .drop("centroid", "cdot", "crn")
+    }
+    val corpus = assign(emb, "vec_id", "embedding", 1)
+    val probes = assign(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe")),
+      "probe_id", "probe", nprobe)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    corpus.join(probes, "cell") // equi-join on cell: only visited cells scan
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        round(dot(col("embedding"), col("probe"))
+          / (norm(col("embedding")) * norm(col("probe"))), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("probe_id", "vec_id", "cell", "cos_sim")
+      .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  val oracle: Map[String, String] = Map(
+    // Shares the exact ground truth: LSH recall at the fixture's J-margin
+    // makes the approximate and exact outputs identical (see header note).
+    "q_dedup_minhash" -> TextOps.oracle("q_dedup_ngram_jaccard"),
+
+    // Full SQL twin: same 48-bit simhash, same chunk banding, exact
+    // Hamming <= 3 (deterministic by pigeonhole — not probabilistic).
+    "q_dedup_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_distinct([array_to_string(tok[i+1:i+3], ' ')
+        |                     for i in range(len(tok)-2)]),
+        |      t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+        |           & 281474976710655) AS hs
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |b AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1))
+        |               > len(hs) THEN 1 ELSE 0 END
+        |     for b in range(48)] AS bits
+        |  FROM th),
+        |ch AS (
+        |  SELECT doc_id, bits,
+        |    [list_sum([bits[c*12 + j + 1] * (1 << j) for j in range(12)])
+        |     for c in range(4)] AS chunks
+        |  FROM b),
+        |flat AS (
+        |  SELECT doc_id, bits, unnest(chunks) AS v,
+        |         generate_subscripts(chunks, 1) AS c
+        |  FROM ch),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |         a.bits AS ba, b.bits AS bb
+        |  FROM flat a JOIN flat b
+        |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  list_sum([abs(ba[i+1] - bb[i+1]) for i in range(48)]) AS hamming
+        |FROM cand
+        |WHERE list_sum([abs(ba[i+1] - bb[i+1]) for i in range(48)]) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+    // q_ann_ivf: no oracle (approximate); contract in AnnSpec.
+  )
+}

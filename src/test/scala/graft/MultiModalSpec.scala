@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.MultiModal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the multimodal plumbing: schema, batch shape, determinism, and
+  * the metadata-only stages (the decode step itself is a declared stub). */
+class MultiModalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("corpus has the declared binary + typed-metadata schema") {
+    val df = MultiModal.corpus(spark, sf).toDF()
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("content") == "binary")
+    assert(types("modality") == "string")
+    assert(types("meta").startsWith("struct<width:int,height:int"))
+    assert(df.count() == 500)
+    // metadata filter must not require payload bytes (stays a column op)
+    assert(MultiModal.corpus(spark, sf).toDF()
+      .filter(col("meta.sample_rate") === 16000).count() > 0)
+  }
+
+  test("feature extraction: fixed dim, normalized, deterministic, batched") {
+    val f1 = MultiModal.extractFeatures(MultiModal.corpus(spark, sf)).collect()
+    assert(f1.length == 500)
+    assert(f1.forall(_.features.length == MultiModal.featureDim))
+    // histogram of byte buckets normalized by payload length sums to ~1
+    assert(f1.forall(f => math.abs(f.features.sum - 1.0f) < 1e-3))
+    val f2 = MultiModal.extractFeatures(MultiModal.corpus(spark, sf)).collect()
+    assert(f1.map(_.id).sorted.toSeq == f2.map(_.id).sorted.toSeq)
+    val m1 = f1.map(f => f.id -> f.features.toSeq).toMap
+    val m2 = f2.map(f => f.id -> f.features.toSeq).toMap
+    assert(m1 == m2, "decode stub not deterministic across runs")
+  }
+
+  test("resize caps dimensions, audio passes through") {
+    val resized = MultiModal.resizeMeta(MultiModal.corpus(spark, sf), 100, 100)
+      .collect()
+    assert(resized.filter(r => r.modality != "audio")
+      .forall(r => r.meta.width <= 100 && r.meta.height <= 100))
+    val origAudio = MultiModal.corpus(spark, sf).collect()
+      .filter(_.modality == "audio").map(r => r.id -> r.meta).toMap
+    assert(resized.filter(_.modality == "audio")
+      .forall(r => origAudio(r.id) == r.meta))
+  }
+
+  test("frame sampling emits every k-th index from metadata only") {
+    val sampled = MultiModal.sampleFrames(MultiModal.corpus(spark, sf), 10)
+      .collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val n = r.getInt(1); val idx = r.getSeq[Int](2)
+      assert(idx == (0 until n by 10).toSeq, s"id=${r.getLong(0)}")
+    }
+  }
+}
