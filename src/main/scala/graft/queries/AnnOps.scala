@@ -48,7 +48,7 @@ object AnnOps {
   /** (doc_id, sh: array, h: exploded 60-bit shingle hash) — each shingle
     * hashed exactly once. */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+    par(Tables(s, d, "documents"))
       .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), h60(col("s")).as("h"))
@@ -71,7 +71,7 @@ object AnnOps {
     // hashes (one codegen'd HashAggregate), LSH banding, exact-Jaccard
     // verify on candidates.
     "q_dedup_minhash" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      val docs = par(Tables(s, d, "documents"))
         .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
       val minAggs = (0 until numHashes).map { i =>
         val (a, b) = affine(i)
@@ -110,11 +110,11 @@ object AnnOps {
     // of 12 bits; exact Hamming <= 3 on candidates.
     "q_dedup_simhash" -> ((s, d) => {
       val mask48 = (1L << 48) - 1
-      // bit b of h as floor(h / 2^b) % 2 — 48-bit values are exact in
-      // double (< 2^53), and b here is a Scala literal per agg column.
+      // b is a Scala literal per agg column, so plain integer shifts work
+      // (and codegen them) — no double math in the hot 48-agg loop.
       val bitAggs = (0 until 48).map { b =>
-        sum((floor(col("h").bitwiseAND(mask48) / lit(math.pow(2.0, b)))
-          .cast("long") % 2)).as(s"b$b")
+        sum(shiftright(col("h").bitwiseAND(mask48), b).bitwiseAND(1L))
+          .as(s"b$b")
       }
       val sig = shingleHashes(s, d).groupBy("doc_id")
         .agg(count(lit(1)).as("n"), bitAggs: _*)

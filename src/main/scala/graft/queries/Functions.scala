@@ -41,7 +41,7 @@ object Functions {
         .orderBy("doc_id")),
 
     "q_date_funcs" -> ((s, d) =>
-      Tables(s, d, "orders").select(
+      par(Tables(s, d, "orders")).select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
@@ -57,7 +57,7 @@ object Functions {
         .orderBy("o_orderkey")),
 
     "q_math_funcs" -> ((s, d) =>
-      Tables(s, d, "lineitem").select(
+      par(Tables(s, d, "lineitem")).select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("abs_disc_delta"),
         ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
@@ -70,7 +70,10 @@ object Functions {
         round(log(col("l_extendedprice")), 6).as("price_ln"),
         greatest(col("l_tax"), col("l_discount")).as("max_rate"),
         least(col("l_tax"), col("l_discount")).as("min_rate"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // lineitem has no unique key — total order needs every output col
+        .orderBy("l_orderkey", "l_linenumber", "abs_disc_delta",
+          "price_ceil", "price_floor", "price_round1", "key_mod7",
+          "qty_sq", "price_sqrt", "price_ln", "max_rate", "min_rate")),
 
     "q_array_funcs" -> ((s, d) =>
       Tables(s, d, "embeddings").select(
@@ -90,7 +93,7 @@ object Functions {
         .orderBy("vec_id", "pos")),
 
     "q_json_funcs" -> ((s, d) =>
-      Tables(s, d, "events").select(
+      par(Tables(s, d, "events")).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("int").as("k_int"),
@@ -101,7 +104,7 @@ object Functions {
     // Map built from columns, then flattened to sorted key/value rows —
     // MapType never reaches the oracle compare (hash order unstable, §7.4).
     "q_map_funcs" -> ((s, d) =>
-      Tables(s, d, "events")
+      par(Tables(s, d, "events"))
         .withColumn("m", map(
           lit("etype"), col("event_type"),
           lit("k"), get_json_object(col("props"), "$.k")))
@@ -150,7 +153,10 @@ object Functions {
         |  round(ln(l_extendedprice), 6) AS price_ln,
         |  greatest(l_tax, l_discount) AS max_rate,
         |  least(l_tax, l_discount) AS min_rate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, abs_disc_delta, price_ceil,
+        |  price_floor, price_round1, key_mod7, qty_sq, price_sqrt,
+        |  price_ln, max_rate, min_rate""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT vec_id,

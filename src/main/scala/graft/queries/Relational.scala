@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   val q: Map[String, Q] = Map(
+    // lineitem has NO unique key (driver fixture: (l_orderkey,
+    // l_linenumber) collides) — ORDER BY must cover every output column
+    // or tie order depends on physical partitioning (§7.4).
     "q_scan_project" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")),
 
     "q_scan_pushdown" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01 00:00:00")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
     "q_filter_compound" -> ((s, d) =>
       Tables(s, d, "part")
@@ -66,7 +70,8 @@ object Relational {
         col("l_linenumber").cast("double").as("ln_dbl"),
         when(col("l_tax") > 0.04, col("l_tax")).otherwise(lit(0.0))
           .as("tax_adj"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "qty_band", "price_floor",
+          "qty_str", "ln_dbl", "tax_adj")),
 
     "q_sort_multi" -> ((s, d) =>
       Tables(s, d, "customer")
@@ -110,12 +115,13 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice""".stripMargin,
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
 
     "q_filter_compound" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
@@ -146,7 +152,8 @@ object Relational {
         |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_str,
         |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
         |  CASE WHEN l_tax > 0.04 THEN l_tax ELSE 0.0 END AS tax_adj
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_band, price_floor, qty_str, ln_dbl, tax_adj""".stripMargin,
 
     "q_sort_multi" ->
       """SELECT c_custkey, c_nationkey,

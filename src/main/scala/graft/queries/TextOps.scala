@@ -99,7 +99,7 @@ object TextOps {
     // Winnowing-style fingerprint: min/max/count-distinct over hashed
     // token 4-grams — constant-size per-document sketch.
     "q_fingerprint" -> ((s, d) =>
-      Tables(s, d, "documents")
+      par(Tables(s, d, "documents"))
         .withColumn("sh", shingles(toks(col("text")), 4))
         .withColumn("hashes", transform(col("sh"), h60 _))
         .select(col("doc_id"),
@@ -109,12 +109,16 @@ object TextOps {
         .orderBy("doc_id")),
 
     // Exact 3-gram Jaccard near-dup pairs >= 0.8: the oracle ground truth
-    // the approximate dedup family (AnnOps) is tested against. At 100 TB
+    // the approximate dedup family (AnnOps) is tested against. The join
+    // key is the 60-bit shingle hash, not the string — an 8-byte shuffle
+    // key instead of ~25-byte text; both engines hash identically, so
+    // results match even in the (negligible) collision case. At 100 TB
     // add a stop-shingle (document-frequency) cutoff before the join.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = Tables(s, d, "documents")
+      val sh = par(Tables(s, d, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(shingles(toks(col("text")), 3))).as("s"))
+        .select(col("doc_id"), h60(col("s")).as("s"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -190,8 +194,10 @@ object TextOps {
 
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(tok[i+1:i+3], ' ') for i in range(len(tok)-2)])) AS s
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(list_distinct(
+        |      [array_to_string(tok[i+1:i+3], ' ')
+        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
         |        FROM documents)),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 package object queries {
   /** A declared query: (session, scale-factor dir) => result frame. */
   type Q = (SparkSession, String) => DataFrame
+
+  /** Local-fixture scan-parallelism shim. The driver's test parquet is one
+    * file with ONE row group per table, so Spark cannot split the scan and
+    * every narrow pipeline runs on a single core until its first shuffle.
+    * Queries whose per-row compute dominates the scan (md5 sketches,
+    * regex routing, json parsing) insert this cheap exchange right after
+    * the scan to spread that work across all cores. A real deployment
+    * reads many row groups/files in parallel and must NOT carry this
+    * repartition — it would be a gratuitous full-data shuffle at 100 TB.
+    */
+  def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
 package queries {
