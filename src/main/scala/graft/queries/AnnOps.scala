@@ -202,8 +202,8 @@ object AnnOps {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     corpus.join(probes, "cell") // equi-join on cell: only visited cells scan
       .select(col("probe_id"), col("vec_id"), col("cell"),
-        round(dot(col("embedding"), col("probe"))
-          / (norm(col("embedding")) * norm(col("probe"))), 6).as("cos_sim"))
+        round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
+          .as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select("probe_id", "vec_id", "cell", "cos_sim")

@@ -63,15 +63,16 @@ object LlmOps {
         .limit(50)),
 
     // Every corpus vector vs the vec_id=0 probe, top-20 by cosine. The
-    // probe is a broadcast 1-row dim; corpus side never shuffles.
+    // probe is a broadcast 1-row dim; corpus side never shuffles. The
+    // similarity itself is the native codegen'd CosineSim expression
+    // (graft.functions.CosineSim) — one fused loop, no interpreted HOFs.
     "q_similarity_cosine" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
       emb.crossJoin(broadcast(probe))
         .select(col("vec_id"),
-          round(dot(col("embedding"), col("probe"))
-            / (norm(col("embedding")) * norm(col("probe"))), 6)
+          round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(20)
@@ -86,8 +87,7 @@ object LlmOps {
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
       emb.crossJoin(broadcast(probes))
         .select(col("probe_id"), col("vec_id"),
-          round(dot(col("embedding"), col("probe"))
-            / (norm(col("embedding")) * norm(col("probe"))), 6)
+          round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
             .as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

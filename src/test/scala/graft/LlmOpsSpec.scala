@@ -43,6 +43,29 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0L) // self-similarity ranks first
   }
 
+  test("CosineSim codegen matches interpreted eval and the HOF formula") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings").limit(50)
+    val hofDot = aggregate(zip_with(col("embedding"), col("embedding"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+      (acc, x) => acc + x)
+    val rows = emb.select(
+      graft.functions.CosineSim(spark, col("embedding"), col("embedding"))
+        .as("native"),
+      (hofDot / (sqrt(hofDot) * sqrt(hofDot))).as("hof")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // self-cosine == 1
+      assert(r.getDouble(0) == r.getDouble(1),
+        "native and HOF disagree bitwise")
+    }
+    // registered in SQL too
+    graft.functions.CosineSim.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT cosine_sim(embedding, embedding) FROM parquet.`$sf/embeddings.parquet` LIMIT 5")
+      .collect()
+    assert(viaSql.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("q_knn_pergroup returns exactly k per probe, self first") {
     val rows = SparkEntry.queries("q_knn_pergroup")(spark, sf).collect()
     val byProbe = rows.groupBy(_.getLong(0))
