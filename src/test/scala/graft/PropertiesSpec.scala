@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic properties from SURVEY §5.2: invariants that must hold for
+  * any input, checked over the fixture tables. */
+class PropertiesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("union_all count additivity: |A ∪all B| == |A| + |B|") {
+    val o = Tables(spark, sf, "orders")
+    val a = o.filter(col("o_totalprice") > 200000)
+    val b = o.filter(col("o_orderstatus") === "F")
+    assert(a.unionByName(b).count() == a.count() + b.count())
+  }
+
+  test("inner equi-join commutativity: row sets match either direction") {
+    val o = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables(spark, sf, "customer").select("c_custkey", "c_name")
+    val ab = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_custkey").collect().map(_.toString).sorted
+    val ba = c.join(o, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_custkey").collect().map(_.toString).sorted
+    assert(ab.toSeq == ba.toSeq)
+  }
+
+  test("latest_by_key compaction is idempotent") {
+    val once = SparkEntry.queries("q_cdc_latest_by_key")(spark, sf)
+    // compacting the already-compacted stream changes nothing
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy(col("updated").desc)
+    val twice = once.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(once.count() == twice.count())
+    assert(once.collect().map(_.toString).sorted.toSeq ==
+      twice.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("exact dedup is idempotent and digest-complete") {
+    val d1 = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val digests = d1.select("digest").distinct().count()
+    assert(digests == d1.count())
+  }
+
+  test("salted join equals plain join (salt is semantics-neutral)") {
+    val fact = Tables(spark, sf, "lineitem")
+      .select((col("l_orderkey") % 10).as("bucket_id"), col("l_quantity"))
+    val dim = Tables(spark, sf, "region")
+      .select(col("r_regionkey").cast("long").as("dim_bucket"), col("r_name"))
+    val salted = graft.queries.SaltedJoin.join(fact, dim, "bucket_id", "dim_bucket")
+      .groupBy("bucket_id").count()
+    val plain = fact.join(dim, fact("bucket_id") === dim("dim_bucket"))
+      .groupBy("bucket_id").count()
+    assert(salted.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("theta band join equals naive BNLJ semantics") {
+    val out = SparkEntry.queries("q_join_theta")(spark, sf).collect()
+    val c = Tables(spark, sf, "customer"); val s2 = Tables(spark, sf, "supplier")
+    val naive = c.join(s2, c("c_acctbal").between(
+        s2("s_acctbal") - 50, s2("s_acctbal") + 50))
+      .select(c("c_custkey"), s2("s_suppkey"), c("c_acctbal"), s2("s_acctbal"))
+      .orderBy("c_custkey", "s_suppkey").collect()
+    assert(out.map(_.toString).toSeq == naive.map(_.toString).toSeq)
+  }
+}
