@@ -58,6 +58,22 @@ class QueriesSpec extends AnyFunSuite {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("q_join_multiway broadcasts the dims (single real shuffle)") {
+    val plan = SparkEntry.queries("q_join_multiway")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  test("q_similarity_cosine uses the native cosine_sim expression") {
+    val plan = SparkEntry.queries("q_similarity_cosine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"),
+      s"expected native cosine_sim in plan:\n$plan")
+  }
+
   test("q_join_theta plans the bucketed band join, not a nested loop") {
     val plan = SparkEntry.queries("q_join_theta")(spark, sf)
       .queryExecution.executedPlan.toString
