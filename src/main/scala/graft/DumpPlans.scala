@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries
+  * (source for PLANS.md). Usage: runMain graft.DumpPlans [sfDir] */
+object DumpPlans {
+  val keys = Seq(
+    "q_scan_pushdown", "q_agg_group", "q_join_multiway", "q_join_theta",
+    "q_join_asof", "q_dedup_minhash", "q_similarity_cosine", "q_join_salted")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    keys.foreach { k =>
+      println(s"\n===== $k =====")
+      println(SparkEntry.queries(k)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -209,6 +209,17 @@ object Streams {
       }
   }
 
+  /** s_enrich_static: stream-static join — changefeed rows enriched
+    * against a (slowly-changing) dimension table re-read per micro-batch.
+    * The static side broadcasts when small; the stream side never blocks
+    * on watermark for a static join. This is the canonical CDC enrichment
+    * shape (changefeed of `orders` joined to the `customer` dim). */
+  def enrichStatic(stream: DataFrame, dim: DataFrame,
+    streamKey: String, dimKey: String): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      stream(streamKey) === dim(dimKey), "left")
+
   // ------------------------------------------------------------- lifecycle
 
   /** s_console_dump (R10, `--dumpOnly`): log rows instead of publishing. */

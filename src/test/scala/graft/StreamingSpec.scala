@@ -263,6 +263,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState.toMap == golden, s"state=$finalState golden=$golden")
   }
 
+  test("s_enrich_static: stream-static dim join == batch golden") {
+    val in = tmp("cdc-enrich")
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
+      Seq(envLine(1), envLine(2), envLine(13)))
+    val dim = spark.createDataFrame(Seq(
+      (1L, "cust-one"), (2L, "cust-two"), (7L, "cust-seven")))
+      .toDF("cust_id", "cust_name")
+    def pipeline(lines: DataFrame) = Streams.enrichStatic(
+      Streams.parseEnvelope(lines, payload)
+        .filter(col("op") === "upsert")
+        .select(col("after.o_orderkey").as("okey"),
+          col("after.o_custkey").as("ckey")),
+      dim, "ckey", "cust_id")
+      .select("okey", "ckey", "cust_name")
+    runToMemory(pipeline(Streams.ingestLines(spark, in)), "t_enrich", "append")
+    val got = sortedRows(spark.table("t_enrich"))
+    assert(got == sortedRows(pipeline(batchLines(in))))
+    // okey 1 -> ckey 1 matched, okey 2 -> ckey 2 matched,
+    // okey 13 -> ckey 3 unmatched (left join null)
+    assert(got.size == 3)
+    assert(spark.table("t_enrich")
+      .filter(col("cust_name").isNull).count() == 1)
+  }
+
   // ---------------------------------------------------------- lifecycle
 
   test("s_console_dump: --dumpOnly mode logs instead of publishing") {
