@@ -80,6 +80,35 @@ object Aggregates {
           col("l_linestatus").asc_nulls_last)
     }),
 
+    // collect_list arrival order is partition-dependent — always sort the
+    // collected array before it reaches a deterministic surface (§7.4).
+    "q_agg_collect" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .groupBy("o_orderstatus")
+        .agg(
+          sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          sort_array(collect_set(col("o_orderpriority"))).as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Pivot: status x priority counts; fixed pivot-value list so the
+    // output schema is static (required at scale — dynamic pivot values
+    // force an extra distinct pass over the data).
+    "q_agg_pivot" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        // pivot yields NULL for empty cells; SQL's SUM(CASE) yields 0
+        .select(col("o_orderstatus") +: Seq("p1", "p2", "p3", "p4", "p5")
+          .map(p => coalesce(col(p), lit(0L)).as(p)): _*)
+        .orderBy("o_orderstatus")),
+
     // Built-in streaming moment aggregates; rounded because the merge order
     // differs from DuckDB's sequential scan in the last ulp.
     "q_agg_stats" -> ((s, d) =>
@@ -144,6 +173,26 @@ object Aggregates {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_orderstatus,
+        |  list_sort(list(o_orderkey)) AS order_keys,
+        |  list_sort(list(DISTINCT o_orderpriority)) AS prios,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_totalprice > 450000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
+        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT

@@ -16,6 +16,20 @@ object Windows {
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   val q: Map[String, Q] = Map(
+    // first/last/nth over an explicit full frame: last_value with the
+    // default frame is the CURRENT row — always pin the frame (§7.4).
+    "q_win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // row_number over a unique ordering; rank/dense_rank over a banded
     // (tie-prone) ordering so they actually diverge from row_number.
     "q_win_rank" -> ((s, d) => {
@@ -89,6 +103,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
