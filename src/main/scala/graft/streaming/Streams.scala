@@ -209,6 +209,24 @@ object Streams {
       }
   }
 
+  /** s_join_stream_stream: watermarked stream-stream interval join — each
+    * left event matches right events of the same user within the trailing
+    * 10-minute interval. Both sides are watermarked so the join state is
+    * bounded: rows age out once the watermark passes the interval bound
+    * (the stateful shape that stays O(window) at 100 TB, never unbounded
+    * buffering). */
+  def joinStreamStream(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+      col("user_id").as("l_user")).withWatermark("l_ts", "10 minutes")
+    val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user")).withWatermark("r_ts", "10 minutes")
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("r_ts") <= col("l_ts"),
+      "inner")
+  }
+
   /** s_enrich_static: stream-static join — changefeed rows enriched
     * against a (slowly-changing) dimension table re-read per micro-batch.
     * The static side broadcasts when small; the stream side never blocks

@@ -263,6 +263,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState.toMap == golden, s"state=$finalState golden=$golden")
   }
 
+  test("s_join_stream_stream: watermarked interval join == batch golden") {
+    val la = tmp("ev-ssl"); val rb = tmp("ev-ssr")
+    write(la, "a.ndjson", Seq(
+      evLine(1, "2024-01-01T00:10:00Z", 1, "order", 1.0),
+      evLine(2, "2024-01-01T00:20:00Z", 2, "order", 2.0)))
+    write(rb, "b.ndjson", Seq(
+      evLine(11, "2024-01-01T00:05:00Z", 1, "click", 0.0), // within 10m of ev1
+      evLine(12, "2024-01-01T00:19:00Z", 2, "click", 0.0), // within 10m of ev2
+      evLine(13, "2024-01-01T00:01:00Z", 2, "click", 0.0), // too early for ev2
+      evLine(14, "2024-01-01T00:15:00Z", 9, "click", 0.0))) // no left match
+    val joined = Streams.joinStreamStream(eventStream(la), eventStream(rb))
+      .select("l_id", "r_id")
+    runToMemory(joined, "t_ssjoin", "append")
+    val got = sortedRows(spark.table("t_ssjoin"))
+    val golden = sortedRows(
+      Streams.joinStreamStream(eventBatch(la), eventBatch(rb))
+        .select("l_id", "r_id"))
+    assert(got == golden)
+    assert(got.size == 2, s"expected exactly the two in-interval matches: $got")
+  }
+
+  test("s_checkpoint_recovery: restart from checkpoint is exactly-once") {
+    val in = tmp("cdc-ckptrec"); val out = tmp("cdc-ckptrec-out")
+    val ckpt = tmp("cdc-ckptrec-ck")
+    writeCdcDrop(in)
+    def routed() = Streams.route(
+      Streams.authFilter(
+        Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
+        Set("k1")), "cdc-")
+      .select("topic", "tbl", "value", "updated", "op")
+    val q1 = Streams.routePublish(routed(), out, ckpt)
+    q1.processAllAvailable()
+    q1.stop() // simulated crash/redeploy: new query, SAME checkpoint
+    write(in, s"sharedKey=k1/ord_topic/2024-01-02/${ts33(8)}-u8-orders-1.ndjson",
+      Seq(envLine(21)))
+    val q2 = Streams.routePublish(routed(), out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val published = spark.read.parquet(s"$out/data")
+    // batch 1's 6 routable rows (junk 404-filtered) published once — NOT
+    // re-published on restart — plus exactly the 1 new row
+    assert(published.count() == 7, s"got ${published.count()}")
+    assert(published.filter(col("updated") === f"${21L}%023d.0000000001")
+      .count() == 1)
+  }
+
   test("s_enrich_static: stream-static dim join == batch golden") {
     val in = tmp("cdc-enrich")
     write(in, s"sharedKey=k1/t/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
