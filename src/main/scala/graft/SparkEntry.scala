@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.q ++ Joins.q ++ Aggregates.q ++ Windows.q ++ SetOps.q ++
       Functions.q ++ Cdc.q ++ Udfs.q ++ LlmOps.q ++ TextOps.q ++
-      AnnOps.q ++ MultiModal.q ++ SaltedJoin.q ++ Subqueries.q
+      AnnOps.q ++ MultiModal.q ++ SaltedJoin.q ++ Subqueries.q ++
+      SamplingOps.q
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     Relational.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ SetOps.oracle ++ Functions.oracle ++
       Cdc.oracle ++ Udfs.oracle ++ LlmOps.oracle ++ TextOps.oracle ++
-      AnnOps.oracle ++ SaltedJoin.oracle ++ Subqueries.oracle
+      AnnOps.oracle ++ SaltedJoin.oracle ++ Subqueries.oracle ++
+      SamplingOps.oracle
 }
