@@ -40,6 +40,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys with no query: $missing")
   }
 
+  test("only the declared approximate/binary queries lack an oracle") {
+    // every other query MUST carry a DuckDB oracle — this pins against
+    // silently dropping one (a query absent from the oracle map skips
+    // the driver's hash gate entirely)
+    val noOracleAllowed = Set(
+      "q_approx_distinct",      // HLL sketch — tolerance pinned in LlmOpsSpec
+      "q_ann_ivf",              // approximate ANN — invariants in AnnSpec
+      "q_multimodal_features")  // binary plumbing — MultiModalSpec
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == noOracleAllowed,
+      s"unexpected no-oracle queries: ${actual -- noOracleAllowed}; " +
+        s"stale allowlist: ${noOracleAllowed -- actual}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
