@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 object DumpPlans {
   val keys = Seq(
     "q_scan_pushdown", "q_agg_group", "q_join_multiway", "q_join_theta",
-    "q_join_asof", "q_dedup_minhash", "q_similarity_cosine", "q_join_salted")
+    "q_join_asof", "q_dedup_minhash", "q_similarity_cosine",
+    "q_join_salted", "q_subquery_scalar")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
