@@ -25,6 +25,28 @@ object Functions {
   private val propsK = StructType(Seq(StructField("k", IntegerType)))
 
   val q: Map[String, Q] = Map(
+    // Conditional / null-handling battery: coalesce, nullif, if,
+    // null-aware least/greatest, CASE with null branches.
+    "q_null_funcs" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .withColumn("p1",
+          when(col("o_orderpriority") === "5-LOW", lit(null))
+            .otherwise(col("o_totalprice")))
+        .withColumn("p2",
+          when(col("o_orderstatus") === "P", lit(null))
+            .otherwise(col("o_totalprice") * 0.5))
+      o.select(col("o_orderkey"),
+        coalesce(col("p1"), col("p2"), lit(-1.0)).as("c_first"),
+        nullif(col("o_orderstatus"), lit("F")).as("status_nf"),
+        expr("if(p1 IS NULL, 'missing', 'present')").as("p1_state"),
+        least(col("p1"), col("p2")).as("least_np"),
+        greatest(col("p1"), col("p2")).as("greatest_np"),
+        when(col("p1").isNull && col("p2").isNull, "both")
+          .when(col("p1").isNull || col("p2").isNull, "one")
+          .otherwise("none").as("nullity"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_str_funcs" -> ((s, d) =>
       Tables(s, d, "documents").select(
         col("doc_id"),
@@ -116,6 +138,24 @@ object Functions {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_null_funcs" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_totalprice END AS p1,
+        |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice * 0.5 END AS p2,
+        |    o_orderstatus
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  coalesce(p1, p2, -1.0) AS c_first,
+        |  nullif(o_orderstatus, 'F') AS status_nf,
+        |  CASE WHEN p1 IS NULL THEN 'missing' ELSE 'present' END AS p1_state,
+        |  least(p1, p2) AS least_np,
+        |  greatest(p1, p2) AS greatest_np,
+        |  CASE WHEN p1 IS NULL AND p2 IS NULL THEN 'both'
+        |       WHEN p1 IS NULL OR p2 IS NULL THEN 'one'
+        |       ELSE 'none' END AS nullity
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
     "q_str_funcs" ->
       """SELECT doc_id,
         |  lang || ':' || source AS lang_src,
