@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Harness input is the single-row-group fixture parquet — opt in to
+      // the scan-parallelism shim (queries.par); prod sessions never do.
+      .config("spark.graft.singleRowgroupShim", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -82,13 +82,18 @@ object Aggregates {
 
     // collect_list arrival order is partition-dependent — always sort the
     // collected array before it reaches a deterministic surface (§7.4).
+    // Arrays are CSV-serialized for the comparator (pandas can't hash list
+    // cells); safe here because elements are ints/strings, never floats.
     "q_agg_collect" -> ((s, d) =>
       Tables(s, d, "orders")
         .filter(col("o_totalprice") > 450000)
         .groupBy("o_orderstatus")
         .agg(
-          sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
-          sort_array(collect_set(col("o_orderpriority"))).as("prios"),
+          array_join(
+            transform(sort_array(collect_list(col("o_orderkey"))),
+              _.cast("string")), ",").as("order_keys"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+            .as("prios"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
@@ -176,8 +181,8 @@ object Aggregates {
 
     "q_agg_collect" ->
       """SELECT o_orderstatus,
-        |  list_sort(list(o_orderkey)) AS order_keys,
-        |  list_sort(list(DISTINCT o_orderpriority)) AS prios,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
         |  COUNT(*) AS n
         |FROM orders WHERE o_totalprice > 450000
         |GROUP BY o_orderstatus
@@ -185,11 +190,11 @@ object Aggregates {
 
     "q_agg_pivot" ->
       """SELECT o_orderstatus,
-        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
-        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
-        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
-        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
-        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

@@ -41,9 +41,14 @@ object AnnOps {
   private def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  // Guarded like TextOps.shingles: short docs yield zero shingles instead
+  // of a descending sequence + slice crash (DuckDB's range is empty there).
   private def shingles3(tok: Column): Column =
-    array_distinct(transform(sequence(lit(0), size(tok) - 3),
-      i => concat_ws(" ", slice(tok, i + 1, lit(3)))))
+    array_distinct(
+      when(size(tok) >= 3,
+        transform(sequence(lit(0), size(tok) - 3),
+          i => concat_ws(" ", slice(tok, i + 1, lit(3)))))
+        .otherwise(array().cast("array<string>")))
 
   /** (doc_id, sh: array, h: exploded 60-bit shingle hash) — each shingle
     * hashed exactly once. */
@@ -155,49 +160,61 @@ object AnnOps {
   val numCells = 8
 
   /** Deterministic pseudo-random unit-ish centroids (same md5 derivation
-    * as the hash params — reproducible anywhere). */
-  private def centroidDf(spark: SparkSession): DataFrame = {
+    * as the hash params — reproducible anywhere). Held driver-side and
+    * baked into the assignment expression as literals: 8x64 doubles is
+    * nothing to broadcast, and it turns cell assignment into a stateless
+    * projection with ZERO shuffles (the former crossJoin(8 centroids) +
+    * window row_number shuffled 8x the corpus just to pick argmax-of-8). */
+  private val centroidW: IndexedSeq[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def w(c: Int, j: Int): Float = {
+    def w(c: Int, j: Int): Double = {
       val hx = md.digest(s"ivf-$c-$j".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 15)
-      (java.lang.Long.parseLong(hx, 16) % 1000L) / 500.0f - 1.0f
+      ((java.lang.Long.parseLong(hx, 16) % 1000L) / 500.0f - 1.0f).toDouble
     }
-    import spark.implicits._
-    (0 until numCells)
-      .map(c => (c, (0 until 64).map(w(c, _)).toArray))
-      .toDF("cell", "centroid")
+    (0 until numCells).map(c => Array.tabulate(64)(w(c, _)))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  // Norms folded left-to-right, the same order Spark's aggregate() would
+  // use in-plan — cell scores stay bitwise-identical to the old plan.
+  private val centroidNorm: IndexedSeq[Double] =
+    centroidW.map(ws => math.sqrt(ws.map(x => x * x).foldLeft(0.0)(_ + _)))
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** cdot for every cell as a codegen'd 64-term multiply-add (left-assoc
+    * reduce == the sequential aggregate() fold it replaces). */
+  private def cellScores(vecCol: String): Seq[Column] =
+    centroidW.indices.map { c =>
+      (0 until 64).map(j =>
+        element_at(col(vecCol), j + 1).cast("double")
+          * lit(centroidW(c)(j)))
+        .reduce(_ + _) / lit(centroidNorm(c))
+    }
 
-  /** IVF search: assign corpus rows to their nearest coarse cell (one
-    * broadcast pass), probe only the `nprobe` cells nearest each query,
-    * exact cosine top-5 inside the visited cells. nprobe = numCells
-    * degrades to exact brute force — the invariant AnnSpec pins. */
+  /** Top-k nearest cells per row, statelessly: sort an 8-element array of
+    * (-cdot, cell) structs (== cdot desc, cell asc) and explode the first
+    * k cells. No Exchange anywhere before the cell equi-join. */
+  private def assignCells(df: DataFrame, vecCol: String, k: Int): DataFrame = {
+    val scored = array(cellScores(vecCol).zipWithIndex.map { case (sc, c) =>
+      struct((-sc).as("neg"), lit(c).as("cell"))
+    }: _*)
+    df.withColumn("cell",
+      explode(transform(slice(array_sort(scored), 1, k),
+        s => s.getField("cell"))))
+  }
+
+  /** IVF search: assign corpus rows to their nearest coarse cell (a
+    * stateless projection over driver-literal centroids), probe only the
+    * `nprobe` cells nearest each query, exact cosine top-5 inside the
+    * visited cells. nprobe = numCells degrades to exact brute force — the
+    * invariant AnnSpec pins. */
   def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val emb = Tables(s, d, "embeddings")
-    val cents = broadcast(centroidDf(s))
-    def assign(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("cdot").desc, col("cell").asc)
-      df.crossJoin(cents)
-        .withColumn("cdot", dot(col(vecCol), col("centroid"))
-          / norm(col("centroid")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= k)
-        .drop("centroid", "cdot", "crn")
-    }
-    val corpus = assign(emb, "vec_id", "embedding", 1)
-    val probes = assign(
+    val corpus = assignCells(emb, "embedding", 1)
+    val probes = assignCells(
       emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"),
           col("embedding").as("probe")),
-      "probe_id", "probe", nprobe)
+      "probe", nprobe)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     corpus.join(probes, "cell") // equi-join on cell: only visited cells scan
@@ -250,7 +267,8 @@ object AnnOps {
         |  FROM flat a JOIN flat b
         |    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
         |SELECT d1, d2,
-        |  list_sum([abs(ba[i+1] - bb[i+1]) for i in range(48)]) AS hamming
+        |  CAST(list_sum([abs(ba[i+1] - bb[i+1]) for i in range(48)])
+        |       AS BIGINT) AS hamming
         |FROM cand
         |WHERE list_sum([abs(ba[i+1] - bb[i+1]) for i in range(48)]) <= 3
         |ORDER BY d1, d2""".stripMargin,

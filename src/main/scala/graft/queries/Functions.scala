@@ -97,15 +97,23 @@ object Functions {
           "price_ceil", "price_floor", "price_round1", "key_mod7",
           "qty_sq", "price_sqrt", "price_ln", "max_rate", "min_rate")),
 
+    // Array ops (slice/sort_array/element_at) stay under test, but the
+    // output surface is all scalars: the driver's pandas comparator cannot
+    // hash list cells, and float→string join would hit engine formatting
+    // differences — raw float scalars hash-match fine (cf. q_explode_array).
     "q_array_funcs" -> ((s, d) =>
       Tables(s, d, "embeddings").select(
-        col("vec_id"),
-        size(col("embedding")).cast("long").as("dim"),
-        array_contains(col("embedding"), element_at(col("embedding"), 3))
-          .as("has_third"),
-        element_at(col("embedding"), 5).as("e5"),
-        slice(col("embedding"), 1, 4).as("first4"),
-        sort_array(slice(col("embedding"), 1, 8)).as("sorted8"))
+        Seq(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          array_contains(col("embedding"), element_at(col("embedding"), 3))
+            .as("has_third"),
+          element_at(col("embedding"), 5).as("e5")) ++
+        (1 to 4).map(i =>
+          element_at(slice(col("embedding"), 1, 4), i).as(s"f$i")) ++
+        (1 to 8).map(i =>
+          element_at(sort_array(slice(col("embedding"), 1, 8)), i)
+            .as(s"s$i")): _*)
         .orderBy("vec_id")),
 
     "q_explode_array" -> ((s, d) =>
@@ -198,14 +206,20 @@ object Functions {
         |  price_floor, price_round1, key_mod7, qty_sq, price_sqrt,
         |  price_ln, max_rate, min_rate""".stripMargin,
 
-    "q_array_funcs" ->
-      """SELECT vec_id,
+    "q_array_funcs" -> {
+      val f = (1 to 4).map(i => s"list_slice(embedding, 1, 4)[$i] AS f$i")
+        .mkString(",\n        |  ")
+      val ss = (1 to 8).map(i =>
+        s"list_sort(list_slice(embedding, 1, 8))[$i] AS s$i")
+        .mkString(",\n        |  ")
+      s"""SELECT vec_id,
         |  len(embedding) AS dim,
         |  list_contains(embedding, embedding[3]) AS has_third,
         |  embedding[5] AS e5,
-        |  list_slice(embedding, 1, 4) AS first4,
-        |  list_sort(list_slice(embedding, 1, 8)) AS sorted8
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |  $f,
+        |  $ss
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
 
     "q_explode_array" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS pos, v AS val

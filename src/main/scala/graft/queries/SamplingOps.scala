@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sampling & distribution operators for the training-data pipeline:
@@ -43,15 +44,54 @@ object SamplingOps {
         .orderBy("lang")
     }),
 
-    // Exact interpolated quantiles of the price distribution. Both
-    // engines sort the same doubles and interpolate linearly; results
-    // rounded to 4dp against last-ulp interpolation differences.
-    "q_quantiles" -> ((s, d) =>
-      Tables(s, d, "lineitem").agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
+    // Exact interpolated quantiles, distributed: Spark's `percentile`
+    // buffers EVERY value in one final aggregation buffer (OOM at 100 TB),
+    // so this is the classic two-pass exact-rank shape instead:
+    //   1. range-repartition on the value (the same exchange a global sort
+    //      uses), row_number WITHIN each partition (no single-partition
+    //      window anywhere);
+    //   2. per-partition counts to the driver — O(#partitions) rows, not
+    //      O(n) — cumulated into rank offsets;
+    //   3. fetch only the <=2 boundary rows per requested quantile and
+    //      interpolate linearly (type-7, same as DuckDB quantile_cont).
+    // Results rounded to 4dp against last-ulp interpolation differences.
+    "q_quantiles" -> ((s, d) => {
+      val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99)
+      val x = Tables(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val nPart = s.sparkContext.defaultParallelism
+      val parted = x.repartitionByRange(nPart, col("x"))
+        .withColumn("pid", spark_partition_id())
+        .persist() // two actions below must see the SAME partitioning
+      try {
+        val cnts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val n = cnts.values.sum
+        // range partitions are ordered by pid, so offsets are prefix sums
+        val pids = cnts.keys.toSeq.sorted
+        val offsets = pids.zip(pids.map(cnts).scanLeft(0L)(_ + _)).toMap
+        val pos = qs.map { case (name, q) => name -> (q * (n - 1) + 1.0) }
+        val need = pos.flatMap { case (_, p) =>
+          Seq(math.floor(p).toLong, math.ceil(p).toLong)
+        }.distinct
+        val offExpr = element_at(
+          map(cnts.keys.toSeq.sorted.flatMap(p =>
+            Seq(lit(p), lit(offsets(p)))): _*), col("pid"))
+        val w = Window.partitionBy("pid").orderBy("x")
+        val boundary = parted
+          .withColumn("rn", row_number().over(w) + offExpr)
+          .filter(col("rn").isin(need: _*))
+          .select("rn", "x").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val cells = pos.map { case (name, p) =>
+          val lo = math.floor(p).toLong
+          val frac = p - lo
+          val v = boundary(lo) + frac * (boundary(math.ceil(p).toLong) - boundary(lo))
+          round(lit(v), 4).as(name)
+        }
+        s.range(1).select(cells: _*)
+      } finally parted.unpersist()
+    }),
 
     // Fixed-width histogram of document lengths: integer bucket math,
     // two-phase agg — the distribution-profiling shape.

@@ -46,7 +46,8 @@ object Subqueries {
       |  GROUP BY o_custkey),
       |seg AS (
       |  SELECT c_custkey, c_mktsegment FROM customer)
-      |SELECT seg.c_mktsegment, COUNT(*) AS n_cust, SUM(big.n_big) AS total_big
+      |SELECT seg.c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(big.n_big) AS BIGINT) AS total_big
       |FROM big JOIN seg ON big.o_custkey = seg.c_custkey
       |GROUP BY seg.c_mktsegment
       |ORDER BY seg.c_mktsegment""".stripMargin

@@ -28,10 +28,15 @@ object TextOps {
   private def h60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Token n-gram shingles of a token array (n fixed per call site). */
+  /** Token n-gram shingles of a token array (n fixed per call site).
+    * Guarded for docs shorter than n tokens: Spark's sequence(0, neg)
+    * counts DOWN and slice then throws, while the DuckDB twin's
+    * range(len-n+1) is empty — emit the empty array on both engines. */
   private def shingles(tok: Column, n: Int): Column =
-    transform(sequence(lit(0), size(tok) - n),
-      i => concat_ws(" ", slice(tok, i + 1, lit(n))))
+    when(size(tok) >= n,
+      transform(sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", slice(tok, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to"),

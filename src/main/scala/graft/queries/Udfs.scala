@@ -72,11 +72,15 @@ object Udfs {
     // R2 as a query: a multi-line body string split back into one row per
     // line with its ordinal (publisher.go:182-202). Line payloads are
     // lpad'd so lexicographic collect_list order == numeric order.
+    // Batch key is a contiguous orderkey block of 16, so each collected
+    // body is <= 16 lines NO MATTER the table size — a `% 100` key would
+    // grow each body linearly with the data (multi-GB strings at 100 TB).
     "q_udtf_line_split" -> ((s, d) => {
       val o = Tables(s, d, "orders")
       val line = concat(lit("ok="),
         lpad(col("o_orderkey").cast("string"), 10, "0"))
-      o.select((col("o_orderkey") % 100).as("batch"), line.as("line"))
+      o.select(floor(col("o_orderkey") / 16).cast("long").as("batch"),
+          line.as("line"))
         .groupBy("batch")
         .agg(concat_ws("\n", sort_array(collect_list(col("line"))))
           .as("body"))
@@ -103,8 +107,8 @@ object Udfs {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_udtf_line_split" ->
-      """SELECT o_orderkey % 100 AS batch,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % 100 ORDER BY o_orderkey) - 1 AS INT) AS ordinal,
+      """SELECT CAST(floor(o_orderkey / 16) AS BIGINT) AS batch,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY CAST(floor(o_orderkey / 16) AS BIGINT) ORDER BY o_orderkey) - 1 AS INT) AS ordinal,
         |  'ok=' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS line
         |FROM orders
         |ORDER BY batch, ordinal""".stripMargin,

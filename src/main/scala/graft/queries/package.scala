@@ -14,10 +14,18 @@ package object queries {
     * regex routing, json parsing) insert this cheap exchange right after
     * the scan to spread that work across all cores. A real deployment
     * reads many row groups/files in parallel and must NOT carry this
-    * repartition — it would be a gratuitous full-data shuffle at 100 TB.
+    * repartition — it would be a gratuitous full-data shuffle at 100 TB —
+    * so it is OFF unless the harness opts in via
+    * `spark.graft.singleRowgroupShim=true` (set by Verify/Bench, whose
+    * input IS the single-row-group fixture). Production sessions never set
+    * it and get the clean no-exchange plan.
     */
-  def par(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def par(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get("spark.graft.singleRowgroupShim", "false") == "true")
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
 }
 
 package queries {
