@@ -22,13 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics: dot(a,b) / (|a| * |b|), accumulated in double over the
   * common prefix length, in array order (deterministic). Null if either
-  * side is null.
+  * side is null, and null (not NaN) when either vector has zero norm —
+  * cosine is undefined there and 0/0 would poison downstream top-k sorts.
   */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // can return null for non-null inputs (zero-norm vectors)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(e => e.dataType match {
@@ -53,7 +56,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,8 +74,12 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 
@@ -90,7 +98,12 @@ object CosineSim {
       spark.sessionState.functionRegistry.registerFunction(
         ident,
         new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-        (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1)))
+        (exprs: Seq[Expression]) => {
+          // analysis-time arity error instead of IndexOutOfBounds at plan
+          if (exprs.length != 2) throw new IllegalArgumentException(
+            s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+          CosineSim(exprs.head, exprs(1))
+        })
     }
 
   /** Column-API entry: registers on first use for the given session. */

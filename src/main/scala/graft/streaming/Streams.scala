@@ -97,13 +97,14 @@ object Streams {
     * process, concurrent-safe via computeIfAbsent. */
   object TopicCache {
     private val created = new ConcurrentHashMap[String, java.nio.file.Path]()
-    @volatile var createCount = 0
+    private val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    def createCount: Int = count.get()
     def ensure(root: String, topic: String): java.nio.file.Path =
       created.computeIfAbsent(s"$root/$topic", { k =>
-        createCount += 1
+        count.incrementAndGet() // atomic: += on a @volatile var loses
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(k))
       })
-    def reset(): Unit = { created.clear(); createCount = 0 }
+    def reset(): Unit = { created.clear(); count.set(0) }
   }
 
   /** s_route_publish (R4+R5+R7+R8+R9): per-topic partitioned sink writes
@@ -133,13 +134,14 @@ object Streams {
     parsed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val incoming = batch.filter(col("op") === "resolved")
-          .select(get_json_object(col("value"), "$.resolved").as("r"))
-          .agg(max(col("r"))).collect()(0).getString(0)
-        val own = batch.filter(col("updated").isNotNull)
-          .agg(max(col("updated"))).collect()(0).getString(0)
-        val hi = Seq(Option(incoming), Option(own)).flatten
-          .reduceOption((a, b) => if (a >= b) a else b)
+        // ONE driver-side job per micro-batch: both maxes fold into a
+        // single global agg (conditional inputs), not two collect passes.
+        val row = batch.agg(
+          max(when(col("op") === "resolved",
+            get_json_object(col("value"), "$.resolved"))).as("incoming"),
+          max(col("updated")).as("own")).collect()(0)
+        val hi = Seq(Option(row.getString(0)), Option(row.getString(1)))
+          .flatten.reduceOption((a, b) => if (a >= b) a else b)
         hi.foreach { r =>
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(f"$markerDir/batch-$id%05d.RESOLVED"),

@@ -29,6 +29,19 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_ann_ivf cell assignment is stateless (no pre-join Exchange 8x)") {
+    // assignment must be a projection over driver-literal centroids — the
+    // old crossJoin(8 centroids) + window row_number shuffled 8x the
+    // corpus; the only exchanges allowed are the cell equi-join's own and
+    // the final per-probe top-k window.
+    val plan = AnnOps.ivfKnn(spark, sf, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"too many hash exchanges ($exchanges) — assignment shuffles?\n$plan")
+  }
+
   test("minhash candidates achieve full recall on planted near-dups") {
     val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

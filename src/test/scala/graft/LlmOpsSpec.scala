@@ -66,6 +66,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaSql.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("CosineSim guards: zero-norm -> null (not NaN), bad arity -> error") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero-norm left
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("cs_guard")
+    val rows = spark.sql(
+      "SELECT cosine_sim(a, b) AS c FROM cs_guard").collect()
+    assert(rows(0).isNullAt(0), "zero-norm must yield null, not NaN")
+    assert(math.abs(rows(1).getDouble(0) - 1.0) < 1e-12)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(a) FROM cs_guard").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"),
+      s"expected arity error, got: ${e.getMessage}")
+  }
+
   test("q_knn_pergroup returns exactly k per probe, self first") {
     val rows = SparkEntry.queries("q_knn_pergroup")(spark, sf).collect()
     val byProbe = rows.groupBy(_.getLong(0))
