@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+/** R13: the bridge's liveness surface, Spark-native.
+  *
+  * The reference serves `/healthz` returning 200 while the serve context
+  * is live and 503 once shutdown begins
+  * (/root/reference/pkg/server/server.go:65-73). A Spark streaming job's
+  * equivalent signal is "the query is active AND its micro-batches are
+  * still progressing": a query can be `isActive` yet wedged (source stall,
+  * state-store corruption), which is exactly what a k8s liveness probe
+  * must catch. This listener tracks last-event time per query;
+  * `isHealthy` is the probe body (true ⇒ 200 OK, false ⇒ 503) — serve it
+  * from any HTTP library; the HTTP layer itself is out of scope here
+  * (SURVEY non-goal).
+  *
+  * Scale notes: listener events are driver-side and O(1) per micro-batch;
+  * state is O(|queries|). No executor involvement.
+  */
+class HealthMonitor(spark: SparkSession, staleAfterMs: Long = 60000L)
+  extends StreamingQueryListener {
+
+  private val lastSeen = new ConcurrentHashMap[UUID, Long]()
+
+  spark.streams.addListener(this)
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    lastSeen.put(e.id, System.currentTimeMillis())
+  override def onQueryProgress(e: QueryProgressEvent): Unit =
+    lastSeen.put(e.progress.id, System.currentTimeMillis())
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    lastSeen.remove(e.id)
+
+  /** Liveness of one query: active and progressed within staleAfterMs.
+    * (Listener events are async — a just-started query reads unhealthy
+    * until its start event lands, i.e. this is also a readiness gate.) */
+  def isHealthy(q: StreamingQuery): Boolean =
+    q.isActive && Option(lastSeen.get(q.id))
+      .exists(System.currentTimeMillis() - _ <= staleAfterMs)
+
+  /** Process-level probe, mirroring the reference's single 200/503 bit:
+    * healthy iff at least one streaming query is alive and EVERY active
+    * query is fresh. After a drain/stop this flips false, the 503. */
+  def isHealthy: Boolean = {
+    val active = spark.streams.active
+    active.nonEmpty && active.forall(isHealthy)
+  }
+
+  def close(): Unit = spark.streams.removeListener(this)
+}
+
+/** R16: the process exit-code contract (/root/reference/main.go:61-67) —
+  * a shutdown that came from the cancel/drain path exits 0 ("goodbye");
+  * any other termination exits 1. `gracefulDrain`'s boolean is exactly
+  * that bit. */
+object ExitCodes {
+  def of(cleanDrain: Boolean): Int = if (cleanDrain) 0 else 1
+}

@@ -352,5 +352,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(drained, "query did not drain within grace period")
     assert(!q.isActive)
     assert(spark.table("t_drain").count() == 5)
+    // R16 exit-code contract: clean drain == "goodbye" exit 0
+    assert(graft.streaming.ExitCodes.of(drained) == 0)
+    assert(graft.streaming.ExitCodes.of(false) == 1)
+  }
+
+  test("s_healthz: health probe is 200 while serving, 503 after stop (R13)") {
+    val mon = new graft.streaming.HealthMonitor(spark, staleAfterMs = 60000)
+    try {
+      val dir = tmp("ev-health"); writeEventFixture(dir)
+      val q = eventStream(dir).writeStream.format("memory")
+        .queryName("t_health").outputMode("append").start()
+      q.processAllAvailable()
+      // listener bus is async — poll briefly for the start/progress event
+      val deadline = System.currentTimeMillis() + 10000
+      while (!mon.isHealthy(q) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(mon.isHealthy(q), "active progressing query must be healthy")
+      assert(mon.isHealthy, "process probe must be 200 while serving")
+      q.stop()
+      q.awaitTermination(10000)
+      assert(!mon.isHealthy(q), "stopped query must read unhealthy")
+      assert(!mon.isHealthy, "process probe must flip to 503 after stop")
+    } finally mon.close()
   }
 }
