@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The container has no codec libraries, so the DECODE STEP IS A STUB — a
-  * deterministic fake that derives bytes from the documents fixture — and
-  * clearly marked below. Everything around it is the real Spark shape a
-  * production pipeline needs and what the tests pin:
+  * The IMAGE path is REAL end-to-end: the corpus carries genuine PNG
+  * payloads (encoded with javax.imageio — pure JVM, no native codec
+  * needed) and the extract stage decodes those bytes back to pixels and
+  * histograms their luminance. Audio/video decode REMAINS A STUB (the
+  * container has no PCM/H.264 codecs), clearly marked below. Everything
+  * around the seam is the real Spark shape a production pipeline needs
+  * and what the tests pin:
   *  - schema: (id, modality, content: binary, meta: struct) — the binary
   *    payload is opaque to Catalyst, metadata columns stay prunable and
   *    filterable WITHOUT touching payload bytes;
@@ -35,8 +38,54 @@ object MultiModal {
   val featureDim = 16
   val batchSize = 32
 
-  /** Deterministic fake corpus: binary payloads derived from documents.
-    * (Stands in for reading real image/audio/video bytes from storage.) */
+  /** Deterministic PNG encode (javax.imageio — ships with the JVM, runs
+    * headless on any executor): pixel channels are drawn from the seed
+    * bytes, so the same document always yields the same image. */
+  def pngBytes(w: Int, h: Int, seed: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = seed(i % seed.length) & 0xff
+        val g = seed((i + 7) % seed.length) & 0xff
+        val b = seed((i + 13) % seed.length) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1; i += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: PNG bytes -> pixels -> 16-bin luminance histogram
+    * normalized by pixel count (sums to 1). Rec-601 integer luma. */
+  def imageFeatures(content: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content))
+    val w = img.getWidth; val h = img.getHeight
+    val hist = new Array[Float](featureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587
+          + (rgb & 0xff) * 114) / 1000
+        hist(lum * featureDim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    hist.map(_ / (w * h).toFloat)
+  }
+
+  /** Corpus with real PNG image payloads; audio/video payloads are the
+    * declared byte stubs (no codecs in this container). Image dims are
+    * kept small (<=64x48) so the per-row encode stays cheap. */
   def corpus(spark: SparkSession, dir: String): Dataset[MMRecord] = {
     import spark.implicits._
     Tables(spark, dir, "documents")
@@ -46,28 +95,37 @@ object MultiModal {
         val modality = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        // STUB payload: real pipeline reads encoded media bytes here.
-        val content = text.getBytes("UTF-8")
         val meta = modality match {
-          case "image" => MMeta((nChars % 640).toInt + 1,
-            (nChars % 480).toInt + 1, 0, 1)
+          case "image" => MMeta((nChars % 64).toInt + 1,
+            (nChars % 48).toInt + 1, 0, 1)
           case "audio" => MMeta(0, 0, 16000, 0)
           case _ => MMeta(320, 240, 0, (nChars % 120).toInt + 1)
+        }
+        val content = modality match {
+          case "image" => // REAL encoded media bytes
+            pngBytes(meta.width, meta.height, text.getBytes("UTF-8"))
+          case _ => // STUB payload: a real pipeline reads codec bytes here
+            text.getBytes("UTF-8")
         }
         MMRecord(id, modality, content, meta)
       }
   }
 
-  /** ??? in spirit — the decode seam. A real implementation calls the
-    * modality's codec (JPEG/PNG decode, PCM resample, H.264 frame pull)
-    * on each batch. The deterministic fake below byte-histograms the
-    * payload so tests can pin shape, determinism, and batch behavior. */
-  private def decodeBatchSTUB(batch: Seq[MMRecord]): Seq[MMFeature] =
+  /** The decode seam. Images decode FOR REAL (javax.imageio PNG);
+    * audio/video still use a deterministic byte-histogram fake — the
+    * container has no PCM/H.264 codecs — so tests pin shape, determinism,
+    * and batch behavior for those, and true pixel math for images. */
+  private def decodeBatch(batch: Seq[MMRecord]): Seq[MMFeature] =
     batch.map { r =>
-      val hist = new Array[Float](featureDim)
-      r.content.foreach(b => hist((b & 0xff) % featureDim) += 1f)
-      val n = math.max(r.content.length, 1).toFloat
-      MMFeature(r.id, r.modality, featureDim, hist.map(_ / n))
+      val feats = r.modality match {
+        case "image" => imageFeatures(r.content)
+        case _ => // STUB: byte histogram in place of a codec
+          val hist = new Array[Float](featureDim)
+          r.content.foreach(b => hist((b & 0xff) % featureDim) += 1f)
+          val n = math.max(r.content.length, 1).toFloat
+          hist.map(_ / n)
+      }
+      MMFeature(r.id, r.modality, featureDim, feats)
     }
 
   /** Feature extraction with real batch shape: repartition by modality
@@ -78,7 +136,7 @@ object MultiModal {
     records
       .repartition(col("modality"))
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap(decodeBatchSTUB)
+        it.grouped(batchSize).flatMap(decodeBatch)
       }
   }
 

@@ -34,6 +34,40 @@ class MultiModalSpec extends AnyFunSuite {
     assert(m1 == m2, "decode stub not deterministic across runs")
   }
 
+  test("image features come from REAL decoded PNG pixels (javax.imageio)") {
+    import spark.implicits._
+    // solid (10,20,30) 3x2 PNG: Rec-601 luma = 18 -> bin 1 gets ALL mass —
+    // a value the byte-histogram stub could never produce for these bytes
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rec = MultiModal.MMRecord(42L, "image", bos.toByteArray,
+      MultiModal.MMeta(3, 2, 0, 1))
+    val out = MultiModal.extractFeatures(Seq(rec).toDS()).collect()
+    assert(out.length == 1)
+    val f = out.head.features
+    assert(f(1) == 1.0f && f.sum == 1.0f,
+      s"expected all mass in luminance bin 1: ${f.toSeq}")
+    // corpus image payloads are decodable PNGs and the seam's output
+    // matches an independent driver-side decode of the same bytes
+    val sample = MultiModal.corpus(spark, sf)
+      .filter(_.modality == "image").take(3)
+    val viaSeam = MultiModal
+      .extractFeatures(spark.createDataset(sample.toSeq)).collect()
+      .map(x => x.id -> x.features.toSeq).toMap
+    sample.foreach { r =>
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      assert(decoded.getWidth == r.meta.width &&
+        decoded.getHeight == r.meta.height,
+        s"id=${r.id}: payload is not the PNG its metadata describes")
+      assert(viaSeam(r.id) == MultiModal.imageFeatures(r.content).toSeq)
+    }
+  }
+
   test("resize caps dimensions, audio passes through") {
     val resized = MultiModal.resizeMeta(MultiModal.corpus(spark, sf), 100, 100)
       .collect()
