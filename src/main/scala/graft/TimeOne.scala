@@ -15,6 +15,8 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fixture parquet is one row group per table: enable the scan shim
+      .config("spark.graft.singleRowgroupShim", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to iters).foreach { i =>

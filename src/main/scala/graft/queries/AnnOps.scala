@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate dedup + ANN family (north star): MinHash+LSH banding,
   * SimHash with chunk banding, and an IVF-bucketed ANN search — the scale
@@ -76,8 +77,11 @@ object AnnOps {
     // hashes (one codegen'd HashAggregate), LSH banding, exact-Jaccard
     // verify on candidates.
     "q_dedup_minhash" -> ((s, d) => {
+      // shingle arrays are read twice by the exact-Jaccard verify join
       val docs = par(Tables(s, d, "documents"))
         .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      docs.count() // eager fill before the two verify-join reads
       val minAggs = (0 until numHashes).map { i =>
         val (a, b) = affine(i)
         min((col("h") % P * a + b) % P).as(s"m$i")
@@ -86,12 +90,20 @@ object AnnOps {
         .agg(minAggs.head, minAggs.tail: _*)
         .select(col("doc_id"),
           array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      // Persist the banded SKETCH (doc_id, band, bucket — constant bytes
+      // per doc) before the self-join: Spark does not reuse the exchange
+      // across the two join sides, so without this the whole
+      // explode+48-agg sig pipeline runs twice. Caching O(docs x bands)
+      // rows is the standard LSH trade at any scale; MEMORY_AND_DISK
+      // spills rather than OOMs on a 100 TB corpus.
       val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws(",",
             slice(col("sig"), b * (numHashes / bands) + 1,
               lit(numHashes / bands)))))))
         .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      banded.count() // eager fill: one sig pass, not a per-side race
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -127,6 +139,9 @@ object AnnOps {
           array((0 until 48).map(b =>
             when(col(s"b$b") * 2 > col("n"), 1L).otherwise(0L)): _*)
             .as("bits"))
+      // Persisted for the same reason as minhash's banded frame: the
+      // candidate self-join would otherwise run the 48-bit-agg sig
+      // pipeline twice. O(docs x 4) rows of (bits, chunk) — tiny.
       val chunked = sig
         .withColumn("chunks", transform(sequence(lit(0), lit(3)),
           c => aggregate(sequence(lit(0), lit(11)), lit(0.0),
@@ -135,6 +150,8 @@ object AnnOps {
                 * pow(lit(2.0), j)).cast("long")))
         .select(col("doc_id"), col("bits"), posexplode(col("chunks")))
         .withColumnRenamed("col", "v").withColumnRenamed("pos", "c")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      chunked.count() // eager fill: one sig pass, not a per-side race
       val cand = chunked.as("a").join(chunked.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))

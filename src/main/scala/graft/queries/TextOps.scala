@@ -120,10 +120,15 @@ object TextOps {
     // results match even in the (negligible) collision case. At 100 TB
     // add a stop-shingle (document-frequency) cutoff before the join.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
+      // (doc_id, shingle-hash) is read three times (self-join both sides
+      // + per-doc sizes); persist so the md5 pipeline runs once. 8 bytes
+      // per shingle — MEMORY_AND_DISK spills, never OOMs.
       val sh = par(Tables(s, d, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(shingles(toks(col("text")), 3))).as("s"))
         .select(col("doc_id"), h60(col("s")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager fill: one md5 pass for all three reads
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
