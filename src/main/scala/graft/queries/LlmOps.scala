@@ -95,6 +95,35 @@ object LlmOps {
         .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
     }),
 
+    // Embedding-cosine near-dup: every vector's EXACT nearest neighbor
+    // (rounded cosine, nn_id tie-break) + a threshold flag. Shape: the
+    // corpus joins a broadcast copy of itself (no shuffle of the probe
+    // fan-out) and the argmax is a two-phase max-of-struct aggregate —
+    // map-side combined, so the only exchange carries |vectors| rows,
+    // never the n^2 product. The n^2 COMPUTE is inherent to exact NN;
+    // at 100 TB the recall-traded path is the LSH/IVF family (AnnOps),
+    // with this query as its exact ground-truth contract. Selection uses
+    // the 6dp-ROUNDED cosine so both engines pick the same neighbor even
+    // when raw doubles differ in the last ulp.
+    "q_dedup_embedding" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val other = emb.select(col("vec_id").as("nn_id"),
+        col("embedding").as("other"))
+      emb.crossJoin(broadcast(other))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), struct(
+          round(graft.functions.CosineSim(s, col("embedding"), col("other")), 6)
+            .as("cos"),
+          (-col("nn_id")).as("negid")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("best"))
+        .select(col("vec_id"),
+          (-col("best.negid")).cast("long").as("nn_id"),
+          col("best.cos").as("cos_sim"),
+          (col("best.cos") >= 0.4).as("is_near_dup"))
+        .orderBy("vec_id")
+    }),
+
     // HLL sketch distinct — no oracle (approximate); ScalaTest pins the
     // 5% relative-error contract against exact counts.
     "q_approx_distinct" -> ((s, d) =>
@@ -166,6 +195,28 @@ object LlmOps {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
          |  ORDER BY cos_sim DESC, vec_id ASC) <= 5
          |ORDER BY probe_id ASC, cos_sim DESC, vec_id ASC""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH ce AS (${dotSql("")}),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+         |  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |norms AS (
+         |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+         |  FROM ce GROUP BY vec_id),
+         |scored AS (
+         |  SELECT d.vec_id, d.nn_id,
+         |         round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.vec_id
+         |  JOIN norms nb ON nb.vec_id = d.nn_id)
+         |SELECT vec_id, nn_id, cos_sim, cos_sim >= 0.4 AS is_near_dup
+         |FROM scored
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |  ORDER BY cos_sim DESC, nn_id ASC) = 1
+         |ORDER BY vec_id""".stripMargin,
+
     // q_approx_distinct: deliberately no oracle — approximate result,
     // contract pinned in LlmOpsSpec (±5% of exact distinct).
   )
