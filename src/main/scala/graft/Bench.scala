@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // Fixture parquet is one row group per table: enable the scan shim.
       .config("spark.graft.singleRowgroupShim", "true")
       .getOrCreate()

@@ -15,6 +15,7 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // fixture parquet is one row group per table: enable the scan shim
       .config("spark.graft.singleRowgroupShim", "true")
       .getOrCreate()

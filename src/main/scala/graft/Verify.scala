@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // Harness input is the single-row-group fixture parquet — opt in to
       // the scan-parallelism shim (queries.par); prod sessions never do.
       .config("spark.graft.singleRowgroupShim", "true")

@@ -66,6 +66,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaSql.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("GraftExtensions injects cosine_sim + graft_h60 at session build") {
+    // graft_h60 is registered ONLY by the extension (cosine_sim also has a
+    // manual register() path), so its presence proves spark.sql.extensions
+    // ran at session creation.
+    assert(spark.sessionState.functionRegistry
+      .functionExists(graft.functions.GraftExtensions.h60Ident),
+      "graft_h60 missing — spark.sql.extensions did not inject")
+    // value matches the engine's portable 60-bit hash derivation
+    val got = spark.sql("SELECT graft_h60('abc') AS h").collect()(0).getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = java.lang.Long.parseLong(
+      md.digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    assert(got == expected, s"graft_h60('abc') = $got, expected $expected")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_h60('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("1 argument"))
+  }
+
   test("CosineSim guards: zero-norm -> null (not NaN), bad arity -> error") {
     import spark.implicits._
     graft.functions.CosineSim.register(spark)
