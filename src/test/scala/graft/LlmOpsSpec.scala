@@ -104,6 +104,26 @@ class LlmOpsSpec extends AnyFunSuite {
       s"expected arity error, got: ${e.getMessage}")
   }
 
+  test("q_dedup_embedding: broadcast self-join + argmax agg, sane NN output") {
+    val df = SparkEntry.queries("q_dedup_embedding")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"corpus copy must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // struct-max plans as SortAggregate; what matters is the PARTIAL
+    // phase before the exchange (map-side combine => O(n) shuffle rows)
+    assert(plan.contains("partial_max"),
+      s"argmax must be a two-phase aggregate (map-side combined):\n$plan")
+    val rows = df.collect()
+    assert(rows.length == Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self must be excluded")
+      val c = r.getDouble(2)
+      assert(c >= -1.000001 && c <= 1.000001, s"cosine out of range: $c")
+    }
+  }
+
   test("q_knn_pergroup returns exactly k per probe, self first") {
     val rows = SparkEntry.queries("q_knn_pergroup")(spark, sf).collect()
     val byProbe = rows.groupBy(_.getLong(0))

@@ -376,4 +376,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(!mon.isHealthy, "process probe must flip to 503 after stop")
     } finally mon.close()
   }
+
+  test("s_healthz: stale progress reads unhealthy even while active (wedge detection)") {
+    // staleAfterMs=0: any event older than 'now' is stale — models a query
+    // that is isActive but wedged, the case a bare isActive probe misses
+    val mon = new graft.streaming.HealthMonitor(spark, staleAfterMs = 0)
+    try {
+      val dir = tmp("ev-stale"); writeEventFixture(dir)
+      val q = eventStream(dir).writeStream.format("memory")
+        .queryName("t_stale").outputMode("append").start()
+      q.processAllAvailable()
+      Thread.sleep(100)
+      assert(q.isActive, "query should still be active")
+      assert(!mon.isHealthy(q),
+        "active-but-stale query must read unhealthy (liveness, not just isActive)")
+      q.stop()
+    } finally mon.close()
+  }
 }
