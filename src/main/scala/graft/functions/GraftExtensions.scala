@@ -53,6 +53,14 @@ object GraftExtensions {
         CosineSim(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"dot_product requires exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       h60Ident,
       new ExpressionInfo(classOf[Conv].getName, "graft_h60"),
       h60Builder _))

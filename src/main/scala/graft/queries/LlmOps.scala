@@ -105,15 +105,22 @@ object LlmOps {
     // with this query as its exact ground-truth contract. Selection uses
     // the 6dp-ROUNDED cosine so both engines pick the same neighbor even
     // when raw doubles differ in the last ulp.
+    // Norms are precomputed ONCE per row (sqrt(dot(a,a)) via the native
+    // dot_product kernel) so the n^2 pair loop is a single multiply-add
+    // pass — 1 mult/element vs the fused CosineSim's 3 (which recomputes
+    // both norms per PAIR). Same formula, bitwise-identical cosine.
     "q_dedup_embedding" -> ((s, d) => {
+      import graft.functions.DotProduct
       val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"))
       val other = emb.select(col("vec_id").as("nn_id"),
-        col("embedding").as("other"))
+        col("embedding").as("other"), col("nrm").as("onrm"))
       emb.crossJoin(broadcast(other))
         .filter(col("vec_id") =!= col("nn_id"))
         .select(col("vec_id"), struct(
-          round(graft.functions.CosineSim(s, col("embedding"), col("other")), 6)
-            .as("cos"),
+          round(DotProduct(s, col("embedding"), col("other"))
+            / (col("nrm") * col("onrm")), 6).as("cos"),
           (-col("nn_id")).as("negid")).as("sc"))
         .groupBy("vec_id")
         .agg(max(col("sc")).as("best"))

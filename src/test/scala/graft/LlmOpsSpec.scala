@@ -104,6 +104,27 @@ class LlmOpsSpec extends AnyFunSuite {
       s"expected arity error, got: ${e.getMessage}")
   }
 
+  test("DotProduct kernel: positive self-dot, composed cosine == fused CosineSim bitwise") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, sf, "embeddings").limit(50)
+    val a = col("embedding")
+    val dp = graft.functions.DotProduct(spark, a, a)
+    val rows = emb.select(
+      dp.as("selfdot"),
+      (dp / (sqrt(dp) * sqrt(dp))).as("cos_composed"),
+      graft.functions.CosineSim(spark, a, a).as("cos_native")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0, "self-dot must be positive")
+      assert(r.getDouble(1) == r.getDouble(2),
+        "dot/norms composition diverges bitwise from fused CosineSim")
+    }
+    // injected by GraftExtensions: SQL resolves without manual register
+    val viaSql = spark.sql(
+      s"SELECT dot_product(embedding, embedding) FROM parquet.`$sf/embeddings.parquet` LIMIT 3")
+      .collect()
+    assert(viaSql.forall(_.getDouble(0) > 0))
+  }
+
   test("q_dedup_embedding: broadcast self-join + argmax agg, sane NN output") {
     val df = SparkEntry.queries("q_dedup_embedding")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
