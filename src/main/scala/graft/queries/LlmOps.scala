@@ -116,18 +116,28 @@ object LlmOps {
           sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"))
       val other = emb.select(col("vec_id").as("nn_id"),
         col("embedding").as("other"), col("nrm").as("onrm"))
+      // The argmax must stay a codegen'd two-phase HashAggregate: both
+      // max-of-struct AND max_by-with-struct-ordering fall back to
+      // SortAggregate, which sorts all n^2 candidate rows before
+      // aggregating. So pack (6dp cosine int, bitwise-inverted nn_id)
+      // into ONE long — max(packed) == (max cosine, then min nn_id) —
+      // and decode after the aggregate. Low 33 bits hold the id
+      // (supports 8.6e9 vectors); arithmetic shift floor-divides
+      // correctly for negative cosines. Output cosine is
+      // cosInt/1e6 in double — the same value round(x, 6) yields.
+      val M = 1L << 33
       emb.crossJoin(broadcast(other))
         .filter(col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), struct(
-          round(DotProduct(s, col("embedding"), col("other"))
-            / (col("nrm") * col("onrm")), 6).as("cos"),
-          (-col("nn_id")).as("negid")).as("sc"))
-        .groupBy("vec_id")
-        .agg(max(col("sc")).as("best"))
         .select(col("vec_id"),
-          (-col("best.negid")).cast("long").as("nn_id"),
-          col("best.cos").as("cos_sim"),
-          (col("best.cos") >= 0.4).as("is_near_dup"))
+          (round(DotProduct(s, col("embedding"), col("other"))
+            / (col("nrm") * col("onrm")) * 1e6, 0).cast("long") * M
+            + (lit(M - 1) - col("nn_id"))).as("packed"))
+        .groupBy("vec_id")
+        .agg(max(col("packed")).as("packed"))
+        .select(col("vec_id"),
+          (lit(M - 1) - col("packed").bitwiseAND(M - 1)).as("nn_id"),
+          (shiftright(col("packed"), 33).cast("double") / 1e6).as("cos_sim"),
+          (shiftright(col("packed"), 33) >= 400000L).as("is_near_dup"))
         .orderBy("vec_id")
     }),
 

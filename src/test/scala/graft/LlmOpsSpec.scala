@@ -132,10 +132,12 @@ class LlmOpsSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"),
       s"corpus copy must broadcast, not shuffle:\n$plan")
     assert(!plan.contains("CartesianProduct"))
-    // struct-max plans as SortAggregate; what matters is the PARTIAL
-    // phase before the exchange (map-side combine => O(n) shuffle rows)
+    // what matters: a PARTIAL phase before the exchange (map-side combine
+    // => O(n) shuffle rows) and a hash-based aggregate (no n^2-row sort)
     assert(plan.contains("partial_max"),
       s"argmax must be a two-phase aggregate (map-side combined):\n$plan")
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"argmax must be hash-based, not a SortAggregate over n^2 rows:\n$plan")
     val rows = df.collect()
     assert(rows.length == Tables(spark, sf, "embeddings").count())
     rows.foreach { r =>
