@@ -147,6 +147,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_embedding NN agrees with q_knn_pergroup rank-2 (after self)") {
+    val knn = SparkEntry.queries("q_knn_pergroup")(spark, sf).collect()
+      .groupBy(_.getLong(0))                       // probe_id
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    val nn = SparkEntry.queries("q_dedup_embedding")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L to 4L).foreach { p =>
+      val expected = knn(p)(1) // rank 1 is self (cos 1.0), rank 2 is the NN
+      assert(nn(p) == expected,
+        s"probe $p: embedding-NN ${nn(p)} != knn rank-2 $expected")
+    }
+  }
+
   test("q_knn_pergroup returns exactly k per probe, self first") {
     val rows = SparkEntry.queries("q_knn_pergroup")(spark, sf).collect()
     val byProbe = rows.groupBy(_.getLong(0))
