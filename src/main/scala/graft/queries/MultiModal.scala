@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The IMAGE path is REAL end-to-end: the corpus carries genuine PNG
-  * payloads (encoded with javax.imageio — pure JVM, no native codec
-  * needed) and the extract stage decodes those bytes back to pixels and
-  * histograms their luminance. Audio/video decode REMAINS A STUB (the
-  * container has no PCM/H.264 codecs), clearly marked below. Everything
-  * around the seam is the real Spark shape a production pipeline needs
-  * and what the tests pin:
+  * The IMAGE and AUDIO paths are REAL end-to-end: the corpus carries
+  * genuine PNG payloads (javax.imageio) and RIFF/WAVE payloads
+  * (javax.sound.sampled) — both pure JVM, no native codec needed — and
+  * the extract stage decodes them back to pixels/PCM samples and
+  * derives features from the decoded signal. VIDEO decode REMAINS A
+  * STUB (no H.264 codec exists in a bare JVM), clearly marked below.
+  * Everything around the seam is the real Spark shape a production
+  * pipeline needs and what the tests pin:
   *  - schema: (id, modality, content: binary, meta: struct) — the binary
   *    payload is opaque to Catalyst, metadata columns stay prunable and
   *    filterable WITHOUT touching payload bytes;
@@ -61,6 +62,50 @@ object MultiModal {
     bos.toByteArray
   }
 
+  /** Deterministic WAV encode (javax.sound.sampled — ships with the JVM,
+    * headless-safe for PCM/WAVE): 16-bit mono little-endian samples drawn
+    * from the seed bytes. Real RIFF/WAVE container, decodable by any
+    * audio stack. */
+  def wavBytes(sampleRate: Int, nSamples: Int, seed: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      // ASCII seed bytes are < 128, so samples are nonzero by construction
+      val s = (((seed(i % seed.length) & 0xff) - 128) * 256).toShort
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: WAV bytes -> PCM samples -> 16-segment energy
+    * distribution (each bin = segment energy / total energy, sums to 1). */
+  def audioFeatures(content: Array[Byte]): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    val energy = new Array[Double](featureDim)
+    var i = 0
+    while (i < n) {
+      // little-endian 16-bit signed
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+      val seg = math.min(i * featureDim / math.max(n, 1), featureDim - 1)
+      energy(seg) += s.toDouble * s.toDouble
+      i += 1
+    }
+    val total = energy.sum
+    energy.map(e => (e / math.max(total, 1e-12)).toFloat)
+  }
+
   /** REAL image decode: PNG bytes -> pixels -> 16-bin luminance histogram
     * normalized by pixel count (sums to 1). Rec-601 integer luma. */
   def imageFeatures(content: Array[Byte]): Array[Float] = {
@@ -104,21 +149,25 @@ object MultiModal {
         val content = modality match {
           case "image" => // REAL encoded media bytes
             pngBytes(meta.width, meta.height, text.getBytes("UTF-8"))
-          case _ => // STUB payload: a real pipeline reads codec bytes here
+          case "audio" => // REAL RIFF/WAVE payload (0.1 s @ 16 kHz)
+            wavBytes(meta.sample_rate, 1600, text.getBytes("UTF-8"))
+          case _ => // STUB payload: no H.264 codec exists in this container
             text.getBytes("UTF-8")
         }
         MMRecord(id, modality, content, meta)
       }
   }
 
-  /** The decode seam. Images decode FOR REAL (javax.imageio PNG);
-    * audio/video still use a deterministic byte-histogram fake — the
-    * container has no PCM/H.264 codecs — so tests pin shape, determinism,
-    * and batch behavior for those, and true pixel math for images. */
+  /** The decode seam. Images decode FOR REAL (javax.imageio PNG) and so
+    * does audio (javax.sound.sampled WAV/PCM); VIDEO remains a
+    * deterministic byte-histogram STUB — no H.264 codec exists in a bare
+    * JVM — so tests pin shape/determinism/batching for video, and true
+    * pixel/sample math for images and audio. */
   private def decodeBatch(batch: Seq[MMRecord]): Seq[MMFeature] =
     batch.map { r =>
       val feats = r.modality match {
         case "image" => imageFeatures(r.content)
+        case "audio" => audioFeatures(r.content)
         case _ => // STUB: byte histogram in place of a codec
           val hist = new Array[Float](featureDim)
           r.content.foreach(b => hist((b & 0xff) % featureDim) += 1f)

@@ -68,6 +68,37 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio features come from REAL decoded WAV samples (javax.sound.sampled)") {
+    import spark.implicits._
+    // constant-amplitude WAV: energy is uniform across the 16 segments,
+    // so every bin must be exactly 1/16 — unreachable for a byte stub
+    // (the RIFF header bytes would skew any byte-level histogram)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val nS = 1600
+    val raw = new Array[Byte](nS * 2)
+    for (i <- 0 until nS) { raw(2 * i) = 0; raw(2 * i + 1) = 0x10 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, nS.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rec = MultiModal.MMRecord(43L, "audio", bos.toByteArray,
+      MultiModal.MMeta(0, 0, 16000, 0))
+    val out = MultiModal.extractFeatures(Seq(rec).toDS()).collect()
+    assert(out.length == 1)
+    out.head.features.foreach(f =>
+      assert(math.abs(f - 1.0f / 16) < 1e-6, s"expected uniform energy, got $f"))
+    // corpus audio payloads are decodable WAVs; seam == driver-side decode
+    val sample = MultiModal.corpus(spark, sf)
+      .filter(_.modality == "audio").take(3)
+    val viaSeam = MultiModal
+      .extractFeatures(spark.createDataset(sample.toSeq)).collect()
+      .map(x => x.id -> x.features.toSeq).toMap
+    sample.foreach { r =>
+      assert(viaSeam(r.id) == MultiModal.audioFeatures(r.content).toSeq)
+    }
+  }
+
   test("resize caps dimensions, audio passes through") {
     val resized = MultiModal.resizeMeta(MultiModal.corpus(spark, sf), 100, 100)
       .collect()
