@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The IMAGE and AUDIO paths are REAL end-to-end: the corpus carries
-  * genuine PNG payloads (javax.imageio) and RIFF/WAVE payloads
-  * (javax.sound.sampled) — both pure JVM, no native codec needed — and
-  * the extract stage decodes them back to pixels/PCM samples and
-  * derives features from the decoded signal. VIDEO decode REMAINS A
-  * STUB (no H.264 codec exists in a bare JVM), clearly marked below.
-  * Everything around the seam is the real Spark shape a production
+  * Every modality decodes REAL bytes end-to-end, pure JVM:
+  *  - image: genuine PNG payloads (javax.imageio) decoded back to pixels;
+  *  - audio: genuine RIFF/WAVE 16-bit PCM (javax.sound.sampled) decoded
+  *    back to samples;
+  *  - video: a length-prefixed PNG-frame container ("graft-mpng") — the
+  *    frame-parse / frame-sample / per-frame-decode PLUMBING is the real
+  *    thing a production pipeline has; only the codec is naive, because
+  *    no H.264 decoder exists in a bare JVM (swapping one into the same
+  *    per-frame seam is the marked extension point).
+  * Everything around the seams is the real Spark shape a production
   * pipeline needs and what the tests pin:
   *  - schema: (id, modality, content: binary, meta: struct) — the binary
   *    payload is opaque to Catalyst, metadata columns stay prunable and
@@ -106,6 +109,53 @@ object MultiModal {
     energy.map(e => (e / math.max(total, 1e-12)).toFloat)
   }
 
+  /** Deterministic "graft-mpng" video encode: a 4-byte big-endian frame
+    * count, then per frame a 4-byte length + a REAL PNG. Frame pixels are
+    * seeded per (frame, seed) so every frame differs deterministically. */
+  def mpngBytes(w: Int, h: Int, nFrames: Int, seed: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      // rotate the seed per frame so frames differ
+      val fseed = seed.drop(f % math.max(seed.length, 1)) ++
+        seed.take(f % math.max(seed.length, 1))
+      val png = pngBytes(w, h, if (fseed.isEmpty) Array[Byte](1) else fseed)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** REAL video decode: parse the frame container, decode every `everyK`-th
+    * frame via the image path, average their luminance histograms (still
+    * sums to 1). The sample-then-decode order is the point: frames that
+    * aren't sampled are never decoded. */
+  def videoFeatures(content: Array[Byte], everyK: Int): Array[Float] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val nFrames = in.readInt()
+    val acc = new Array[Float](featureDim)
+    var used = 0
+    var f = 0
+    while (f < nFrames) {
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      if (f % everyK == 0) {
+        val hist = imageFeatures(frame)
+        var j = 0
+        while (j < featureDim) { acc(j) += hist(j); j += 1 }
+        used += 1
+      }
+      f += 1
+    }
+    acc.map(_ / math.max(used, 1).toFloat)
+  }
+
   /** REAL image decode: PNG bytes -> pixels -> 16-bin luminance histogram
     * normalized by pixel count (sums to 1). Rec-601 integer luma. */
   def imageFeatures(content: Array[Byte]): Array[Float] = {
@@ -144,35 +194,31 @@ object MultiModal {
           case "image" => MMeta((nChars % 64).toInt + 1,
             (nChars % 48).toInt + 1, 0, 1)
           case "audio" => MMeta(0, 0, 16000, 0)
-          case _ => MMeta(320, 240, 0, (nChars % 120).toInt + 1)
+          case _ => MMeta(32, 24, 0, (nChars % 8).toInt + 1)
         }
         val content = modality match {
-          case "image" => // REAL encoded media bytes
+          case "image" => // REAL PNG payload
             pngBytes(meta.width, meta.height, text.getBytes("UTF-8"))
           case "audio" => // REAL RIFF/WAVE payload (0.1 s @ 16 kHz)
             wavBytes(meta.sample_rate, 1600, text.getBytes("UTF-8"))
-          case _ => // STUB payload: no H.264 codec exists in this container
-            text.getBytes("UTF-8")
+          case _ => // REAL frame container (PNG frames; see mpngBytes)
+            mpngBytes(meta.width, meta.height, meta.n_frames,
+              text.getBytes("UTF-8"))
         }
         MMRecord(id, modality, content, meta)
       }
   }
 
-  /** The decode seam. Images decode FOR REAL (javax.imageio PNG) and so
-    * does audio (javax.sound.sampled WAV/PCM); VIDEO remains a
-    * deterministic byte-histogram STUB — no H.264 codec exists in a bare
-    * JVM — so tests pin shape/determinism/batching for video, and true
-    * pixel/sample math for images and audio. */
+  /** The decode seam: every modality decodes its real payload — pixels
+    * for images, PCM samples for audio, sampled-then-decoded frames for
+    * video (a naive PNG-frame container standing in for H.264; the
+    * per-frame decode call is the codec extension point). */
   private def decodeBatch(batch: Seq[MMRecord]): Seq[MMFeature] =
     batch.map { r =>
       val feats = r.modality match {
         case "image" => imageFeatures(r.content)
         case "audio" => audioFeatures(r.content)
-        case _ => // STUB: byte histogram in place of a codec
-          val hist = new Array[Float](featureDim)
-          r.content.foreach(b => hist((b & 0xff) % featureDim) += 1f)
-          val n = math.max(r.content.length, 1).toFloat
-          hist.map(_ / n)
+        case _ => videoFeatures(r.content, everyK = 2)
       }
       MMFeature(r.id, r.modality, featureDim, feats)
     }

@@ -99,6 +99,47 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
+  test("video features come from REAL sampled-and-decoded PNG frames") {
+    import spark.implicits._
+    // 2-frame container: frame0 solid luma-18 (bin 1), frame1 solid
+    // luma-200 (bin 12). everyK=2 samples ONLY frame0 -> all mass in bin
+    // 1; everyK=1 averages both frames -> 0.5/0.5. A byte-histogram stub
+    // could produce neither (PNG container bytes would smear the bins).
+    def solidPng(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    val f0 = solidPng((10 << 16) | (20 << 8) | 30)    // luma 18 -> bin 1
+    val f1 = solidPng((200 << 16) | (200 << 8) | 200) // luma 200 -> bin 12
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(2)
+    Seq(f0, f1).foreach { p => out.writeInt(p.length); out.write(p) }
+    val content = bos.toByteArray
+    val sampled = MultiModal.videoFeatures(content, everyK = 2)
+    assert(sampled(1) == 1.0f, s"everyK=2 must see only frame0: ${sampled.toSeq}")
+    val all = MultiModal.videoFeatures(content, everyK = 1)
+    assert(all(1) == 0.5f && all(12) == 0.5f, s"everyK=1 averages: ${all.toSeq}")
+    // the seam decodes corpus video payloads == driver-side decode
+    val rec = MultiModal.MMRecord(44L, "video", content,
+      MultiModal.MMeta(4, 3, 0, 2))
+    val viaSeam = MultiModal.extractFeatures(Seq(rec).toDS()).collect()
+    assert(viaSeam.head.features.toSeq == sampled.toSeq)
+    // corpus payloads are parseable containers with meta-matching frames
+    val sample = MultiModal.corpus(spark, sf)
+      .filter(_.modality == "video").take(2)
+    sample.foreach { r =>
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      assert(in.readInt() == r.meta.n_frames,
+        s"id=${r.id}: container frame count != metadata")
+    }
+  }
+
   test("resize caps dimensions, audio passes through") {
     val resized = MultiModal.resizeMeta(MultiModal.corpus(spark, sf), 100, 100)
       .collect()
@@ -108,6 +149,15 @@ class MultiModalSpec extends AnyFunSuite {
       .filter(_.modality == "audio").map(r => r.id -> r.meta).toMap
     assert(resized.filter(_.modality == "audio")
       .forall(r => origAudio(r.id) == r.meta))
+    // corpus media is small; exercise the actual scale-down arithmetic
+    // with an oversized synthetic record (metadata-only transform)
+    import spark.implicits._
+    val big = MultiModal.MMRecord(99L, "video", Array[Byte](0),
+      MultiModal.MMeta(320, 240, 0, 5))
+    val shrunk = MultiModal.resizeMeta(Seq(big).toDS(), 100, 100)
+      .collect().head
+    assert(shrunk.meta.width == 100 && shrunk.meta.height == 75,
+      s"320x240 -> expected 100x75, got ${shrunk.meta}")
   }
 
   test("frame sampling emits every k-th index from metadata only") {
