@@ -66,6 +66,20 @@ object SetOps {
           .select(col("o_custkey").as("k")))
         .orderBy("k")
     }),
+
+    // Wide -> long reshape via the native unpivot operator (Expand under
+    // the hood: row fan-out with NO shuffle, the transpose-free melt a
+    // feature-extraction pipeline uses before a per-metric aggregate).
+    "q_unpivot" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey"),
+          year(col("o_orderdate")).cast("double").as("o_year"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey"), col("o_year")),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -104,5 +118,15 @@ object SetOps {
         |EXCEPT ALL
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY k""".stripMargin,
+
+    // UNION ALL of per-metric projections == unpivot, engine-portable
+    "q_unpivot" ->
+      """SELECT o_orderkey, 'o_totalprice' AS metric,
+        |       CAST(o_totalprice AS DOUBLE) AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_year', CAST(year(o_orderdate) AS DOUBLE) FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin,
   )
 }

@@ -91,6 +91,32 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // Batch sessionization (gap > 300 s), the batch twin of the streaming
+    // session window (s_window_session): lag -> new-session flag ->
+    // running-sum session id -> per-session aggregate. All work happens
+    // inside ONE shuffle keyed on user_id (window + groupBy share the
+    // partitioning); time math is integer microseconds on both engines
+    // (unix_micros == epoch_us), so no float drift anywhere.
+    "q_sessionize" -> ((s, d) => {
+      val gapUs = 300L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("flag",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("flag")).over(wRun))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -164,5 +190,28 @@ object Windows {
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    // SUM OVER returns HUGEINT in DuckDB -> CAST (pandas would float64 it)
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |          OR us - lag(us) OVER w > 300000000
+        |         THEN 1 ELSE 0 END AS flag
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  MAX(us) - MIN(us) AS duration_us
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
   )
 }
