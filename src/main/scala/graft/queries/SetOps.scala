@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** Set-operation surface (SURVEY §2.3): UNION ALL / UNION / INTERSECT [ALL]
-  * / EXCEPT [ALL].
+  * / EXCEPT [ALL], plus the unpivot reshape (§2.6).
   *
   * Scale notes: UNION ALL is a free concatenation (no shuffle). The distinct
   * set ops shuffle on the full row — at 100 TB you'd pre-project to the key

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Window-function surface (SURVEY §2.3): ranking, lag/lead, row & range
-  * frames, ntile/percent_rank/cume_dist, top-k per group.
+  * frames, ntile/percent_rank/cume_dist, top-k per group, batch
+  * sessionization (§2.6).
   *
   * Scale notes: every window here partitions by a real key (customer/user/
   * segment) — one shuffle, then partition-local sort; no single-partition
