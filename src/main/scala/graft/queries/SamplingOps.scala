@@ -93,6 +93,21 @@ object SamplingOps {
       } finally parted.unpersist()
     }),
 
+    // Per-group quantiles via approx_percentile: a KLL/GK-style sketch —
+    // constant-size, mergeable, two-phase — which IS the per-group
+    // quantile shape at 100 TB (per-group exact needs every value of
+    // every group co-resident; the global-exact two-pass above doesn't
+    // decompose by group). No oracle (sketch internals differ per
+    // engine); SamplingSpec pins the error contract against exact.
+    "q_quantiles_grouped" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // Fixed-width histogram of document lengths: integer bucket math,
     // two-phase agg — the distribution-profiling shape.
     "q_histogram" -> ((s, d) =>

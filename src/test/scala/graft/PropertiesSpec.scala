@@ -43,6 +43,24 @@ class PropertiesSpec extends AnyFunSuite {
     assert(digests == d1.count())
   }
 
+  test("q_quantiles_grouped: sketch within 1% relative error of exact per group") {
+    val approx = SparkEntry.queries("q_quantiles_grouped")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, (e50, e95)) =>
+      val (a50, a95) = approx(g)
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$g p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.01, s"$g p95: $a95 vs $e95")
+    }
+  }
+
   test("salted join equals plain join (salt is semantics-neutral)") {
     val fact = Tables(spark, sf, "lineitem")
       .select((col("l_orderkey") % 10).as("bucket_id"), col("l_quantity"))

@@ -48,6 +48,7 @@ class QueriesSpec extends AnyFunSuite {
     val noOracleAllowed = Set(
       "q_approx_distinct",      // HLL sketch — tolerance pinned in LlmOpsSpec
       "q_ann_ivf",              // approximate ANN — invariants in AnnSpec
+      "q_quantiles_grouped",    // quantile sketch — tolerance in PropertiesSpec
       "q_multimodal_features")  // binary plumbing — MultiModalSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == noOracleAllowed,
