@@ -27,9 +27,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Cache hygiene (round-3 verdict #1): the dedup-sketch queries persist
+    // intermediate frames whose lifetime the harness owns (the builders
+    // return lazy frames, so they cannot unpersist themselves). Without a
+    // release, 80 queries in one session accumulate cached RDDs and the
+    // alphabetically-later join block runs under cache+GC pressure (driver
+    // r03: q_join_multiway 17.0 s vs its 2.0 s clean median). Clearing
+    // AFTER each query keeps every timing measured against a cold cache.
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      finally spark.catalog.clearCache()
 
     // Warmup: JIT + codegen + parquet footer caches.
     try run("q_agg_group") catch { case _: Throwable => () }

@@ -31,7 +31,11 @@ object Verify {
         val dir = new java.io.File(s"$outDir/$name"); dir.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/ERROR.txt"),
           s"$name: ${e.toString}\n")
-      }
+      } finally
+        // Release the per-query persisted sketch frames the builders
+        // cannot unpersist themselves (they return lazy frames) — see
+        // Bench.run for the full rationale.
+        spark.catalog.clearCache()
     }
     if (failed > 0) System.err.println(s"[verify] $failed queries FAILED")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
