@@ -170,7 +170,122 @@ object AnnOps {
     // IVF-bucketed ANN: nprobe=2 of 8 cells (see ivfKnn for the structure;
     // no oracle — approximate; AnnSpec pins nprobe=cells == brute force).
     "q_ann_ivf" -> ((s, d) => ivfKnn(s, d, nprobe = 2)),
+
+    // Sign-LSH (random-hyperplane) embedding near-dup — the 100-TB shape
+    // for q_dedup_embedding, which broadcasts the corpus (round-3 verdict
+    // #2). Contract: for each vector, its best bucket-mate within Hamming
+    // <= 11 over a 48-bit sign signature (best = max 6dp cosine, nn_id
+    // tie-break), plus an is_near_dup flag at cosine >= 0.4.
+    //
+    // Why signature-space, not cosine-recall: the fixture embeddings are
+    // RANDOM (no planted high-cosine pairs; max pair cosine 0.51 at
+    // sf0.01), so no margin argument a la minhash can equate an LSH
+    // candidate set with the exact-NN output at cosine 0.4 — sign-LSH
+    // recall at theta(0.4)=66deg is a coin flip per bit. Instead the
+    // operator is DETERMINISTIC the same way q_dedup_simhash is: 12
+    // banding chunks of 4 bits guarantee by pigeonhole that every pair
+    // within Hamming 11 shares a chunk, so banding provably loses nothing
+    // (AnnSpec pins LSH == brute-force-Hamming at sf0.001), and the
+    // oracle is a full SQL twin computing the identical signature.
+    //
+    // Scale shape: signature build is a stateless codegen'd projection
+    // over driver-literal planes (zero shuffles, like the IVF centroids);
+    // candidates come from a (chunk, value) equi-join — the corpus is
+    // NEVER broadcast and never crossed with itself. Candidate volume is
+    // data-dependent: near-dups at cosine >= 0.9 flip ~10% of bits
+    // (expected Hamming 4.9 of 48), so Hamming <= 11 keeps recall ~0.999
+    // while unrelated docs (cosine ~0, expected Hamming 24, sd 3.3)
+    // collide in a 4-bit chunk at ~2^-4 rates prunable by the packed
+    // bit_count filter INSIDE the join. On this all-random fixture most
+    // pairs share some chunk — an adversarial worst case no sublinear
+    // method escapes; the exact verify then prunes to the tiny Hamming
+    // ball. At 100 TB: one shuffle of O(rows x chunks) 16-byte keys.
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      import graft.functions.DotProduct
+      // (vec_id, embedding, nrm, 48-bit packed sig) — read three times
+      // (both join sides + the keep-all-vectors left join); persisted so
+      // the 48-plane projection runs once. Zero-norm vectors are dropped
+      // up front: their cosine is undefined (NaN) on both engines.
+      val sig = par(Tables(s, d, "embeddings"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"),
+          rpSig("embedding").as("bits"))
+        .filter(col("nrm") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sig.count() // eager fill: one signature pass for all three reads
+      val flat = sig.select(col("vec_id"), col("bits"),
+        posexplode(array((0 until rpChunks).map(c =>
+          shiftright(col("bits"), c * 4).bitwiseAND(15L)): _*)))
+        .withColumnRenamed("pos", "c").withColumnRenamed("col", "v")
+      // Hamming filter INSIDE the join: bit_count over the packed longs
+      // runs before any row materializes, so the all-random worst case
+      // costs compare-and-drop, not a shuffle of n^2/16 candidate rows.
+      val cand = flat.as("a").join(flat.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          bit_count(col("a.bits").bitwiseXOR(col("b.bits"))) <= rpHamMax)
+        .select(col("a.vec_id").as("vid"), col("b.vec_id").as("nid"),
+          bit_count(col("a.bits").bitwiseXOR(col("b.bits")))
+            .cast("long").as("hamming"))
+        .dropDuplicates("vid", "nid")
+      val scored = cand
+        .join(sig.select(col("vec_id").as("vid"),
+          col("embedding").as("ea"), col("nrm").as("na")), "vid")
+        .join(sig.select(col("vec_id").as("nid"),
+          col("embedding").as("eb"), col("nrm").as("nb")), "nid")
+        .select(col("vid"), col("nid"), col("hamming"),
+          round(DotProduct(s, col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6).as("cos_sim"))
+      val w = Window.partitionBy("vid")
+        .orderBy(col("cos_sim").desc, col("nid").asc)
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vid").as("vec_id"), col("nid").as("nn_id"),
+          col("hamming"), col("cos_sim"))
+      sig.select("vec_id").join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("nn_id"), col("hamming"), col("cos_sim"),
+          coalesce(col("cos_sim") >= 0.4, lit(false)).as("is_near_dup"))
+        .orderBy("vec_id")
+    }),
   )
+
+  // ------------------------------------------------- sign-LSH parameters
+
+  private[graft] val rpBits = 48
+  private[graft] val rpChunks = 12 // 4 bits each
+  /** Pigeonhole: a pair within Hamming rpHamMax differs in at most 11 of
+    * 12 chunks, so it MATCHES in at least one — banding recall is exactly
+    * 1 for the declared radius, not probabilistic. */
+  private[graft] val rpHamMax = rpChunks - 1
+
+  /** Deterministic hyperplane components in [-1, 1), derived from md5 like
+    * the IVF centroids so the DuckDB twin regenerates them bit-identically:
+    * (60-bit md5 prefix % 1000) / 500.0 - 1.0 in double, both engines. */
+  private val planeW: IndexedSeq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long =
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    (0 until rpBits).map(j =>
+      Array.tabulate(64)(i => (h(s"rp-$j-$i") % 1000L) / 500.0 - 1.0))
+  }
+
+  /** Plane-j dot as a codegen'd 64-term multiply-add over literal weights
+    * (left-assoc reduce == DuckDB's seedless list_reduce left fold, so the
+    * float sum is bitwise identical and the sign bits agree exactly). */
+  private def planeDot(vecCol: String, j: Int): Column =
+    (0 until 64).map(i =>
+      element_at(col(vecCol), i + 1).cast("double") * lit(planeW(j)(i)))
+      .reduce(_ + _)
+
+  /** All 48 sign bits packed into ONE long (bit j = dot_j >= 0): Hamming
+    * becomes bit_count(xor) on an 8-byte key — no 48-element arrays ride
+    * the shuffle, unlike the text simhash whose bits feed chunk sums. */
+  private[graft] def rpSig(vecCol: String): Column =
+    (0 until rpBits).map(j =>
+      when(planeDot(vecCol, j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   // ------------------------------------------------------------ IVF ANN
 
@@ -290,5 +405,62 @@ object AnnOps {
         |WHERE list_sum([abs(ba[i+1] - bb[i+1]) for i in range(48)]) <= 3
         |ORDER BY d1, d2""".stripMargin,
     // q_ann_ivf: no oracle (approximate); contract in AnnSpec.
+
+    // Full SQL twin of the sign-LSH dedup: identical md5-derived planes,
+    // identical left-fold dot (list_reduce is a seedless left fold, the
+    // same order as the Scala reduce chain), identical packed-bits
+    // signature, Hamming <= 11, exact 6dp-cosine argmax per vector.
+    "q_dedup_embedding_lsh" ->
+      """WITH W AS (
+        |  SELECT j, list_transform(range(64), i ->
+        |    (CAST(('0x' || substring(md5('rp-' || j || '-' || i), 1, 15))
+        |          AS BIGINT) % 1000) / 500.0 - 1.0) AS w
+        |  FROM range(48) t(j)),
+        |ce AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+        |  FROM ce GROUP BY vec_id),
+        |sig AS (
+        |  SELECT e.vec_id,
+        |    CAST(SUM(CASE WHEN list_reduce(
+        |        list_transform(range(64),
+        |          i -> CAST(e.embedding[i+1] AS DOUBLE) * W.w[i+1]),
+        |        (a, b) -> a + b) >= 0
+        |      THEN 1::BIGINT << W.j ELSE 0::BIGINT END) AS BIGINT) AS bits
+        |  FROM embeddings e CROSS JOIN W
+        |  WHERE e.vec_id IN (SELECT vec_id FROM norms WHERE nrm > 0)
+        |  GROUP BY e.vec_id),
+        |flat AS (
+        |  SELECT vec_id, bits, c, (bits >> (c * 4)) & 15 AS v
+        |  FROM sig CROSS JOIN (SELECT unnest(range(12)) AS c) t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vid, b.vec_id AS nid,
+        |         CAST(bit_count(xor(a.bits, b.bits)) AS BIGINT) AS hamming
+        |  FROM flat a JOIN flat b
+        |    ON a.c = b.c AND a.v = b.v AND a.vec_id <> b.vec_id
+        |  WHERE bit_count(xor(a.bits, b.bits)) <= 11),
+        |dots AS (
+        |  SELECT c.vid, c.nid, c.hamming,
+        |         SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE)) AS dot
+        |  FROM cand c
+        |  JOIN ce ea ON ea.vec_id = c.vid
+        |  JOIN ce eb ON eb.vec_id = c.nid AND eb.i = ea.i
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.vid, d.nid, d.hamming,
+        |         round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vid
+        |  JOIN norms nb ON nb.vec_id = d.nid)
+        |SELECT n.vec_id, s.nid AS nn_id, s.hamming, s.cos_sim,
+        |       COALESCE(s.cos_sim >= 0.4, FALSE) AS is_near_dup
+        |FROM norms n LEFT JOIN scored s ON s.vid = n.vec_id
+        |WHERE n.nrm > 0
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |  ORDER BY s.cos_sim DESC, s.nid ASC) = 1
+        |ORDER BY n.vec_id""".stripMargin,
   )
 }

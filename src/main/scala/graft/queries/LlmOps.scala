@@ -111,9 +111,14 @@ object LlmOps {
     // both norms per PAIR). Same formula, bitwise-identical cosine.
     "q_dedup_embedding" -> ((s, d) => {
       import graft.functions.DotProduct
+      // Zero-norm guard (round-3 advice): a zero vector's cosine is NaN,
+      // and round(NaN*1e6).cast(long) would silently pack as 0 — drop such
+      // rows from both sides instead (CosineSim's zero-norm-to-null
+      // contract, applied pre-argmax; fixture embeddings are all nonzero).
       val emb = Tables(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
           sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0)
       val other = emb.select(col("vec_id").as("nn_id"),
         col("embedding").as("other"), col("nrm").as("onrm"))
       // The argmax must stay a codegen'd two-phase HashAggregate: both

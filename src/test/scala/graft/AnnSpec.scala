@@ -56,4 +56,44 @@ class AnnSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     assert(pairs.forall(_.getLong(2) <= 3))
   }
+
+  test("sign-LSH banding loses nothing: equals brute-force Hamming ball") {
+    // The pigeonhole argument (12 chunks of 4 bits => any pair within
+    // Hamming 11 shares a chunk) means the banded candidate join must
+    // yield EXACTLY the result a full n^2 Hamming scan yields. Build the
+    // brute-force twin from the same signature expression and compare.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DotProduct
+    val lsh = SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf)
+    val sig = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(DotProduct(spark, col("embedding"), col("embedding"))).as("nrm"),
+        AnnOps.rpSig("embedding").as("bits"))
+      .filter(col("nrm") > 0)
+    val other = sig.select(col("vec_id").as("nid"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("bits").as("ob"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    val brute = sig.crossJoin(other)
+      .filter(col("vec_id") =!= col("nid") &&
+        bit_count(col("bits").bitwiseXOR(col("ob"))) <= AnnOps.rpHamMax)
+      .select(col("vec_id"), col("nid"),
+        bit_count(col("bits").bitwiseXOR(col("ob"))).cast("long").as("hamming"),
+        round(DotProduct(spark, col("embedding"), col("eb"))
+          / (col("nrm") * col("nb")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("nid").as("nn_id"), col("hamming"),
+        col("cos_sim"))
+    val bruteFull = sig.select("vec_id").join(brute, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("nn_id"), col("hamming"), col("cos_sim"),
+        coalesce(col("cos_sim") >= 0.4, lit(false)).as("is_near_dup"))
+      .orderBy("vec_id")
+    val a = lsh.collect().map(_.toString).toSeq
+    val b = bruteFull.collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a.exists(!_.contains("null")),
+      s"LSH output vacuous (no matched pair) at $sf")
+    assert(a == b, s"banded != brute-force; first diff: ${
+      a.zip(b).find { case (x, y) => x != y }}")
+  }
 }
