@@ -22,12 +22,23 @@ import java.util.concurrent.ConcurrentHashMap
   * Scale notes: listener events are driver-side and O(1) per micro-batch;
   * state is O(|queries|). No executor involvement.
   */
-class HealthMonitor(spark: SparkSession, staleAfterMs: Long = 60000L)
+class HealthMonitor private (spark: SparkSession, staleAfterMs: Long)
   extends StreamingQueryListener {
 
   private val lastSeen = new ConcurrentHashMap[UUID, Long]()
 
-  spark.streams.addListener(this)
+  /** Registration happens here, NOT in the constructor: registering
+    * `this` mid-construction leaks a partially-built object to the
+    * listener bus (this-escape). Queries already running at attach time
+    * are seeded as fresh-now, so a long-idle-but-alive query probes
+    * healthy until staleAfterMs elapses instead of reading unhealthy
+    * until its next progress event. */
+  private def start(): this.type = {
+    val now = System.currentTimeMillis()
+    spark.streams.active.foreach(q => lastSeen.put(q.id, now))
+    spark.streams.addListener(this)
+    this
+  }
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =
     lastSeen.put(e.id, System.currentTimeMillis())
@@ -52,6 +63,12 @@ class HealthMonitor(spark: SparkSession, staleAfterMs: Long = 60000L)
   }
 
   def close(): Unit = spark.streams.removeListener(this)
+}
+
+object HealthMonitor {
+  /** The only way to obtain a monitor: fully construct, seed, register. */
+  def attach(spark: SparkSession, staleAfterMs: Long = 60000L): HealthMonitor =
+    new HealthMonitor(spark, staleAfterMs).start()
 }
 
 /** R16: the process exit-code contract (/root/reference/main.go:61-67) —

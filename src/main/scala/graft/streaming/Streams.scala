@@ -68,10 +68,20 @@ object Streams {
 
   /** s_auth_filter (R3, publisher.go:143-150): shared-key predicate on
     * request metadata — here the key travels in the delivery path
-    * (`.../sharedKey=<k>/...`); multiple keys supported for rotation. */
-  def authFilter(df: DataFrame, keys: Set[String]): DataFrame =
-    df.filter(regexp_extract(col("path"), "sharedKey=([^/]+)", 1)
-      .isin(keys.toSeq: _*))
+    * (`.../sharedKey=<k>/...`); multiple keys supported for rotation.
+    * Rejections are COUNTED, not just dropped (the reference returns 401
+    * so the producer knows, publisher.go:146-149): `rejected_401` /
+    * `rows_seen` surface per micro-batch in
+    * StreamingQueryProgress.observedMetrics("auth_filter") at O(1) cost
+    * (observe folds into the existing scan, no extra pass). */
+  def authFilter(df: DataFrame, keys: Set[String]): DataFrame = {
+    val valid = regexp_extract(col("path"), "sharedKey=([^/]+)", 1)
+      .isin(keys.toSeq: _*)
+    df.observe("auth_filter",
+        count(when(!valid, lit(1))).as("rejected_401"),
+        count(lit(1)).as("rows_seen"))
+      .filter(valid)
+  }
 
   // ----------------------------------------------------------------- route
 
@@ -110,17 +120,41 @@ object Streams {
   /** s_route_publish (R4+R5+R7+R8+R9): per-topic partitioned sink writes
     * with lazy topic creation. The epoch commits only after the write
     * returns — a sink failure replays the batch (at-least-once, with the
-    * §8-B2 silent-ack bug structurally impossible). */
+    * §8-B2 silent-ack bug structurally impossible).
+    *
+    * Round-4 additions mirroring what the reference tells its producer:
+    *  - unroutable rows (tbl = "404") land in `outDir/dead_letter` with
+    *    their delivery path and a reason, and are counted in
+    *    observedMetrics("route_publish").unroutable_404 — the bridge
+    *    returns HTTP 404 for these (publisher.go:161-165); silently
+    *    vanishing rows are a data-loss bug at any scale;
+    *  - every published message carries the Pub/Sub-style attribute map
+    *    `{path, table}` the reference attaches (publisher.go:88-91,
+    *    attrs built at :177-180) as an `attributes` map column next to
+    *    the payload, so downstream consumers keep provenance. */
   def routePublish(routed: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
-    routed.filter(col("tbl") =!= "404")
+    routed.observe("route_publish",
+        count(when(col("tbl") === "404", lit(1))).as("unroutable_404"),
+        count(lit(1)).as("rows_seen"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select("topic").distinct().collect()
-          .foreach(r => TopicCache.ensure(s"$outDir/topics", r.getString(0)))
-        batch.write.mode("append").partitionBy("topic")
-          .parquet(s"$outDir/data")
-        ()
+        // batch is read twice (dead-letter split + publish) — persist so
+        // the upstream parse/route pipeline runs once per micro-batch.
+        batch.persist()
+        try {
+          val dead = batch.filter(col("tbl") === "404")
+          if (!dead.isEmpty)
+            dead.withColumn("dl_reason", lit("unroutable_path"))
+              .write.mode("append").parquet(s"$outDir/dead_letter")
+          val ok = batch.filter(col("tbl") =!= "404")
+            .withColumn("attributes",
+              map(lit("path"), col("path"), lit("table"), col("tbl")))
+          ok.select("topic").distinct().collect()
+            .foreach(r => TopicCache.ensure(s"$outDir/topics", r.getString(0)))
+          ok.write.mode("append").partitionBy("topic")
+            .parquet(s"$outDir/data")
+        } finally { batch.unpersist(); () }
       }
       .start()
 
@@ -239,6 +273,23 @@ object Streams {
     stream.join(
       org.apache.spark.sql.functions.broadcast(dim),
       stream(streamKey) === dim(dimKey), "left")
+
+  // ------------------------------------------------------------ pipeline
+
+  /** The fully-composed bridge (server.go:49-90 wiring, R15-configured):
+    * ingest → auth(sharedKeys) → route(topicPrefix) → publish, or console
+    * dump when dumpOnly is set — every knob from GraftConfig
+    * (`spark.graft.*`), none from scattered literals. */
+  def publishPipeline(spark: SparkSession, inDir: String, outDir: String,
+    checkpoint: String, payload: StructType): StreamingQuery = {
+    val cfg = graft.GraftConfig.from(spark)
+    val routed = route(
+      authFilter(parseEnvelope(ingestLines(spark, inDir), payload),
+        cfg.sharedKeys),
+      cfg.topicPrefix)
+    if (cfg.dumpOnly) consoleDump(routed)
+    else routePublish(routed, outDir, checkpoint)
+  }
 
   // ------------------------------------------------------------- lifecycle
 

@@ -97,13 +97,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_ingest").filter(col("op") === "delete").count() == 1)
   }
 
-  test("s_auth_filter: rows from bad-sharedKey deliveries are dropped") {
+  test("s_auth_filter: rows from bad-sharedKey deliveries are dropped AND counted") {
     val in = tmp("cdc-auth"); writeCdcDrop(in)
     val authed = Streams.authFilter(
       Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
       Set("k1", "k2rotation"))
-    runToMemory(authed.select("op", "updated"), "t_auth", "append")
+    val q = authed.select("op", "updated").writeStream.format("memory")
+      .queryName("t_auth").outputMode("append").start()
+    q.processAllAvailable()
+    // rejection metrics (the 401 count, publisher.go:146-149): exposed per
+    // micro-batch via observedMetrics, summed across the run here
+    val (rejected, seen) = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("auth_filter")))
+      .map(r => (r.getAs[Long]("rejected_401"), r.getAs[Long]("rows_seen")))
+      .foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    q.stop()
     assert(spark.table("t_auth").count() == 7) // 8 minus the badkey file's 1
+    assert(rejected == 1 && seen == 8,
+      s"expected 1 rejection of 8 seen, got $rejected of $seen")
     val golden = Streams.authFilter(
       Streams.parseEnvelope(batchLines(in), payload), Set("k1", "k2rotation"))
     assert(sortedRows(spark.table("t_auth")) ==
@@ -120,13 +131,16 @@ class StreamingSpec extends AnyFunSuite {
       Streams.authFilter(
         Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
         Set("k1")), "cdc-")
-      .select("topic", "tbl", "value", "updated", "op")
+      .select("path", "topic", "tbl", "value", "updated", "op")
     val q = Streams.routePublish(routed, out, tmp("cdc-ckpt"))
     q.processAllAvailable()
     // second delivery: same topic must NOT be created again
     write(in, s"sharedKey=k1/ord_topic/2024-01-02/${ts33(9)}-u9-orders-1.ndjson",
       Seq(envLine(8)))
     q.processAllAvailable()
+    val unroutable = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("route_publish")))
+      .map(_.getAs[Long]("unroutable_404")).sum
     q.stop()
     assert(Streams.TopicCache.createCount == 1, "topic created more than once")
     assert(Files.exists(Paths.get(s"$out/topics/cdc-ord_topic")))
@@ -134,6 +148,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(published.filter(col("topic") === "cdc-ord_topic").count() == 7)
     assert(published.filter(col("tbl") === "RESOLVED").count() == 1)
     assert(published.filter(col("tbl") === "404").count() == 0)
+    // Pub/Sub-style attributes ride with every message (publisher.go:88-91)
+    assert(published.filter(element_at(col("attributes"), "table") === col("tbl"))
+      .count() == 7)
+    assert(published.filter(element_at(col("attributes"), "path").contains("sharedKey=k1"))
+      .count() == 7)
+    // the unroutable junk file neither vanishes nor publishes: dead-letter
+    assert(unroutable == 1, s"expected 1 observed 404, got $unroutable")
+    val dead = spark.read.parquet(s"$out/dead_letter")
+    assert(dead.count() == 1)
+    assert(dead.filter(col("dl_reason") === "unroutable_path")
+      .filter(col("path").contains("junk.txt")).count() == 1)
   }
 
   test("s_resolved_watermark: markers advance monotonically per batch") {
@@ -292,7 +317,7 @@ class StreamingSpec extends AnyFunSuite {
       Streams.authFilter(
         Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
         Set("k1")), "cdc-")
-      .select("topic", "tbl", "value", "updated", "op")
+      .select("path", "topic", "tbl", "value", "updated", "op")
     val q1 = Streams.routePublish(routed(), out, ckpt)
     q1.processAllAvailable()
     q1.stop() // simulated crash/redeploy: new query, SAME checkpoint
@@ -358,7 +383,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("s_healthz: health probe is 200 while serving, 503 after stop (R13)") {
-    val mon = new graft.streaming.HealthMonitor(spark, staleAfterMs = 60000)
+    val mon = graft.streaming.HealthMonitor.attach(spark, staleAfterMs = 60000)
     try {
       val dir = tmp("ev-health"); writeEventFixture(dir)
       val q = eventStream(dir).writeStream.format("memory")
@@ -380,7 +405,7 @@ class StreamingSpec extends AnyFunSuite {
   test("s_healthz: stale progress reads unhealthy even while active (wedge detection)") {
     // staleAfterMs=0: any event older than 'now' is stale — models a query
     // that is isActive but wedged, the case a bare isActive probe misses
-    val mon = new graft.streaming.HealthMonitor(spark, staleAfterMs = 0)
+    val mon = graft.streaming.HealthMonitor.attach(spark, staleAfterMs = 0)
     try {
       val dir = tmp("ev-stale"); writeEventFixture(dir)
       val q = eventStream(dir).writeStream.format("memory")
