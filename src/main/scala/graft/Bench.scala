@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // cpus must be known BEFORE the session exists (master URL), so it
+    // stays env-only; everything post-session reads GraftConfig (R15).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +27,7 @@ object Bench {
       .config("spark.graft.singleRowgroupShim", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sfDir = GraftConfig.from(spark).sfDir
 
     // Cache hygiene (round-3 verdict #1): the dedup-sketch queries persist
     // intermediate frames whose lifetime the harness owns (the builders

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** R15: the unified config surface (main.go:33-50's pflag table), mapped
+  * onto Spark's own config mechanism — one `spark.graft.*` namespace read
+  * from the session conf instead of env vars and literals scattered across
+  * entry points. Spark conf is the right carrier: it flows from
+  * spark-submit `--conf`, session builders, and `SET` alike, and is
+  * visible to every executor the same way pflags were visible to the one
+  * process.
+  *
+  * Flag mapping (reference default in parens):
+  *  - `spark.graft.bindAddr`       ← --bindAddr (":13013"), used by the
+  *                                    ndjson ingest HTTP shim (IngestServer)
+  *  - `spark.graft.gracePeriodMs`  ← --gracePeriod (30 s), used by
+  *                                    Streams.gracefulDrain callers
+  *  - `spark.graft.topicPrefix`    ← --topicPrefix (""), Streams.route
+  *  - `spark.graft.sharedKeys`     ← --sharedKey (repeatable → comma list),
+  *                                    Streams.authFilter
+  *  - `spark.graft.dumpOnly`       ← --dumpOnly (false): consoleDump
+  *                                    instead of routePublish
+  *  - `spark.graft.sfDir`          — fixture dir for Bench/Verify; falls
+  *                                    back to SPARK_GRAFT_SF_DIR (the
+  *                                    driver's contract), then sf0.1
+  *  - `spark.graft.singleRowgroupShim` — fixture-only scan shim
+  *                                    (queries.par); never set in prod
+  *  (--credentials/--projectID are Google-Cloud-auth specific and have no
+  *  equivalent here: the sink is the filesystem, auth is the shared key.)
+  */
+final case class GraftConfig(
+  bindAddr: String,
+  gracePeriodMs: Long,
+  topicPrefix: String,
+  sharedKeys: Set[String],
+  dumpOnly: Boolean,
+  sfDir: String,
+  singleRowgroupShim: Boolean)
+
+object GraftConfig {
+  def from(spark: SparkSession): GraftConfig = {
+    def c(key: String, dflt: String): String =
+      spark.conf.get(s"spark.graft.$key", dflt)
+    GraftConfig(
+      bindAddr = c("bindAddr", ":13013"),
+      gracePeriodMs = c("gracePeriodMs", "30000").toLong,
+      topicPrefix = c("topicPrefix", ""),
+      sharedKeys = c("sharedKeys", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet,
+      dumpOnly = c("dumpOnly", "false").toBoolean,
+      sfDir = c("sfDir",
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+      singleRowgroupShim = c("singleRowgroupShim", "false").toBoolean)
+  }
+}

@@ -178,9 +178,11 @@ object MultiModal {
     hist.map(_ / (w * h).toFloat)
   }
 
-  /** Corpus with real PNG image payloads; audio/video payloads are the
-    * declared byte stubs (no codecs in this container). Image dims are
-    * kept small (<=64x48) so the per-row encode stays cheap. */
+  /** Corpus with real decodable payloads in every modality: PNG images,
+    * RIFF/WAVE PCM audio (0.1 s @ 16 kHz), and a naive PNG-frame video
+    * container (`mpngBytes`; H.264 is the marked codec extension point).
+    * Image dims are kept small (<=64x48) so the per-row encode stays
+    * cheap. */
   def corpus(spark: SparkSession, dir: String): Dataset[MMRecord] = {
     import spark.implicits._
     Tables(spark, dir, "documents")

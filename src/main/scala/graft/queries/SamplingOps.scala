@@ -78,11 +78,32 @@ object SamplingOps {
           map(cnts.keys.toSeq.sorted.flatMap(p =>
             Seq(lit(p), lit(offsets(p)))): _*), col("pid"))
         val w = Window.partitionBy("pid").orderBy("x")
-        val boundary = parted
+        // The rank offsets are only valid if this second action sees the
+        // SAME partitioning as the counts pass. That holds while the
+        // persisted blocks live, but an evicted block re-runs the range
+        // exchange, which MAY resample boundaries — so carry each
+        // partition's row count through this pass (same window exchange,
+        // no extra job) and fail loudly on any drift instead of returning
+        // silently wrong quantiles (round-3 advice).
+        val rows = parted
           .withColumn("rn", row_number().over(w) + offExpr)
+          .withColumn("cnt2", count(lit(1)).over(Window.partitionBy("pid")))
           .filter(col("rn").isin(need: _*))
-          .select("rn", "x").collect()
-          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          .select("pid", "rn", "x", "cnt2").collect()
+        rows.foreach { r =>
+          if (cnts(r.getInt(0)) != r.getLong(3))
+            throw new IllegalStateException(
+              s"q_quantiles: range partition ${r.getInt(0)} held " +
+                s"${r.getLong(3)} rows in the boundary pass vs " +
+                s"${cnts(r.getInt(0))} in the counts pass — cached " +
+                "partitioning was lost and resampled between passes")
+        }
+        val boundary = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        val missingRank = need.filterNot(boundary.contains)
+        if (missingRank.nonEmpty)
+          throw new IllegalStateException(
+            s"q_quantiles: boundary ranks $missingRank not found — " +
+              "partitioning drifted between the two passes")
         val cells = pos.map { case (name, p) =>
           val lo = math.floor(p).toLong
           val frac = p - lo
@@ -98,7 +119,7 @@ object SamplingOps {
     // quantile shape at 100 TB (per-group exact needs every value of
     // every group co-resident; the global-exact two-pass above doesn't
     // decompose by group). No oracle (sketch internals differ per
-    // engine); SamplingSpec pins the error contract against exact.
+    // engine); PropertiesSpec pins the error contract against exact.
     "q_quantiles_grouped" -> ((s, d) =>
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")

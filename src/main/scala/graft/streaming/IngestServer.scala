@@ -1,0 +1,93 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+/** R1: the HTTP ingest front-end (publisher.go:137-214, registration at
+  * server.go:76-80) as a thin shim OUTSIDE Spark: CRDB's
+  * `experimental-http://` sink POSTs each changefeed file; this server
+  * checks the sharedKey query parameter (publisher.go:144-150 → 401),
+  * lands the body atomically in the ingest directory with the key encoded
+  * in the landed path (`sharedKey=<k>/<url-path>`) so the streaming
+  * authFilter sees exactly what the file-drop path sees, and acks 201
+  * (publisher.go:170). Routing/404 stays downstream in Streams.route — the
+  * shim's only job is durable receipt, so a 201 means "on disk", the same
+  * promise the reference's 200 made only after the publish future resolved
+  * (the §8-B2 async-ack bug is structurally impossible here).
+  *
+  * Deliberately plain JDK HttpServer, zero Spark involvement: ingest is a
+  * single-node concern (N shims can land into the same directory /
+  * distributed store; the directory source scales by file listing, not by
+  * receiver count).
+  */
+final class IngestServer(bindAddr: String, landingDir: String,
+  sharedKeys: Set[String]) extends AutoCloseable {
+
+  private val rejected = new AtomicLong(0)
+  private val landed = new AtomicLong(0)
+  def rejectedCount: Long = rejected.get()
+  def landedCount: Long = landed.get()
+
+  private val addr = bindAddr.split(":", 2) match {
+    case Array("", p) => new InetSocketAddress(p.toInt) // ":13013"
+    case Array(h, p)  => new InetSocketAddress(h, p.toInt)
+    case _ => throw new IllegalArgumentException(s"bad bindAddr $bindAddr")
+  }
+
+  private val server = HttpServer.create(addr, 0)
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      try {
+        if (ex.getRequestMethod != "POST") { reply(ex, 405, "POST only") }
+        else {
+          val key = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split("&").collectFirst {
+              case kv if kv.startsWith("sharedKey=") =>
+                kv.substring("sharedKey=".length)
+            }.getOrElse("")
+          if (!sharedKeys.contains(key)) {
+            rejected.incrementAndGet() // the 401 the producer sees
+            reply(ex, 401, "invalid sharedKey")
+          } else {
+            val rel = ex.getRequestURI.getPath.stripPrefix("/")
+            val dest = Paths.get(landingDir, s"sharedKey=$key", rel)
+              .normalize()
+            // path traversal guard: the landed file must stay inside the
+            // landing dir even for a hostile ../ URL
+            if (!dest.startsWith(Paths.get(landingDir).normalize())) {
+              reply(ex, 400, "bad path")
+            } else {
+              Files.createDirectories(dest.getParent)
+              // land atomically: directory sources must never list a
+              // half-written file (write tmp, move into place)
+              val tmp = Files.createTempFile(dest.getParent, ".land", ".tmp")
+              Files.copy(ex.getRequestBody, tmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              Files.move(tmp, dest,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              landed.incrementAndGet()
+              reply(ex, 201, "created")
+            }
+          }
+        }
+      } catch {
+        case e: Exception => reply(ex, 500, s"ingest failure: ${e.getMessage}")
+      } finally ex.close()
+    }
+  })
+  server.start()
+
+  /** The port actually bound (supports bindAddr ":0" in tests). */
+  def port: Int = server.getAddress.getPort
+
+  private def reply(ex: HttpExchange, code: Int, msg: String): Unit = {
+    val b = msg.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, b.length.toLong)
+    ex.getResponseBody.write(b)
+  }
+
+  override def close(): Unit = server.stop(0)
+}

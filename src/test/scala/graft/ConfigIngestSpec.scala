@@ -1,0 +1,131 @@
+package graft
+
+import graft.streaming.{IngestServer, Streams}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+/** R15 config surface + R1 HTTP ingest shim: the unified `spark.graft.*`
+  * namespace round-trips, and a POSTed changefeed file travels the whole
+  * bridge — HTTP receipt → landed file → stream → partitioned sink. */
+class ConfigIngestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val payload = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+    try { kv.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("GraftConfig: defaults mirror the reference flag table") {
+    val cfg = GraftConfig.from(spark)
+    assert(cfg.bindAddr == ":13013")        // --bindAddr default
+    assert(cfg.gracePeriodMs == 30000L)     // --gracePeriod 30s
+    assert(cfg.topicPrefix == "")           // --topicPrefix
+    assert(cfg.sharedKeys.isEmpty)          // --sharedKey nil
+    assert(!cfg.dumpOnly)                   // --dumpOnly false
+  }
+
+  test("GraftConfig: spark.graft.* keys round-trip, incl. key rotation list") {
+    withConf(
+      "spark.graft.bindAddr" -> "127.0.0.1:9090",
+      "spark.graft.gracePeriodMs" -> "5000",
+      "spark.graft.topicPrefix" -> "cdc-",
+      "spark.graft.sharedKeys" -> "k1, k2rotation",
+      "spark.graft.dumpOnly" -> "true",
+      "spark.graft.sfDir" -> "/root/testdata/sf0.001") {
+      val cfg = GraftConfig.from(spark)
+      assert(cfg.bindAddr == "127.0.0.1:9090")
+      assert(cfg.gracePeriodMs == 5000L)
+      assert(cfg.topicPrefix == "cdc-")
+      assert(cfg.sharedKeys == Set("k1", "k2rotation"))
+      assert(cfg.dumpOnly)
+      assert(cfg.sfDir == "/root/testdata/sf0.001")
+    }
+  }
+
+  private def ts33(n: Int): String = "0" * 30 + f"$n%03d"
+  private def upd(k: Long): String = f"$k%023d.0000000001"
+  private def envLine(k: Long): String =
+    s"""{"after": {"o_orderkey": $k, "o_custkey": ${k % 10}, "o_totalprice": ${k * 10}.5}, "key": [$k], "updated": "${upd(k)}"}"""
+
+  test("R1 end-to-end: POST -> 201 landed file -> stream -> partitioned sink") {
+    val landing = tmp("http-landing"); val out = tmp("http-out")
+    val srv = new IngestServer(":0", landing, Set("k1"))
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): Int =
+        client.send(
+          HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.port}$path"))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode()
+
+      val good = s"/ord_topic/2024-01-01/${ts33(1)}-u1-orders-1.ndjson"
+      assert(post(s"$good?sharedKey=k1",
+        Seq(envLine(1), envLine(2)).mkString("\n")) == 201)
+      // 401 without landing: the producer is told, nothing hits the dir
+      assert(post(s"$good?sharedKey=wrong", envLine(9)) == 401)
+      assert(post(good, envLine(9)) == 401) // missing key
+      // method + traversal guards
+      assert(client.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${srv.port}/x?sharedKey=k1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+      assert(post("/../../etc/owned?sharedKey=k1", "x") == 400)
+      assert(srv.landedCount == 1 && srv.rejectedCount == 2)
+      // the landed path carries the sharedKey segment authFilter expects
+      val landedFile = Paths.get(landing, "sharedKey=k1",
+        good.stripPrefix("/"))
+      assert(Files.exists(landedFile))
+
+      // the Spark side of the bridge picks the file up like any file drop
+      Streams.TopicCache.reset()
+      withConf(
+        "spark.graft.sharedKeys" -> "k1",
+        "spark.graft.topicPrefix" -> "cdc-") {
+        val q = Streams.publishPipeline(spark, landing, out,
+          tmp("http-ckpt"), payload)
+        q.processAllAvailable()
+        q.stop()
+      }
+      val published = spark.read.parquet(s"$out/data")
+      assert(published.count() == 2)
+      assert(published.filter(col("topic") === "cdc-ord_topic").count() == 2)
+      assert(published
+        .filter(element_at(col("attributes"), "table") === "orders")
+        .count() == 2)
+    } finally srv.close()
+  }
+
+  test("dumpOnly: pipeline logs instead of publishing (R10)") {
+    val landing = tmp("dump-landing"); val out = tmp("dump-out")
+    val p = Paths.get(landing,
+      s"sharedKey=k1/ord_topic/2024-01-01/${ts33(1)}-u1-orders-1.ndjson")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, envLine(1))
+    withConf(
+      "spark.graft.sharedKeys" -> "k1",
+      "spark.graft.dumpOnly" -> "true") {
+      val q = Streams.publishPipeline(spark, landing, out,
+        tmp("dump-ckpt"), payload)
+      q.processAllAvailable()
+      val progressed = q.recentProgress.nonEmpty
+      q.stop()
+      assert(progressed)
+    }
+    assert(!Files.exists(Paths.get(out, "data")), "dumpOnly must not publish")
+  }
+}
