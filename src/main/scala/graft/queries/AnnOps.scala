@@ -209,7 +209,7 @@ object AnnOps {
       val sig = par(Tables(s, d, "embeddings"))
         .select(col("vec_id"), col("embedding"),
           sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"),
-          rpSig("embedding").as("bits"))
+          rpSig(s, "embedding").as("bits"))
         .filter(col("nrm") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
       sig.count() // eager fill: one signature pass for all three reads
@@ -271,21 +271,21 @@ object AnnOps {
       Array.tabulate(64)(i => (h(s"rp-$j-$i") % 1000L) / 500.0 - 1.0))
   }
 
-  /** Plane-j dot as a codegen'd 64-term multiply-add over literal weights
-    * (left-assoc reduce == DuckDB's seedless list_reduce left fold, so the
-    * float sum is bitwise identical and the sign bits agree exactly). */
-  private def planeDot(vecCol: String, j: Int): Column =
-    (0 until 64).map(i =>
-      element_at(col(vecCol), i + 1).cast("double") * lit(planeW(j)(i)))
-      .reduce(_ + _)
-
   /** All 48 sign bits packed into ONE long (bit j = dot_j >= 0): Hamming
     * becomes bit_count(xor) on an 8-byte key — no 48-element arrays ride
-    * the shuffle, unlike the text simhash whose bits feed chunk sums. */
-  private[graft] def rpSig(vecCol: String): Column =
-    (0 until rpBits).map(j =>
-      when(planeDot(vecCol, j) >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    * the shuffle, unlike the text simhash whose bits feed chunk sums.
+    *
+    * The signature is the native `sign_lsh_sig` expression over the
+    * driver-literal planes: the original 48x64 inlined `element_at * lit`
+    * Column chain generated a `processNext()` beyond the JVM's 64 KB
+    * method limit, silently dropping the whole cached-signature stage out
+    * of codegen (round-4 plan audit). The expression's ascending-i loop
+    * accumulates in the same left-assoc order as that chain and as
+    * DuckDB's seedless list_reduce left fold, so the float sums stay
+    * bitwise identical and the sign bits agree exactly across engines. */
+  private[graft] def rpSig(s: SparkSession, vecCol: String): Column =
+    graft.functions.SignLshSig(s, col(vecCol),
+      typedLit[Seq[Seq[Double]]](planeW.map(_.toSeq)))
 
   // ------------------------------------------------------------ IVF ANN
 

@@ -69,7 +69,7 @@ class AnnSpec extends AnyFunSuite {
     val sig = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(DotProduct(spark, col("embedding"), col("embedding"))).as("nrm"),
-        AnnOps.rpSig("embedding").as("bits"))
+        AnnOps.rpSig(spark, "embedding").as("bits"))
       .filter(col("nrm") > 0)
     val other = sig.select(col("vec_id").as("nid"),
       col("embedding").as("eb"), col("nrm").as("nb"), col("bits").as("ob"))
