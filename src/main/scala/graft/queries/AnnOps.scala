@@ -37,27 +37,14 @@ object AnnOps {
   private val numHashes = 48
   private val bands = 16 // r = 3 rows per band
 
-  private def toks(c: Column): Column = split(lower(c), " ")
-
-  private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-
-  // Guarded like TextOps.shingles: short docs yield zero shingles instead
-  // of a descending sequence + slice crash (DuckDB's range is empty there).
-  private def shingles3(tok: Column): Column =
-    array_distinct(
-      when(size(tok) >= 3,
-        transform(sequence(lit(0), size(tok) - 3),
-          i => concat_ws(" ", slice(tok, i + 1, lit(3)))))
-        .otherwise(array().cast("array<string>")))
-
-  /** (doc_id, sh: array, h: exploded 60-bit shingle hash) — each shingle
-    * hashed exactly once. */
+  /** (doc_id, h: exploded 60-bit hash of the distinct 3-gram shingles) —
+    * one fused shingle_hash60 pass per doc (see that expression's
+    * engine-parity contract; it IS `array_distinct(shingles) |> h60`). */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     par(Tables(s, d, "documents"))
-      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), h60(col("s")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash60(s, col("text"), 3, distinct = true))
+          .as("h"))
 
   /** Affine permutation parameters, derived (not random) so both the Scala
     * and any SQL twin can regenerate them. */
@@ -76,9 +63,14 @@ object AnnOps {
     * pair listing) and q_dedup_cluster (which treats the pairs as the
     * duplicate-graph edge set). Unordered. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // shingle arrays are read twice by the exact-Jaccard verify join
+    // Distinct-shingle HASH arrays (8-byte elements, not ~25-byte text) —
+    // read twice by the exact-Jaccard verify join. Intersecting hashes is
+    // exactly the oracle's semantics: its `inter` CTE equi-joins the
+    // hashes too, so the (negligible) collision case matches engines.
     val docs = par(Tables(s, d, "documents"))
-      .select(col("doc_id"), shingles3(toks(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
+          .as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     docs.count() // eager fill before the two verify-join reads
     val minAggs = (0 until numHashes).map { i =>
@@ -145,19 +137,27 @@ object AnnOps {
     // into long paths.
     //
     // Scale shape: edge set is O(near-dup pairs) — persisted, it is FAR
-    // smaller than the corpus. Each round is one shuffle join keyed on
-    // doc_id + one agg; label frames persist eagerly and the previous
-    // round unpersists, so peak cache is 2 label frames + edges. At
-    // production scale checkpoint labels every ~5 rounds to truncate the
-    // iterative lineage (documented, not needed at fixture depth).
+    // smaller than the corpus — and the iteration runs over the near-dup
+    // SUBGRAPH only (docs with >= 1 edge; singletons rejoin at the end),
+    // so each round shuffles O(subgraph), not O(corpus). Label frames
+    // persist eagerly and the previous round unpersists, so peak cache
+    // is 2 label frames + edges. At production scale checkpoint labels
+    // every ~5 rounds to truncate the iterative lineage (documented, not
+    // needed at fixture depth).
     "q_dedup_cluster" -> ((s, d) => {
       val pairs = minhashPairs(s, d)
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       edges.count() // eager: the pair pipeline runs once, not per round
-      var labels = par(Tables(s, d, "documents"))
-        .select(col("doc_id"), col("doc_id").as("label"))
+      // Iterate over the near-dup SUBGRAPH only — docs with at least one
+      // edge (both directions are in `edges`, so `src` covers every such
+      // doc). Singletons never change label, so looping them through
+      // every round would shuffle the whole corpus per round for nothing;
+      // at 100 TB the subgraph is typically a few percent of the docs.
+      // They rejoin via the left join below.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var labelSum = labels.agg(sum("label")).head.getLong(0)
       var converged = false
@@ -179,12 +179,14 @@ object AnnOps {
         labelSum = nextSum
       }
       edges.unpersist()
-      val csz = Window.partitionBy("label")
-      labels
+      val csz = Window.partitionBy("cluster_id")
+      par(Tables(s, d, "documents")).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(csz))
-        .select(col("doc_id"), col("label").as("cluster_id"),
-          col("cluster_size"),
-          (col("doc_id") === col("label")).as("is_canonical"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
         .orderBy("doc_id")
     }),
 

@@ -17,26 +17,14 @@ import org.apache.spark.sql.functions._
   * filter at 100 TB, noted inline.
   *
   * Portability: the shingle hash is the first 15 hex chars of md5 read as
-  * a 60-bit int — identical in Spark (conv(_,16,10)) and DuckDB
-  * ('0x'||prefix cast). No engine-specific hash() anywhere.
+  * a 60-bit int — DuckDB regenerates it with '0x'||prefix cast; the Spark
+  * side computes the identical value natively (functions.ShingleHash60's
+  * fused tokenize->shingle->distinct->md5-prefix loop — see its
+  * engine-parity contract). No engine-specific hash() anywhere.
   */
 object TextOps {
 
   private def toks(c: Column): Column = split(lower(c), " ")
-
-  /** 60-bit portable hash of a string via md5 hex prefix. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
-
-  /** Token n-gram shingles of a token array (n fixed per call site).
-    * Guarded for docs shorter than n tokens: Spark's sequence(0, neg)
-    * counts DOWN and slice then throws, while the DuckDB twin's
-    * range(len-n+1) is empty — emit the empty array on both engines. */
-  private def shingles(tok: Column, n: Int): Column =
-    when(size(tok) >= n,
-      transform(sequence(lit(0), size(tok) - n),
-        i => concat_ws(" ", slice(tok, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
 
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to"),
@@ -102,15 +90,19 @@ object TextOps {
         .orderBy("doc_id")),
 
     // Winnowing-style fingerprint: min/max/count-distinct over hashed
-    // token 4-grams — constant-size per-document sketch.
+    // token 4-grams — constant-size per-document sketch. One fused
+    // shingle_hash60 pass: min/max are dedup-invariant, and the distinct
+    // array's LENGTH is the distinct-STRING count (dedup happens on the
+    // shingle strings inside the expression), so all three stats read
+    // off the same array.
     "q_fingerprint" -> ((s, d) =>
       par(Tables(s, d, "documents"))
-        .withColumn("sh", shingles(toks(col("text")), 4))
-        .withColumn("hashes", transform(col("sh"), h60 _))
+        .withColumn("h",
+          graft.functions.ShingleHash60(s, col("text"), 4, distinct = true))
         .select(col("doc_id"),
-          array_min(col("hashes")).as("fp_min"),
-          array_max(col("hashes")).as("fp_max"),
-          size(array_distinct(col("sh"))).cast("long").as("n_shingles"))
+          array_min(col("h")).as("fp_min"),
+          array_max(col("h")).as("fp_max"),
+          size(col("h")).cast("long").as("n_shingles"))
         .orderBy("doc_id")),
 
     // Exact 3-gram Jaccard near-dup pairs >= 0.8: the oracle ground truth
@@ -125,8 +117,8 @@ object TextOps {
       // per shingle — MEMORY_AND_DISK spills, never OOMs.
       val sh = par(Tables(s, d, "documents"))
         .select(col("doc_id"),
-          explode(array_distinct(shingles(toks(col("text")), 3))).as("s"))
-        .select(col("doc_id"), h60(col("s")).as("s"))
+          explode(graft.functions.ShingleHash60(s, col("text"), 3,
+            distinct = true)).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count() // eager fill: one md5 pass for all three reads
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
