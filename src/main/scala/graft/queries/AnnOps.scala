@@ -136,20 +136,29 @@ object AnnOps {
     // that rewrite is the named fallback if a corpus ever chains dups
     // into long paths.
     //
-    // Scale shape: edge set is O(near-dup pairs) — persisted, it is FAR
-    // smaller than the corpus — and the iteration runs over the near-dup
-    // SUBGRAPH only (docs with >= 1 edge; singletons rejoin at the end),
-    // so each round shuffles O(subgraph), not O(corpus). Label frames
-    // persist eagerly and the previous round unpersists, so peak cache
-    // is 2 label frames + edges. At production scale checkpoint labels
-    // every ~5 rounds to truncate the iterative lineage (documented, not
-    // needed at fixture depth).
+    // Scale shape: edge set is O(near-dup pairs) — FAR smaller than the
+    // corpus — and the iteration runs over the near-dup SUBGRAPH only
+    // (docs with >= 1 edge; singletons rejoin at the end), so each round
+    // shuffles O(subgraph), not O(corpus). Edges and each round's labels
+    // are localCheckpoint'ed: an iterative plan otherwise GROWS — every
+    // round's logical plan re-embeds the upstream DAG (persist caches
+    // execution, not planning), and by round k Catalyst is re-optimizing
+    // k copies of the minhash pipeline driver-side. Checkpointing cuts
+    // the plan to a LogicalRDD leaf. On a multi-node cluster prefer
+    // reliable checkpoint() (localCheckpoint blocks die with an
+    // executor); block cleanup is the ContextCleaner's, frames are
+    // O(subgraph).
     "q_dedup_cluster" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
+      // Materialize the pair pipeline ONCE, then truncate its whole DAG
+      // out of the loop's plans (the union references pairs twice, and
+      // every round's plan would re-embed it otherwise).
+      val pairs = minhashPairs(s, d).select("d1", "d2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // eager fill: one pair pass for both union branches
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      edges.count() // eager: the pair pipeline runs once, not per round
+        .localCheckpoint(true)
+      pairs.unpersist()
       // Iterate over the near-dup SUBGRAPH only — docs with at least one
       // edge (both directions are in `edges`, so `src` covers every such
       // doc). Singletons never change label, so looping them through
@@ -158,8 +167,12 @@ object AnnOps {
       // They rejoin via the left join below.
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("label", col("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labelSum = labels.agg(sum("label")).head.getLong(0)
+        .localCheckpoint(true)
+      // coalesce: an edgeless corpus gives an EMPTY label frame and a
+      // null sum — converge on 0 == 0 instead of an NPE.
+      def sumLabels(df: DataFrame): Long =
+        df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      var labelSum = sumLabels(labels)
       var converged = false
       while (!converged) {
         val nbrMin = edges
@@ -171,14 +184,12 @@ object AnnOps {
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nmin"), col("label")))
               .as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val nextSum = next.agg(sum("label")).head.getLong(0) // fills cache
-        labels.unpersist()
+          .localCheckpoint(true) // truncates round-k lineage AND plan
+        val nextSum = sumLabels(next)
         labels = next
         converged = nextSum == labelSum
         labelSum = nextSum
       }
-      edges.unpersist()
       val csz = Window.partitionBy("cluster_id")
       par(Tables(s, d, "documents")).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
@@ -373,32 +384,19 @@ object AnnOps {
     (0 until numCells).map(c => Array.tabulate(64)(w(c, _)))
   }
 
-  // Norms folded left-to-right, the same order Spark's aggregate() would
-  // use in-plan — cell scores stay bitwise-identical to the old plan.
-  private val centroidNorm: IndexedSeq[Double] =
-    centroidW.map(ws => math.sqrt(ws.map(x => x * x).foldLeft(0.0)(_ + _)))
-
-  /** cdot for every cell as a codegen'd 64-term multiply-add (left-assoc
-    * reduce == the sequential aggregate() fold it replaces). */
-  private def cellScores(vecCol: String): Seq[Column] =
-    centroidW.indices.map { c =>
-      (0 until 64).map(j =>
-        element_at(col(vecCol), j + 1).cast("double")
-          * lit(centroidW(c)(j)))
-        .reduce(_ + _) / lit(centroidNorm(c))
-    }
-
-  /** Top-k nearest cells per row, statelessly: sort an 8-element array of
-    * (-cdot, cell) structs (== cdot desc, cell asc) and explode the first
-    * k cells. No Exchange anywhere before the cell equi-join. */
-  private def assignCells(df: DataFrame, vecCol: String, k: Int): DataFrame = {
-    val scored = array(cellScores(vecCol).zipWithIndex.map { case (sc, c) =>
-      struct((-sc).as("neg"), lit(c).as("cell"))
-    }: _*)
+  /** Top-k nearest cells per row, statelessly via the native
+    * ivf_top_cells loop over the driver-literal centroids (score =
+    * dot/|c| in the same left-assoc order as the inlined chain it
+    * replaces, selection (score desc, cell asc)). No Exchange anywhere
+    * before the cell equi-join — and no more |cells| x 64 inlined
+    * multiply-add Column nodes, which stayed under the codegen limit but
+    * bloated every carrying stage's task binary to ~1.6 MiB (the round-4
+    * bench's largest). */
+  private def assignCells(s: SparkSession, df: DataFrame, vecCol: String,
+    k: Int): DataFrame =
     df.withColumn("cell",
-      explode(transform(slice(array_sort(scored), 1, k),
-        s => s.getField("cell"))))
-  }
+      explode(graft.functions.IvfTopCells(s, col(vecCol),
+        typedLit[Seq[Seq[Double]]](centroidW.map(_.toSeq)), k)))
 
   /** IVF search: assign corpus rows to their nearest coarse cell (a
     * stateless projection over driver-literal centroids), probe only the
@@ -407,8 +405,8 @@ object AnnOps {
     * invariant AnnSpec pins. */
   def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val emb = Tables(s, d, "embeddings")
-    val corpus = assignCells(emb, "embedding", 1)
-    val probes = assignCells(
+    val corpus = assignCells(s, emb, "embedding", 1)
+    val probes = assignCells(s,
       emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"),
           col("embedding").as("probe")),
