@@ -115,7 +115,7 @@ object AnnOps {
 
   // ------------------------------------------------------------- queries
 
-  val q: Map[String, Q] = Map(
+  private val pairQ: Map[String, Q] = Map(
     "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("d1", "d2")),
 
     // Duplicate-cluster assignment — the step a real curation pipeline
@@ -148,7 +148,41 @@ object AnnOps {
     // reliable checkpoint() (localCheckpoint blocks die with an
     // executor); block cleanup is the ContextCleaner's, frames are
     // O(subgraph).
-    "q_dedup_cluster" -> ((s, d) => {
+    "q_dedup_cluster" -> ((s, d) => dedupCluster(s, d)),
+
+    // The end-to-end curation verdict a migrating pipeline user actually
+    // runs: per doc, the language call, the quality score, exact-dup
+    // canonicality (first doc_id of its md5 digest group) and near-dup
+    // canonicality (cluster representative), folded into one keep/drop
+    // flag (keep = en AND quality >= 0.15 AND both canonical bits).
+    // Composed from the individually-oracle-proven operators; the oracle
+    // composes the same SQL twins, so the COMPOSITION is checked, not
+    // just the parts. Scale shape: four doc_id-keyed equi-joins of
+    // corpus-sized frames (AQE picks shuffle join; every input is one
+    // scan + stateless projection or one window), plus the cluster
+    // subgraph iteration.
+    "q_curation_keep" -> ((s, d) => {
+      val lang = TextOps.q("q_lang_id")(s, d)
+        .select(col("doc_id"), col("pred_lang"))
+      val qual = TextOps.q("q_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      val exact = par(Tables(s, d, "documents"))
+        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("digest").orderBy("doc_id")))
+        .select(col("doc_id"), (col("rn") === 1).as("exact_canonical"))
+      val near = dedupCluster(s, d)
+        .select(col("doc_id"), col("is_canonical").as("near_canonical"))
+      lang.join(qual, "doc_id").join(exact, "doc_id").join(near, "doc_id")
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          col("exact_canonical"), col("near_canonical"),
+          (col("pred_lang") === "en" && col("quality") >= 0.15 &&
+            col("exact_canonical") && col("near_canonical")).as("keep"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
       // Materialize the pair pipeline ONCE, then truncate its whole DAG
       // out of the loop's plans (the union references pairs twice, and
       // every round's plan would re-embed it otherwise).
@@ -199,8 +233,9 @@ object AnnOps {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
         .orderBy("doc_id")
-    }),
+  }
 
+  private val sketchQ: Map[String, Q] = Map(
     // 48-bit SimHash via 48 parallel bit-sum aggregates; 4 banding chunks
     // of 12 bits; exact Hamming <= 3 on candidates. The signature is ONE
     // packed long (bit b set iff the majority vote), so banding is a
@@ -326,6 +361,8 @@ object AnnOps {
     }),
   )
 
+  val q: Map[String, Q] = pairQ ++ sketchQ
+
   // ------------------------------------------------- sign-LSH parameters
 
   private[graft] val rpBits = 48
@@ -425,50 +462,79 @@ object AnnOps {
 
   // ------------------------------------------------------------- oracles
 
+  /** Ground-truth connected components via recursive transitive closure
+    * over the exact-Jaccard >= 0.8 edge set (the same pair SQL as the
+    * minhash oracle, un-ordered, embedded as CTEs). min(reachable id)
+    * == the propagation fixpoint, independent of either engine's
+    * iteration order. Shared by the q_dedup_cluster and q_curation_keep
+    * oracles; the enclosing WITH must be RECURSIVE. */
+  private val clusterCtes =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(unnest(list_distinct(
+      |      [array_to_string(tok[i+1:i+3], ' ')
+      |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+      |        FROM documents)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sz s1 ON s1.doc_id = d1
+      |  JOIN sz s2 ON s2.doc_id = d2
+      |  WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6)
+      |        >= 0.8),
+      |edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
+      |        FROM reach GROUP BY id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Shares the exact ground truth: LSH recall at the fixture's J-margin
     // makes the approximate and exact outputs identical (see header note).
     "q_dedup_minhash" -> TextOps.oracle("q_dedup_ngram_jaccard"),
 
-    // Ground-truth connected components via recursive transitive closure
-    // over the exact-Jaccard >= 0.8 edge set (the same pair SQL as the
-    // minhash oracle, un-ordered, embedded as a CTE). min(reachable id)
-    // == the propagation fixpoint, independent of either engine's
-    // iteration order.
     "q_dedup_cluster" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substring(md5(unnest(list_distinct(
-        |      [array_to_string(tok[i+1:i+3], ' ')
-        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
-        |        FROM documents)),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN sz s1 ON s1.doc_id = d1
-        |  JOIN sz s2 ON s2.doc_id = d2
-        |  WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6)
-        |        >= 0.8),
-        |edges AS (
-        |  SELECT d1 AS a, d2 AS b FROM pairs
-        |  UNION SELECT d2, d1 FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
-        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
-        |        FROM reach GROUP BY id),
+      s"""WITH RECURSIVE $clusterCtes,
         |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size
         |        FROM lab GROUP BY cluster_id)
         |SELECT l.doc_id, l.cluster_id, c.cluster_size,
         |       l.doc_id = l.cluster_id AS is_canonical
         |FROM lab l JOIN csz c USING (cluster_id)
         |ORDER BY l.doc_id""".stripMargin,
+
+    // The composition oracle: the SAME SQL twins that individually prove
+    // q_lang_id / q_quality_score / q_dedup_exact / q_dedup_cluster,
+    // embedded as CTEs and folded into the keep flag — so the composed
+    // pipeline is checked end-to-end, not just its parts.
+    "q_curation_keep" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |lang AS (${TextOps.oracle("q_lang_id")}),
+        |qual AS (${TextOps.oracle("q_quality_score")}),
+        |ex AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+        |                       ORDER BY doc_id) = 1 AS exact_canonical
+        |  FROM documents)
+        |SELECT d.doc_id, lang.pred_lang, qual.quality,
+        |  ex.exact_canonical,
+        |  l.doc_id = l.cluster_id AS near_canonical,
+        |  (lang.pred_lang = 'en' AND qual.quality >= 0.15
+        |   AND ex.exact_canonical AND l.doc_id = l.cluster_id) AS keep
+        |FROM documents d
+        |JOIN lang ON lang.doc_id = d.doc_id
+        |JOIN qual ON qual.doc_id = d.doc_id
+        |JOIN ex ON ex.doc_id = d.doc_id
+        |JOIN lab l ON l.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Full SQL twin: same 48-bit simhash, same chunk banding, exact
     // Hamming <= 3 (deterministic by pigeonhole — not probabilistic).
