@@ -21,7 +21,13 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   *    dedup/sampling family. Composed from built-in Catalyst expressions
   *    (Md5/Substring/Conv/Cast), so it whole-stage-codegens with zero new
   *    expression classes, and its SQL twin is
-  *    `CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)` in DuckDB.
+  *    `CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)` in DuckDB;
+  *  - `sign_lsh_sig(vec, planes)` — packed 48-bit random-hyperplane
+  *    signature (SignLshSig.scala);
+  *  - `ivf_top_cells(vec, centroids, k)` — IVF coarse-cell assignment
+  *    (IvfTopCells.scala);
+  *  - `shingle_hash60(text, n, distinct)` — fused shingle hasher
+  *    (ShingleHash60.scala).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -64,5 +70,29 @@ object GraftExtensions {
       h60Ident,
       new ExpressionInfo(classOf[Conv].getName, "graft_h60"),
       h60Builder _))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_sig"),
+      new ExpressionInfo(classOf[SignLshSig].getName, "sign_lsh_sig"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"sign_lsh_sig requires exactly 2 arguments, got ${exprs.length}")
+        SignLshSig(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ivf_top_cells"),
+      new ExpressionInfo(classOf[IvfTopCells].getName, "ivf_top_cells"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"ivf_top_cells requires exactly 3 arguments, got ${exprs.length}")
+        IvfTopCells(exprs.head, exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"shingle_hash60 requires exactly 3 arguments, got ${exprs.length}")
+        ShingleHash60(exprs.head, exprs(1), exprs(2))
+      }))
   }
 }

@@ -84,6 +84,23 @@ class LlmOpsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_h60('a', 'b')").collect()
     }
     assert(e.getMessage.contains("1 argument"))
+    // Round-4 natives resolve from plain SQL too — injection, no register.
+    val sig = spark.sql(
+      "SELECT sign_lsh_sig(array(CAST(1.0 AS FLOAT)), " +
+        "array(array(CAST(1.0 AS DOUBLE))))").collect()(0).getLong(0)
+    assert(sig == 1L, s"sign_lsh_sig positive-dot bit 0 expected, got $sig")
+    val cells = spark.sql(
+      "SELECT ivf_top_cells(array(CAST(1.0 AS FLOAT)), " +
+        "array(array(CAST(-1.0 AS DOUBLE)), array(CAST(1.0 AS DOUBLE))), 2)")
+      .collect()(0).getSeq[Int](0)
+    assert(cells == Seq(1, 0), s"ivf_top_cells ordering wrong: $cells")
+    val sh = spark.sql(
+      "SELECT shingle_hash60('a b c', 3, true)").collect()(0).getSeq[Long](0)
+    val md2 = java.security.MessageDigest.getInstance("MD5")
+    val exp = java.lang.Long.parseLong(
+      md2.digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    assert(sh == Seq(exp), s"shingle_hash60('a b c') = $sh, expected $exp")
   }
 
   test("CosineSim guards: zero-norm -> null (not NaN), bad arity -> error") {
