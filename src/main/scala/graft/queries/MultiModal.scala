@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * binary columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * Every modality decodes REAL bytes end-to-end, pure JVM:
+  * Every stage operates on REAL bytes end-to-end, pure JVM — decode and
+  * feature-extract (round 3), resize re-encode and frame-payload
+  * sampling (round 4):
   *  - image: genuine PNG payloads (javax.imageio) decoded back to pixels;
   *  - audio: genuine RIFF/WAVE 16-bit PCM (javax.sound.sampled) decoded
   *    back to samples;
@@ -237,32 +239,101 @@ object MultiModal {
       }
   }
 
-  /** Resize stage (image/video): pure metadata transform — payload bytes
-    * pass through untouched (a real impl would re-encode in the same
-    * batched seam as decode). */
-  def resizeMeta(records: Dataset[MMRecord], maxW: Int, maxH: Int): Dataset[MMRecord] = {
-    import records.sparkSession.implicits._
-    records.map { r =>
-      if (r.modality == "audio" || (r.meta.width <= maxW && r.meta.height <= maxH)) r
-      else {
-        val scale = math.min(maxW.toDouble / r.meta.width,
-          maxH.toDouble / r.meta.height)
-        r.copy(meta = r.meta.copy(
-          width = math.max(1, (r.meta.width * scale).toInt),
-          height = math.max(1, (r.meta.height * scale).toInt)))
-      }
+  /** Parse a graft-mpng container into its PNG frame payloads. */
+  def mpngFrames(content: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      frame
     }
   }
 
-  /** Frame sampling (video): every k-th frame index, computed from
-    * metadata only — the real impl would pull those frames in the decode
-    * seam. */
+  /** Assemble PNG frames back into a graft-mpng container. */
+  def mpngOf(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** REAL nearest-neighbor PNG downscale to fit (maxW, maxH), preserving
+    * aspect ratio; returns the original bytes untouched when already in
+    * bounds. Nearest-neighbor keeps the transform integer-deterministic
+    * (no resampling filter float variance across JVMs). */
+  def resizePng(content: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content))
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= maxW && h <= maxH) return content
+    val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+    val nw = math.max(1, (w * scale).toInt)
+    val nh = math.max(1, (h * scale).toInt)
+    val out = new java.awt.image.BufferedImage(
+      nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        out.setRGB(x, y, img.getRGB(x * w / nw, y * h / nh))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Resize stage (image/video): REAL re-encode in the same batched seam
+    * as decode — images are nearest-neighbor downscaled and re-encoded,
+    * video containers are rebuilt from per-frame downscales, audio passes
+    * through, and metadata is read back from the ACTUAL output (never
+    * computed on faith). In-bounds payloads pass through byte-identical. */
+  def resize(records: Dataset[MMRecord], maxW: Int, maxH: Int): Dataset[MMRecord] = {
+    import records.sparkSession.implicits._
+    records
+      .repartition(col("modality"))
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        r.modality match {
+          case "audio" => r
+          case "image" =>
+            val content = resizePng(r.content, maxW, maxH)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(content))
+            r.copy(content = content,
+              meta = r.meta.copy(width = img.getWidth, height = img.getHeight))
+          case _ =>
+            val frames = mpngFrames(r.content).map(resizePng(_, maxW, maxH))
+            val dims = frames.headOption.map { f =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(f))
+              (img.getWidth, img.getHeight)
+            }.getOrElse((r.meta.width, r.meta.height))
+            r.copy(content = mpngOf(frames),
+              meta = r.meta.copy(width = dims._1, height = dims._2))
+        }
+      }))
+  }
+
+  /** Frame sampling (video): every k-th frame pulled out of the container
+    * as its REAL PNG payload — sample-then-decode, so unsampled frames
+    * are never even copied out downstream. Output: one row per sampled
+    * frame (id, frame_idx, frame binary). */
   def sampleFrames(records: Dataset[MMRecord], everyK: Int): DataFrame = {
     import records.sparkSession.implicits._
-    records.filter(_.modality == "video").toDF()
-      .select(col("id"), col("meta.n_frames").as("n_frames"),
-        sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))
-          .as("frame_idx"))
+    records.filter(_.modality == "video")
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        mpngFrames(r.content).zipWithIndex.collect {
+          case (frame, idx) if idx % everyK == 0 => (r.id, idx, frame)
+        }
+      }))
+      .toDF("id", "frame_idx", "frame")
   }
 
   /** Query-surface entry: end-to-end features joined back to metadata —

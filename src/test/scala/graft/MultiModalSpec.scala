@@ -140,33 +140,68 @@ class MultiModalSpec extends AnyFunSuite {
     }
   }
 
-  test("resize caps dimensions, audio passes through") {
-    val resized = MultiModal.resizeMeta(MultiModal.corpus(spark, sf), 100, 100)
-      .collect()
-    assert(resized.filter(r => r.modality != "audio")
-      .forall(r => r.meta.width <= 100 && r.meta.height <= 100))
-    val origAudio = MultiModal.corpus(spark, sf).collect()
-      .filter(_.modality == "audio").map(r => r.id -> r.meta).toMap
-    assert(resized.filter(_.modality == "audio")
-      .forall(r => origAudio(r.id) == r.meta))
-    // corpus media is small; exercise the actual scale-down arithmetic
-    // with an oversized synthetic record (metadata-only transform)
+  test("resize REALLY re-encodes: decoded output dims, in-bounds passthrough") {
     import spark.implicits._
-    val big = MultiModal.MMRecord(99L, "video", Array[Byte](0),
-      MultiModal.MMeta(320, 240, 0, 5))
-    val shrunk = MultiModal.resizeMeta(Seq(big).toDS(), 100, 100)
-      .collect().head
-    assert(shrunk.meta.width == 100 && shrunk.meta.height == 75,
-      s"320x240 -> expected 100x75, got ${shrunk.meta}")
+    def dims(png: Array[Byte]): (Int, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      (img.getWidth, img.getHeight)
+    }
+    // corpus media is already <= 64x48: everything must pass through
+    // BYTE-identical (no gratuitous re-encode), audio untouched
+    val orig = MultiModal.corpus(spark, sf).collect().map(r => r.id -> r).toMap
+    val same = MultiModal.resize(MultiModal.corpus(spark, sf), 100, 100)
+      .collect()
+    same.foreach { r =>
+      assert(java.util.Arrays.equals(r.content, orig(r.id).content),
+        s"id=${r.id}: in-bounds payload must pass through byte-identical")
+      assert(r.meta == orig(r.id).meta)
+    }
+    // oversized synthetic records: REAL downscale, verified by decoding
+    val bigImg = MultiModal.MMRecord(98L, "image",
+      MultiModal.pngBytes(320, 240, "seed".getBytes), MultiModal.MMeta(320, 240, 0, 1))
+    val bigVid = MultiModal.MMRecord(99L, "video",
+      MultiModal.mpngBytes(320, 240, 3, "seed".getBytes), MultiModal.MMeta(320, 240, 0, 3))
+    val shrunk = MultiModal.resize(Seq(bigImg, bigVid).toDS(), 100, 100)
+      .collect().map(r => r.id -> r).toMap
+    assert(shrunk(98L).meta.width == 100 && shrunk(98L).meta.height == 75)
+    assert(dims(shrunk(98L).content) == (100, 75),
+      "image payload must ACTUALLY be 100x75 when decoded")
+    // nearest-neighbor correspondence: output pixel maps to source pixel
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bigImg.content))
+    val dst = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(shrunk(98L).content))
+    assert(dst.getRGB(0, 0) == src.getRGB(0, 0))
+    assert(dst.getRGB(99, 74) == src.getRGB(99 * 320 / 100, 74 * 240 / 75))
+    val vidFrames = MultiModal.mpngFrames(shrunk(99L).content)
+    assert(vidFrames.length == 3, "frame count must survive resize")
+    vidFrames.foreach(f => assert(dims(f) == (100, 75),
+      "every video frame must decode at the target size"))
   }
 
-  test("frame sampling emits every k-th index from metadata only") {
-    val sampled = MultiModal.sampleFrames(MultiModal.corpus(spark, sf), 10)
+  test("frame sampling pulls the REAL every-k-th frame payloads") {
+    val sampled = MultiModal.sampleFrames(MultiModal.corpus(spark, sf), 2)
       .collect()
     assert(sampled.nonEmpty)
-    sampled.foreach { r =>
-      val n = r.getInt(1); val idx = r.getSeq[Int](2)
-      assert(idx == (0 until n by 10).toSeq, s"id=${r.getLong(0)}")
+    val orig = MultiModal.corpus(spark, sf).collect()
+      .filter(_.modality == "video")
+      .map(r => r.id -> MultiModal.mpngFrames(r.content)).toMap
+    val byId = sampled.groupBy(_.getLong(0))
+    byId.foreach { case (id, rows) =>
+      val want = orig(id).zipWithIndex.collect {
+        case (f, i) if i % 2 == 0 => i -> f
+      }.toMap
+      assert(rows.map(_.getInt(1)).sorted.toSeq == want.keys.toSeq.sorted,
+        s"id=$id: sampled indices wrong")
+      rows.foreach { r =>
+        assert(java.util.Arrays.equals(
+          r.getAs[Array[Byte]](2), want(r.getInt(1))),
+          s"id=$id frame=${r.getInt(1)}: payload != original frame bytes")
+        // and each sampled frame is a decodable PNG
+        assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          r.getAs[Array[Byte]](2))) != null)
+      }
     }
   }
 }
