@@ -110,6 +110,42 @@ class ConfigIngestSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("concurrent POSTs land atomically: N complete files, exact counters") {
+    val landing = tmp("http-concurrent")
+    val srv = new IngestServer(":0", landing, Set("k1"))
+    try {
+      val client = HttpClient.newHttpClient()
+      val n = 64
+      // payload big enough that a non-atomic write would be observable as
+      // a torn file; every body distinct so content checks catch mixups
+      def body(i: Int): String =
+        (1 to 200).map(j => envLine(i * 1000L + j)).mkString("\n")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futures = (0 until n).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = client.send(
+              HttpRequest.newBuilder(URI.create(
+                s"http://127.0.0.1:${srv.port}/t/2024-01-01/${ts33(i)}-u$i-orders-1.ndjson?sharedKey=k1"))
+                .POST(HttpRequest.BodyPublishers.ofString(body(i))).build(),
+              HttpResponse.BodyHandlers.ofString()).statusCode()
+          })
+        }
+        assert(futures.forall(_.get() == 201), "every concurrent POST acks 201")
+      } finally pool.shutdown()
+      assert(srv.landedCount == n && srv.rejectedCount == 0)
+      val dir = Paths.get(landing, "sharedKey=k1", "t", "2024-01-01")
+      val files = Files.list(dir).toArray.map(_.toString).sorted
+      assert(files.length == n, s"expected $n landed files, got ${files.length}")
+      assert(!files.exists(_.contains(".tmp")), "no tmp residue may remain")
+      (0 until n).foreach { i =>
+        val f = Paths.get(dir.toString, s"${ts33(i)}-u$i-orders-1.ndjson")
+        assert(Files.readString(f) == body(i),
+          s"file $i torn or mixed up under concurrency")
+      }
+    } finally srv.close()
+  }
+
   test("dumpOnly: pipeline logs instead of publishing (R10)") {
     val landing = tmp("dump-landing"); val out = tmp("dump-out")
     val p = Paths.get(landing,
