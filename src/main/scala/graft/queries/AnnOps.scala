@@ -61,8 +61,19 @@ object AnnOps {
     * exploded shingle hashes (one codegen'd HashAggregate), LSH banding,
     * exact-Jaccard verify on candidates. Shared by q_dedup_minhash (the
     * pair listing) and q_dedup_cluster (which treats the pairs as the
-    * duplicate-graph edge set). Unordered. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    * duplicate-graph edge set). Unordered.
+    *
+    * The returned frame stays lazy, so the two internal persists (docs,
+    * banded) cannot be released here; `minhashPairsAnd` exposes the
+    * handles for callers that DO materialize (dedupCluster frees them
+    * once edges are checkpointed — otherwise both caches would sit dead
+    * through the whole propagation loop); harness clearCache covers the
+    * lazy path. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsAnd(s, d)._1
+
+  private def minhashPairsAnd(
+    s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     // Distinct-shingle HASH arrays (8-byte elements, not ~25-byte text) —
     // read twice by the exact-Jaccard verify join. Intersecting hashes is
     // exactly the oracle's semantics: its `inter` CTE equi-joins the
@@ -101,7 +112,7 @@ object AnnOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    cand
+    val pairs = cand
       .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("inter",
@@ -111,6 +122,7 @@ object AnnOps {
           / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+    (pairs, Seq(docs, banded))
   }
 
   // ------------------------------------------------------------- queries
@@ -186,13 +198,18 @@ object AnnOps {
       // Materialize the pair pipeline ONCE, then truncate its whole DAG
       // out of the loop's plans (the union references pairs twice, and
       // every round's plan would re-embed it otherwise).
-      val pairs = minhashPairs(s, d).select("d1", "d2")
+      val (rawPairs, sketchHandles) = minhashPairsAnd(s, d)
+      val pairs = rawPairs.select("d1", "d2")
         .persist(StorageLevel.MEMORY_AND_DISK)
       pairs.count() // eager fill: one pair pass for both union branches
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         .localCheckpoint(true)
+      // edges are self-contained now: release the pair frame AND the
+      // sketch caches minhashPairs persisted internally, instead of
+      // letting them sit dead through the whole propagation loop.
       pairs.unpersist()
+      sketchHandles.foreach(_.unpersist())
       // Iterate over the near-dup SUBGRAPH only — docs with at least one
       // edge (both directions are in `edges`, so `src` covers every such
       // doc). Singletons never change label, so looping them through

@@ -219,14 +219,16 @@ object LlmOps {
          |ORDER BY probe_id ASC, cos_sim DESC, vec_id ASC""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH ce AS (${dotSql("")}),
+         |norms AS (
+         |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+         |  FROM ce GROUP BY vec_id),
          |dots AS (
          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
          |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
          |  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM norms WHERE nrm > 0)
+         |    AND b.vec_id IN (SELECT vec_id FROM norms WHERE nrm > 0)
          |  GROUP BY 1, 2),
-         |norms AS (
-         |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-         |  FROM ce GROUP BY vec_id),
          |scored AS (
          |  SELECT d.vec_id, d.nn_id,
          |         round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim

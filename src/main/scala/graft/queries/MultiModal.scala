@@ -295,44 +295,55 @@ object MultiModal {
     * video containers are rebuilt from per-frame downscales, audio passes
     * through, and metadata is read back from the ACTUAL output (never
     * computed on faith). In-bounds payloads pass through byte-identical. */
+  /** Batch unit of the resize seam — same contract as decodeBatch: a
+    * native codec implementation would take the whole batch at once. */
+  private def resizeBatch(batch: Seq[MMRecord], maxW: Int,
+    maxH: Int): Seq[MMRecord] =
+    batch.map { r =>
+      r.modality match {
+        case "audio" => r
+        case "image" =>
+          val content = resizePng(r.content, maxW, maxH)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(content))
+          r.copy(content = content,
+            meta = r.meta.copy(width = img.getWidth, height = img.getHeight))
+        case _ =>
+          val frames = mpngFrames(r.content).map(resizePng(_, maxW, maxH))
+          val dims = frames.headOption.map { f =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(f))
+            (img.getWidth, img.getHeight)
+          }.getOrElse((r.meta.width, r.meta.height))
+          r.copy(content = mpngOf(frames),
+            meta = r.meta.copy(width = dims._1, height = dims._2))
+      }
+    }
+
   def resize(records: Dataset[MMRecord], maxW: Int, maxH: Int): Dataset[MMRecord] = {
     import records.sparkSession.implicits._
     records
       .repartition(col("modality"))
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
-        r.modality match {
-          case "audio" => r
-          case "image" =>
-            val content = resizePng(r.content, maxW, maxH)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(content))
-            r.copy(content = content,
-              meta = r.meta.copy(width = img.getWidth, height = img.getHeight))
-          case _ =>
-            val frames = mpngFrames(r.content).map(resizePng(_, maxW, maxH))
-            val dims = frames.headOption.map { f =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(f))
-              (img.getWidth, img.getHeight)
-            }.getOrElse((r.meta.width, r.meta.height))
-            r.copy(content = mpngOf(frames),
-              meta = r.meta.copy(width = dims._1, height = dims._2))
-        }
-      }))
+      .mapPartitions(_.grouped(batchSize).flatMap(resizeBatch(_, maxW, maxH)))
   }
 
   /** Frame sampling (video): every k-th frame pulled out of the container
     * as its REAL PNG payload — sample-then-decode, so unsampled frames
     * are never even copied out downstream. Output: one row per sampled
     * frame (id, frame_idx, frame binary). */
+  /** Batch unit of the frame-sample seam (see resizeBatch). */
+  private def sampleBatch(batch: Seq[MMRecord],
+    everyK: Int): Seq[(Long, Int, Array[Byte])] =
+    batch.flatMap { r =>
+      mpngFrames(r.content).zipWithIndex.collect {
+        case (frame, idx) if idx % everyK == 0 => (r.id, idx, frame)
+      }
+    }
+
   def sampleFrames(records: Dataset[MMRecord], everyK: Int): DataFrame = {
     import records.sparkSession.implicits._
     records.filter(_.modality == "video")
-      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
-        mpngFrames(r.content).zipWithIndex.collect {
-          case (frame, idx) if idx % everyK == 0 => (r.id, idx, frame)
-        }
-      }))
+      .mapPartitions(_.grouped(batchSize).flatMap(sampleBatch(_, everyK)))
       .toDF("id", "frame_idx", "frame")
   }
 

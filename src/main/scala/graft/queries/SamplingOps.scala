@@ -81,23 +81,28 @@ object SamplingOps {
         // The rank offsets are only valid if this second action sees the
         // SAME partitioning as the counts pass. That holds while the
         // persisted blocks live, but an evicted block re-runs the range
-        // exchange, which MAY resample boundaries — so carry each
-        // partition's row count through this pass (same window exchange,
-        // no extra job) and fail loudly on any drift instead of returning
-        // silently wrong quantiles (round-3 advice).
+        // exchange, which MAY resample boundaries — so this pass also
+        // returns EVERY partition's first row carrying that partition's
+        // count (same window exchange, no extra job) and validates the
+        // full per-pid count map, not just partitions that happened to
+        // hold a boundary rank: compensating drift (one partition gains a
+        // row, another loses one) shifts offsets of partitions whose own
+        // count is unchanged, so per-boundary-row checks alone would pass
+        // on silently wrong quantiles (round-3 advice, round-4 review).
+        val firstRns = pids.map(p => offsets(p) + 1L)
         val rows = parted
           .withColumn("rn", row_number().over(w) + offExpr)
           .withColumn("cnt2", count(lit(1)).over(Window.partitionBy("pid")))
-          .filter(col("rn").isin(need: _*))
+          .filter(col("rn").isin((need ++ firstRns).distinct: _*))
           .select("pid", "rn", "x", "cnt2").collect()
-        rows.foreach { r =>
-          if (cnts(r.getInt(0)) != r.getLong(3))
-            throw new IllegalStateException(
-              s"q_quantiles: range partition ${r.getInt(0)} held " +
-                s"${r.getLong(3)} rows in the boundary pass vs " +
-                s"${cnts(r.getInt(0))} in the counts pass — cached " +
-                "partitioning was lost and resampled between passes")
-        }
+        val cnts2 = rows.filter(r => r.getLong(1) == offsets
+            .getOrElse(r.getInt(0), Long.MinValue) + 1L)
+          .map(r => r.getInt(0) -> r.getLong(3)).toMap
+        if (cnts2 != cnts)
+          throw new IllegalStateException(
+            s"q_quantiles: boundary-pass partition counts $cnts2 != " +
+              s"counts-pass $cnts — cached range partitioning was lost " +
+              "and resampled between the two passes")
         val boundary = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
         val missingRank = need.filterNot(boundary.contains)
         if (missingRank.nonEmpty)

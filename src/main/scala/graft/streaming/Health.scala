@@ -34,9 +34,13 @@ class HealthMonitor private (spark: SparkSession, staleAfterMs: Long)
     * healthy until staleAfterMs elapses instead of reading unhealthy
     * until its next progress event. */
   private def start(): this.type = {
+    // Register FIRST, then seed: a query starting between the two steps
+    // either delivers its own start event or appears in the active
+    // snapshot (a duplicate put is harmless) — the reverse order had a
+    // gap where it got neither and read unhealthy until first progress.
+    spark.streams.addListener(this)
     val now = System.currentTimeMillis()
     spark.streams.active.foreach(q => lastSeen.put(q.id, now))
-    spark.streams.addListener(this)
     this
   }
 

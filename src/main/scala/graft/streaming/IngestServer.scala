@@ -47,12 +47,17 @@ final class IngestServer(bindAddr: String, landingDir: String,
               case kv if kv.startsWith("sharedKey=") =>
                 kv.substring("sharedKey=".length)
             }.getOrElse("")
-          if (!sharedKeys.contains(key)) {
+          // No keys configured => NO auth check, mirroring the reference's
+          // `if len(p.keys) > 0` gate (publisher.go:143-150).
+          if (sharedKeys.nonEmpty && !sharedKeys.contains(key)) {
             rejected.incrementAndGet() // the 401 the producer sees
             reply(ex, 401, "invalid sharedKey")
           } else {
             val rel = ex.getRequestURI.getPath.stripPrefix("/")
-            val dest = Paths.get(landingDir, s"sharedKey=$key", rel)
+            // Encode the accepted key into the landed path for the stream's
+            // authFilter; with auth off there is no key segment to carry.
+            val dest = (if (sharedKeys.isEmpty) Paths.get(landingDir, rel)
+              else Paths.get(landingDir, s"sharedKey=$key", rel))
               .normalize()
             // path traversal guard: the landed file must stay inside the
             // landing dir even for a hostile ../ URL
@@ -61,13 +66,19 @@ final class IngestServer(bindAddr: String, landingDir: String,
             } else {
               Files.createDirectories(dest.getParent)
               // land atomically: directory sources must never list a
-              // half-written file (write tmp, move into place)
+              // half-written file (write tmp, move into place); delete the
+              // tmp on ANY failure so aborted uploads leave no residue
               val tmp = Files.createTempFile(dest.getParent, ".land", ".tmp")
-              Files.copy(ex.getRequestBody, tmp,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              Files.move(tmp, dest,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              try {
+                Files.copy(ex.getRequestBody, tmp,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                Files.move(tmp, dest,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              } catch { case e: Throwable =>
+                Files.deleteIfExists(tmp)
+                throw e
+              }
               landed.incrementAndGet()
               reply(ex, 201, "created")
             }

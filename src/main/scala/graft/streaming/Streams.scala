@@ -75,8 +75,14 @@ object Streams {
     * StreamingQueryProgress.observedMetrics("auth_filter") at O(1) cost
     * (observe folds into the existing scan, no extra pass). */
   def authFilter(df: DataFrame, keys: Set[String]): DataFrame = {
-    val valid = regexp_extract(col("path"), "sharedKey=([^/]+)", 1)
-      .isin(keys.toSeq: _*)
+    // No keys configured => NO auth: the reference gates the entire 401
+    // check on `len(p.keys) > 0` (publisher.go:143), so an empty key set
+    // accepts everything (rejected_401 stays 0) rather than rejecting
+    // everything.
+    val valid =
+      if (keys.isEmpty) lit(true)
+      else regexp_extract(col("path"), "sharedKey=([^/]+)", 1)
+        .isin(keys.toSeq: _*)
     df.observe("auth_filter",
         count(when(!valid, lit(1))).as("rejected_401"),
         count(lit(1)).as("rows_seen"))

@@ -110,6 +110,37 @@ class ConfigIngestSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("no sharedKeys configured => no auth, like the reference's len(keys)>0 gate") {
+    val landing = tmp("noauth-landing"); val out = tmp("noauth-out")
+    val srv = new IngestServer(":0", landing, Set.empty)
+    try {
+      val client = HttpClient.newHttpClient()
+      val path = s"/ord_topic/2024-01-01/${ts33(5)}-u5-orders-1.ndjson"
+      val code = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.port}$path")) // NO sharedKey param
+          .POST(HttpRequest.BodyPublishers.ofString(envLine(5))).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(code == 201, "keyless POST must be accepted when no keys are set")
+      assert(srv.rejectedCount == 0 && srv.landedCount == 1)
+      // lands at the raw path — no sharedKey= segment to carry
+      assert(Files.exists(Paths.get(landing, path.stripPrefix("/"))))
+
+      // stream side mirrors it: empty spark.graft.sharedKeys => authFilter
+      // passes every row (rejected_401 stays 0) instead of dropping all
+      Streams.TopicCache.reset()
+      withConf("spark.graft.topicPrefix" -> "cdc-") { // sharedKeys unset
+        val q = Streams.publishPipeline(spark, landing, out,
+          tmp("noauth-ckpt"), payload)
+        q.processAllAvailable()
+        q.stop()
+      }
+      val published = spark.read.parquet(s"$out/data")
+      assert(published.count() == 1,
+        "default (empty) key set must publish, not reject, every row")
+    } finally srv.close()
+  }
+
   test("concurrent POSTs land atomically: N complete files, exact counters") {
     val landing = tmp("http-concurrent")
     val srv = new IngestServer(":0", landing, Set("k1"))
