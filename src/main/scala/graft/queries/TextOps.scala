@@ -34,49 +34,60 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Language-ID columns (s_en..s_fr marker counts + pred_lang argmax
+    * with fixed priority tie-break) added to a frame with `text`. ONE
+    * definition shared by q_lang_id and q_curation_keep, so the composed
+    * pipeline can never drift from the individually-proven operator. */
+  private[queries] def withLangCols(df: DataFrame): DataFrame = {
+    val tok = toks(col("text"))
+    val scored = langProfiles.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"s_$lang",
+        size(filter(tok, t => t.isInCollection(words))).cast("long"))
+    }
+    val Seq(en, es, de, fr) = Seq("s_en", "s_es", "s_de", "s_fr").map(col)
+    scored.withColumn("pred_lang",
+      when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr"))
+  }
+
+  /** Quality columns (token/stopword/char-shape signals + composite
+    * `quality`) added to a frame with `text`; exact-integer arithmetic
+    * until the final division. Shared like [[withLangCols]]. */
+  private[queries] def withQualityCols(df: DataFrame): DataFrame = {
+    val tok = toks(col("text"))
+    df.withColumn("n_tok", size(tok).cast("long"))
+      .withColumn("n_stop",
+        size(filter(tok, t => t.isInCollection(stopwords))).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("avg_tok_len",
+        round(col("alpha_chars").cast("double") / col("n_tok"), 4))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tok"), 4))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tok").cast("double") / 200.0) * 0.5
+          + (col("n_stop").cast("double") / col("n_tok")) * 0.5, 4))
+  }
+
   val q: Map[String, Q] = Map(
     // n-gram(1) profile heuristic: occurrence count per language marker
     // set, argmax with fixed priority tie-break. (The fixture text is
     // synthetic word soup; the contract is the deterministic scoring
     // pipeline, not linguistic accuracy.)
-    "q_lang_id" -> ((s, d) => {
-      val base = Tables(s, d, "documents")
-        .withColumn("tok", toks(col("text")))
-      val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
-        df.withColumn(s"s_$lang",
-          size(filter(col("tok"), t => t.isInCollection(words))).cast("long"))
-      }
-      val Seq(en, es, de, fr) =
-        Seq("s_en", "s_es", "s_de", "s_fr").map(col)
-      scored.select(col("doc_id"), col("lang"), en, es, de, fr,
-        when(en >= es && en >= de && en >= fr, "en")
-          .when(es >= de && es >= fr, "es")
-          .when(de >= fr, "de")
-          .otherwise("fr").as("pred_lang"))
-        .orderBy("doc_id")
-    }),
+    "q_lang_id" -> ((s, d) =>
+      withLangCols(Tables(s, d, "documents"))
+        .select("doc_id", "lang", "s_en", "s_es", "s_de", "s_fr",
+          "pred_lang")
+        .orderBy("doc_id")),
 
     // Length / stopword-ratio / token-shape quality signals + a composite
     // score; all exact-integer arithmetic until the final division.
     "q_quality_score" -> ((s, d) =>
-      Tables(s, d, "documents")
-        .withColumn("tok", toks(col("text")))
-        .withColumn("n_tok", size(col("tok")).cast("long"))
-        .withColumn("n_stop",
-          size(filter(col("tok"), t => t.isInCollection(stopwords)))
-            .cast("long"))
-        .withColumn("alpha_chars",
-          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
-        .select(col("doc_id"), col("n_tok"), col("n_stop"),
-          col("alpha_chars"),
-          round(col("alpha_chars").cast("double") / col("n_tok"), 4)
-            .as("avg_tok_len"),
-          round(col("n_stop").cast("double") / col("n_tok"), 4)
-            .as("stop_ratio"),
-          round(
-            least(lit(1.0), col("n_tok").cast("double") / 200.0) * 0.5
-              + (col("n_stop").cast("double") / col("n_tok")) * 0.5, 4)
-            .as("quality"))
+      withQualityCols(Tables(s, d, "documents"))
+        .select("doc_id", "n_tok", "n_stop", "alpha_chars", "avg_tok_len",
+          "stop_ratio", "quality")
         .orderBy("doc_id")),
 
     // Whitespace tokens vs BPE-ish subword pieces vs raw chars.
