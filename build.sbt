@@ -5,6 +5,10 @@ name := "cdcpubsubspark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
+// Orphaned imports must fail the build (round-4 postmortem: a refactor
+// that left a type un-imported shipped in a snapshot). -Werror promotes
+// the unused-import warning to an error.
+scalacOptions ++= Seq("-Wunused:imports", "-Werror")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,

@@ -222,7 +222,7 @@ object AnnOps {
       // coalesce: an edgeless corpus gives an EMPTY label frame and a
       // null sum — converge on 0 == 0 instead of an NPE.
       def sumLabels(df: DataFrame): Long =
-        df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+        df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
       var labelSum = sumLabels(labels)
       var converged = false
       while (!converged) {

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 
 /** LLM-data-pipeline block (BASELINE.json north star): exact dedup, text
   * analysis, cosine similarity, per-probe kNN, approximate distinct.

@@ -352,7 +352,6 @@ object MultiModal {
     * pins schema, determinism, batching, and feature math. */
   val q: Map[String, Q] = Map(
     "q_multimodal_features" -> ((s, d) => {
-      import s.implicits._
       extractFeatures(corpus(s, d)).toDF()
         .select(col("id"), col("modality"), col("dim"),
           round(element_at(col("features"), 1), 6).as("f0"),

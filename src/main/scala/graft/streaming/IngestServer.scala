@@ -2,7 +2,7 @@ package graft.streaming
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
 /** R1: the HTTP ingest front-end (publisher.go:137-214, registration at
