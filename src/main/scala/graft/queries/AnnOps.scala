@@ -63,14 +63,15 @@ object AnnOps {
     * pair listing) and q_dedup_cluster (which treats the pairs as the
     * duplicate-graph edge set). Unordered.
     *
-    * The returned frame stays lazy, so the two internal persists (docs,
-    * banded) cannot be released here; `minhashPairsAnd` exposes the
-    * handles for callers that DO materialize (dedupCluster frees them
-    * once edges are checkpointed — otherwise both caches would sit dead
-    * through the whole propagation loop); harness clearCache covers the
-    * lazy path. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsAnd(s, d)._1
+    * Materialized eagerly (the pair list is tiny) so the two internal
+    * persists (docs, banded) can be released before returning instead of
+    * leaking into the session's CacheManager; dedupCluster uses
+    * `minhashPairsAnd` directly and frees the same handles once its edge
+    * frame is checkpointed. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val (pairs, handles) = minhashPairsAnd(s, d)
+    materializeAndFree(pairs, handles: _*)
+  }
 
   private def minhashPairsAnd(
     s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
@@ -285,7 +286,7 @@ object AnnOps {
         .withColumnRenamed("col", "v").withColumnRenamed("pos", "c")
         .persist(StorageLevel.MEMORY_AND_DISK)
       chunked.count() // eager fill: one sig pass, not a per-side race
-      chunked.as("a").join(chunked.as("b"),
+      val pairs = chunked.as("a").join(chunked.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id") &&
           bit_count(col("a.bits").bitwiseXOR(col("b.bits"))) <= 3)
@@ -293,7 +294,9 @@ object AnnOps {
           bit_count(col("a.bits").bitwiseXOR(col("b.bits")))
             .cast("long").as("hamming"))
         .dropDuplicates("d1", "d2")
-        .orderBy("d1", "d2")
+      // Tiny pair list: materialize it so the chunked sketch cache can be
+      // released here rather than leak into the session (round-4 advice).
+      materializeAndFree(pairs, chunked).orderBy("d1", "d2")
     }),
 
     // IVF-bucketed ANN: nprobe=2 of 8 cells (see ivfKnn for the structure;
@@ -371,10 +374,12 @@ object AnnOps {
         .filter(col("rn") === 1)
         .select(col("vid").as("vec_id"), col("nid").as("nn_id"),
           col("hamming"), col("cos_sim"))
-      sig.select("vec_id").join(best, Seq("vec_id"), "left")
+      val verdicts = sig.select("vec_id").join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("nn_id"), col("hamming"), col("cos_sim"),
           coalesce(col("cos_sim") >= 0.4, lit(false)).as("is_near_dup"))
-        .orderBy("vec_id")
+      // One ~40-byte row per vector: materialize so the (embedding-sized)
+      // sig cache can be released here rather than leak into the session.
+      materializeAndFree(verdicts, sig).orderBy("vec_id")
     }),
   )
 

@@ -137,14 +137,16 @@ object TextOps {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
-      inter
+      val pairs = inter
         .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), col("inter"),
           round(col("inter").cast("double")
             / (col("s1.n") + col("s2.n") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-        .orderBy("d1", "d2")
+      // Tiny pair list: materialize it so the shingle cache can be
+      // released here rather than leak into the session (round-4 advice).
+      materializeAndFree(pairs, sh).orderBy("d1", "d2")
     }),
   )
 

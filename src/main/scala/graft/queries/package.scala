@@ -26,6 +26,26 @@ package object queries {
       df.repartition(s.sparkContext.defaultParallelism)
     else df
   }
+
+  /** Eagerly materialize `df` via localCheckpoint, then release the
+    * internal caches it depended on. Sketch queries (minhash / simhash /
+    * sign-LSH / ngram-jaccard) persist big intermediates that a
+    * lazy-returned frame could never unpersist — they would sit in the
+    * CacheManager for the whole session (round-4 advice #1). Checkpoint
+    * blocks, by contrast, are ContextCleaner-managed: freed when the
+    * frame is GC'd, no explicit release needed. The materialization is
+    * not extra work — callers materialize exactly once anyway — and the
+    * checkpointed rows are the SMALL end product (pair lists /
+    * per-doc sketch rows), not the big intermediates. On a multi-node
+    * cluster prefer reliable checkpoint() (localCheckpoint blocks die
+    * with an executor).
+    */
+  private[queries] def materializeAndFree(
+      df: DataFrame, handles: DataFrame*): DataFrame = {
+    val out = df.localCheckpoint(true)
+    handles.foreach(_.unpersist())
+    out
+  }
 }
 
 package queries {
