@@ -23,12 +23,21 @@ import java.util.concurrent.atomic.AtomicLong
   * receiver count).
   */
 final class IngestServer(bindAddr: String, landingDir: String,
-  sharedKeys: Set[String]) extends AutoCloseable {
+  sharedKeys: Set[String],
+  healthProbe: () => Boolean = () => true,
+  extraMetrics: () => Map[String, Long] = () => Map.empty)
+  extends AutoCloseable {
 
   private val rejected = new AtomicLong(0)
   private val landed = new AtomicLong(0)
   def rejectedCount: Long = rejected.get()
   def landedCount: Long = landed.get()
+
+  /** Flipped by beginShutdown(): /healthz answers 503 from then on while
+    * in-flight ingest requests drain — the reference's exact contract
+    * (server.go:65-73 serves 503 once ctx.Err() != nil, listener still
+    * up until drained). */
+  @volatile private var draining = false
 
   private val addr = bindAddr.split(":", 2) match {
     case Array("", p) => new InetSocketAddress(p.toInt) // ":13013"
@@ -89,16 +98,57 @@ final class IngestServer(bindAddr: String, landingDir: String,
       } finally ex.close()
     }
   })
+  // R13 over HTTP: liveness probe, 200 "OK" while serving, 503 once a
+  // drain begins (server.go:65-73). JDK HttpServer routes by longest
+  // context prefix, so these never shadow the ingest root above.
+  server.createContext("/healthz", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET") reply(ex, 405, "GET only")
+        else if (!draining && healthProbe()) reply(ex, 200, "OK")
+        else reply(ex, 503, "shutting down")
+      } finally ex.close()
+  })
+
+  // R14 parity: the reference's operational surface (server.go:60-64
+  // mounts pprof; Spark's profiling lives in the Spark UI instead) —
+  // served here as a JSON counter dump: the shim's own rejected_401 /
+  // landed plus whatever the caller wires in via extraMetrics (e.g.
+  // StreamMetrics.snapshot for per-query StreamingQueryProgress and
+  // observed metrics like route_publish.unroutable_404).
+  server.createContext("/metrics", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET") reply(ex, 405, "GET only")
+        else {
+          val m = Map("rejected_401" -> rejected.get(),
+            "landed" -> landed.get()) ++ extraMetrics()
+          val json = m.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k": $v""" }
+            .mkString("{", ", ", "}")
+          reply(ex, 200, json, "application/json")
+        }
+      } finally ex.close()
+  })
+
   server.start()
 
   /** The port actually bound (supports bindAddr ":0" in tests). */
   def port: Int = server.getAddress.getPort
 
-  private def reply(ex: HttpExchange, code: Int, msg: String): Unit = {
+  /** Start a graceful drain: /healthz flips to 503 (load balancers stop
+    * sending) while already-accepted POSTs finish; call close() after
+    * the producer quiesces. Mirrors the reference's cancel-then-drain
+    * sequence (server.go:86-96). */
+  def beginShutdown(): Unit = draining = true
+
+  private def reply(ex: HttpExchange, code: Int, msg: String,
+    contentType: String = "text/plain"): Unit = {
     val b = msg.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, b.length.toLong)
     ex.getResponseBody.write(b)
   }
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = { draining = true; server.stop(0) }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{IngestServer, Streams}
+import graft.streaming.{IngestServer, StreamMetrics, Streams}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -138,6 +138,66 @@ class ConfigIngestSpec extends AnyFunSuite {
       val published = spark.read.parquet(s"$out/data")
       assert(published.count() == 1,
         "default (empty) key set must publish, not reject, every row")
+    } finally srv.close()
+  }
+
+  test("R14: /metrics round-trips counters + stream metrics; /healthz drains to 503") {
+    val landing = tmp("metrics-landing"); val out = tmp("metrics-out")
+    val srv = new IngestServer(":0", landing, Set("k1"),
+      extraMetrics = () => StreamMetrics.snapshot(spark))
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      def post(path: String, body: String): Int = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+
+      val h = get("/healthz")
+      assert(h.statusCode() == 200 && h.body() == "OK")
+
+      val good = s"/ord_topic/2024-01-01/${ts33(7)}-u7-orders-1.ndjson"
+      assert(post(s"$good?sharedKey=k1",
+        Seq(envLine(7), envLine(8)).mkString("\n")) == 201)
+      assert(post(s"$good?sharedKey=nope", envLine(9)) == 401)
+
+      // the shim's own counters round-trip over HTTP as JSON
+      val m1 = get("/metrics")
+      assert(m1.statusCode() == 200)
+      assert(m1.headers().firstValue("Content-Type")
+        .orElse("") == "application/json")
+      assert(m1.body().contains(""""landed": 1"""))
+      assert(m1.body().contains(""""rejected_401": 1"""))
+
+      // with the publish stream ACTIVE, its progress + observe() metrics
+      // appear on the same endpoint (the reference exposes unroutable
+      // paths as HTTP 404s, publisher.go:161-165 — here it's a counter)
+      Streams.TopicCache.reset()
+      withConf(
+        "spark.graft.sharedKeys" -> "k1",
+        "spark.graft.topicPrefix" -> "cdc-") {
+        val q = Streams.publishPipeline(spark, landing, out,
+          tmp("metrics-ckpt"), payload)
+        try {
+          q.processAllAvailable()
+          val body = get("/metrics").body()
+          assert(body.contains(".batch_id\": "))
+          assert(body.contains(".route_publish.unroutable_404\": "))
+          assert(body.contains(".route_publish.rows_seen\": "))
+        } finally q.stop()
+      }
+
+      // drain: healthz flips to 503 while already-accepted work finishes
+      // (reference cancel-then-drain, server.go:86-96); ingest keeps
+      // draining until close()
+      srv.beginShutdown()
+      assert(get("/healthz").statusCode() == 503)
+      assert(get("/metrics").statusCode() == 200,
+        "metrics must stay readable during the drain window")
     } finally srv.close()
   }
 
