@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.queries.Cdc
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -160,6 +160,56 @@ object Streams {
             .foreach(r => TopicCache.ensure(s"$outDir/topics", r.getString(0)))
           ok.write.mode("append").partitionBy("topic")
             .parquet(s"$outDir/data")
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** s_route_publish_net (R9 over a real wire): same routing/dead-letter/
+    * attribute semantics as `routePublish`, but delivered to a NETWORK
+    * publish endpoint (`NetPublisher` → a Pub/Sub-semantics TCP broker)
+    * instead of a partitioned directory — the connector a user migrating
+    * off the reference's actual gRPC Pub/Sub sink (publisher.go:79-94)
+    * plugs their endpoint into.
+    *
+    * Delivery contract: every frame is broker-ACKed before the epoch
+    * commits (NAK/IO error fails the task → Spark replays the batch from
+    * the checkpoint = at-least-once); topics are lazily created exactly
+    * once per process (publisher.go:99-129); unroutable rows publish to
+    * the `__dead_letter` topic with a `dl_reason` attribute instead of
+    * silently vanishing. Executors publish partition-parallel — the
+    * driver only runs the O(|topics|) create-once pass. */
+  def routePublishNet(routed: DataFrame, brokerAddr: String,
+    checkpoint: String): StreamingQuery =
+    routed.observe("route_publish_net",
+        count(when(col("tbl") === "404", lit(1))).as("unroutable_404"),
+        count(lit(1)).as("rows_seen"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val dead = batch.filter(col("tbl") === "404")
+            .select(col("value"), col("path"))
+          if (!dead.isEmpty) {
+            NetPublisher.ensureTopic(brokerAddr, "__dead_letter")
+            dead.foreachPartition { (it: Iterator[Row]) =>
+              NetPublisher.publishPartition(brokerAddr, it.map(r =>
+                ("__dead_letter", r.getString(0),
+                  Map("path" -> r.getString(1),
+                    "dl_reason" -> "unroutable_path"))))
+            }
+          }
+          val ok = batch.filter(col("tbl") =!= "404")
+            .select(col("topic"), col("value"), col("path"), col("tbl"))
+          // driver-side lazy create-once, bounded by topic cardinality
+          // (the same collect the dir sink does; publisher.go:99-129)
+          ok.select("topic").distinct().collect()
+            .foreach(r => NetPublisher.ensureTopic(brokerAddr, r.getString(0)))
+          ok.foreachPartition { (it: Iterator[Row]) =>
+            NetPublisher.publishPartition(brokerAddr, it.map(r =>
+              (r.getString(0), r.getString(1),
+                Map("path" -> r.getString(2), "table" -> r.getString(3)))))
+          }
         } finally { batch.unpersist(); () }
       }
       .start()

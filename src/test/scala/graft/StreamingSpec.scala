@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.Streams
+import graft.streaming.{NetBroker, NetPublisher, Streams}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -159,6 +159,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(dead.count() == 1)
     assert(dead.filter(col("dl_reason") === "unroutable_path")
       .filter(col("path").contains("junk.txt")).count() == 1)
+  }
+
+  test("s_route_publish_net: TCP publish — acks, attrs, create-once, dead-letter topic") {
+    val in = tmp("cdc-net"); writeCdcDrop(in)
+    val broker = new NetBroker()
+    NetPublisher.reset()
+    try {
+      val routed = Streams.route(
+        Streams.authFilter(
+          Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
+          Set("k1")), "cdc-")
+        .select("path", "topic", "tbl", "value", "updated", "op")
+      val q = Streams.routePublishNet(routed, broker.addr, tmp("cdc-net-ckpt"))
+      q.processAllAvailable()
+      // second delivery: same topic must NOT be created again
+      write(in, s"sharedKey=k1/ord_topic/2024-01-02/${ts33(9)}-u9-orders-1.ndjson",
+        Seq(envLine(8)))
+      q.processAllAvailable()
+      val unroutable = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("route_publish_net")))
+        .map(_.getAs[Long]("unroutable_404")).sum
+      q.stop()
+      assert(broker.createCount("cdc-ord_topic") == 1,
+        "topic created more than once across batches/partitions")
+      val msgs = broker.messages("cdc-ord_topic")
+      assert(msgs.size == 7)
+      // Pub/Sub-style attributes ride with every message (publisher.go:88-91)
+      assert(msgs.count(_.attrs.get("table").contains("orders")) == 6)
+      assert(msgs.count(_.attrs.get("table").contains("RESOLVED")) == 1)
+      assert(msgs.forall(_.attrs.get("path").exists(_.contains("sharedKey=k1"))))
+      // payload bytes travel verbatim (the reference never parses them)
+      assert(msgs.exists(_.data == envLine(8)))
+      // the unroutable junk file neither vanishes nor publishes blind:
+      // dead-letter TOPIC with a reason (the bridge's HTTP 404)
+      assert(unroutable == 1, s"expected 1 observed 404, got $unroutable")
+      val dead = broker.messages("__dead_letter")
+      assert(dead.size == 1)
+      assert(dead.head.attrs.get("dl_reason").contains("unroutable_path"))
+      assert(dead.head.attrs.get("path").exists(_.contains("junk.txt")))
+    } finally broker.close()
+  }
+
+  test("s_route_publish_net: broker NAK throws — no silent ack (§8-B2)") {
+    val broker = new NetBroker()
+    try {
+      intercept[java.io.IOException] {
+        // publish to a topic that was never CREATEd => NAK => exception
+        // => the Spark task would fail => batch replay (at-least-once)
+        NetPublisher.publishPartition(broker.addr,
+          Iterator(("never_created", "x", Map.empty[String, String])))
+      }
+    } finally broker.close()
   }
 
   test("s_resolved_watermark: markers advance monotonically per batch") {
