@@ -25,6 +25,9 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // Fixture parquet is one row group per table: enable the scan shim.
       .config("spark.graft.singleRowgroupShim", "true")
+      // The fixture harness may run the O(n^2) exact ground-truth twin
+      // (q_dedup_embedding); production sessions must not (round-4 #5).
+      .config("spark.graft.allowQuadratic", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = GraftConfig.from(spark).sfDir

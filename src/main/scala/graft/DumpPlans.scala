@@ -18,6 +18,7 @@ object DumpPlans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.graft.allowQuadratic", "true") // plan dump, not a run
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     keys.foreach { k =>

@@ -18,6 +18,7 @@ object TimeOne {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // fixture parquet is one row group per table: enable the scan shim
       .config("spark.graft.singleRowgroupShim", "true")
+      .config("spark.graft.allowQuadratic", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to iters).foreach { i =>

@@ -63,6 +63,12 @@ object AnnOps {
     * pair listing) and q_dedup_cluster (which treats the pairs as the
     * duplicate-graph edge set). Unordered.
     *
+    * No shingle df-cap is needed here (unlike q_dedup_ngram_jaccard's
+    * `spark.graft.shingleDfCap`): candidates come from (band, bucket)
+    * equi-joins — O(docs x bands) rows regardless of how hot any single
+    * shingle is — and the shingle explode only feeds per-doc
+    * aggregations, never a shingle-keyed join.
+    *
     * Materialized eagerly (the pair list is tiny) so the two internal
     * persists (docs, banded) can be released before returning instead of
     * leaking into the session's CacheManager; dedupCluster uses

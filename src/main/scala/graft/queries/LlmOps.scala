@@ -111,6 +111,18 @@ object LlmOps {
     // both norms per PAIR). Same formula, bitwise-identical cosine.
     "q_dedup_embedding" -> ((s, d) => {
       import graft.functions.DotProduct
+      // Fixture-only gate (round-4 verdict #5): this plan broadcasts the
+      // corpus and does O(n^2) compute — it exists as the exact
+      // ground-truth twin of q_dedup_embedding_lsh and must never run at
+      // scale. Verify/Bench/tests opt in; a production session gets a
+      // loud error pointing at the scale path instead of a plan that
+      // OOMs the cluster.
+      require(s.conf.get("spark.graft.allowQuadratic", "false") == "true",
+        "q_dedup_embedding is the fixture-scale exact ground-truth twin: " +
+          "its plan broadcasts the corpus and does O(n^2) compute. Set " +
+          "spark.graft.allowQuadratic=true to run it at fixture scale, or " +
+          "use q_dedup_embedding_lsh — the bucketed 100-TB path with the " +
+          "same near-dup contract.")
       // Zero-norm guard (round-3 advice): a zero vector's cosine is NaN,
       // and round(NaN*1e6).cast(long) would silently pack as 0 — drop such
       // rows from both sides instead (CosineSim's zero-norm-to-null

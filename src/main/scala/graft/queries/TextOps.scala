@@ -120,9 +120,20 @@ object TextOps {
     // the approximate dedup family (AnnOps) is tested against. The join
     // key is the 60-bit shingle hash, not the string — an 8-byte shuffle
     // key instead of ~25-byte text; both engines hash identically, so
-    // results match even in the (negligible) collision case. At 100 TB
-    // add a stop-shingle (document-frequency) cutoff before the join.
+    // results match even in the (negligible) collision case.
+    //
+    // 100-TB knob (round-4 verdict #6): `spark.graft.shingleDfCap` = N
+    // drops shingles appearing in more than N documents from CANDIDATE
+    // generation — a boilerplate shingle shared by millions of docs
+    // would otherwise contribute O(df^2) join rows on its own. The cap
+    // trims only which pairs get considered; every surviving candidate
+    // is re-verified against the FULL shingle sets, so reported jaccard
+    // scores are exact and a pair is lost only if it shares NOTHING
+    // rarer than the cap (such pairs are boilerplate-only overlaps —
+    // the standard stop-shingle trade). Unset/0 = exact single-pass
+    // plan, unchanged at fixture scale.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
+      val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
       // (doc_id, shingle-hash) is read three times (self-join both sides
       // + per-doc sizes); persist so the md5 pipeline runs once. 8 bytes
       // per shingle — MEMORY_AND_DISK spills, never OOMs.
@@ -132,18 +143,43 @@ object TextOps {
             distinct = true)).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count() // eager fill: one md5 pass for all three reads
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      val pairs = inter
-        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), col("inter"),
-          round(col("inter").cast("double")
-            / (col("s1.n") + col("s2.n") - col("inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+      val pairs = if (cap <= 0) {
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+          .select(col("d1"), col("d2"), col("inter"),
+            round(col("inter").cast("double")
+              / (col("s1.n") + col("s2.n") - col("inter")), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+      } else {
+        // document frequency per shingle over the cached explode — one
+        // extra 8-byte-key aggregation, the price of bounding the join
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        val cand = sh.join(rare, "s").as("a")
+          .join(sh.join(rare, "s").as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .dropDuplicates("d1", "d2")
+        // exact verify over the FULL per-doc shingle sets (rebuilt from
+        // the same cache; shingles are already distinct per doc)
+        val docs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
+        cand
+          .join(docs.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
+          .join(docs.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
+          .withColumn("inter",
+            size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+          .select(col("d1"), col("d2"), col("inter"),
+            round(col("inter").cast("double")
+              / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+      }
       // Tiny pair list: materialize it so the shingle cache can be
       // released here rather than leak into the session (round-4 advice).
       materializeAndFree(pairs, sh).orderBy("d1", "d2")

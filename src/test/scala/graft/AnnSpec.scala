@@ -51,6 +51,21 @@ class AnnSpec extends AnyFunSuite {
       s"minhash missed ${exact -- lsh}, spurious ${lsh -- exact}")
   }
 
+  test("shingle df-cap: capped candidate path returns identical pairs on the fixture") {
+    val exact = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.shingleDfCap", "25")
+    try {
+      val capped = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      // same pairs AND same exact jaccard scores: the cap only trims
+      // candidate generation; the verify uses full shingle sets
+      assert(capped == exact,
+        s"df-capped path diverged:\ncapped=$capped\nexact=$exact")
+      assert(capped.nonEmpty, "fixture must contain planted near-dups")
+    } finally spark.conf.unset("spark.graft.shingleDfCap")
+  }
+
   test("simhash finds the low-hamming planted near-dup pairs") {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
     assert(pairs.nonEmpty)

@@ -142,6 +142,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaSql.forall(_.getDouble(0) > 0))
   }
 
+  test("q_dedup_embedding refuses to run without the fixture-only quadratic opt-in") {
+    // production sessions (no spark.graft.allowQuadratic) must get a loud
+    // error pointing at the LSH scale path, never the O(n^2) plan
+    spark.conf.unset("spark.graft.allowQuadratic")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q_dedup_embedding")(spark, sf)
+      }
+      assert(e.getMessage.contains("q_dedup_embedding_lsh"))
+    } finally spark.conf.set("spark.graft.allowQuadratic", "true")
+  }
+
   test("q_dedup_embedding: broadcast self-join + argmax agg, sane NN output") {
     val df = SparkEntry.queries("q_dedup_embedding")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // fixture scale: the O(n^2) exact twin may run (round-4 verdict #5)
+      .config("spark.graft.allowQuadratic", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
