@@ -174,25 +174,26 @@ object AnnOps {
     // canonicality (first doc_id of its md5 digest group) and near-dup
     // canonicality (cluster representative), folded into one keep/drop
     // flag (keep = en AND quality >= 0.15 AND both canonical bits).
-    // Composed from the individually-oracle-proven operators; the oracle
-    // composes the same SQL twins, so the COMPOSITION is checked, not
-    // just the parts. Scale shape: four doc_id-keyed equi-joins of
-    // corpus-sized frames (AQE picks shuffle join; every input is one
-    // scan + stateless projection or one window), plus the cluster
-    // subgraph iteration.
+    // Composed from the individually-oracle-proven operators via the
+    // SHARED column helpers (withLangCols/withQualityCols), so the
+    // composition cannot drift from the parts; the oracle composes the
+    // same SQL twins, so the COMPOSITION is checked, not just the parts.
+    // Scale shape (round-5): lang + quality + exact-dup canonicality all
+    // ride ONE documents scan — stateless projections plus a single
+    // digest-keyed window — instead of three scans and two doc_id joins;
+    // the only join left is with the near-dup cluster verdict, whose
+    // minhash pipeline is inherently its own subgraph iteration.
     "q_curation_keep" -> ((s, d) => {
-      val lang = TextOps.q("q_lang_id")(s, d)
-        .select(col("doc_id"), col("pred_lang"))
-      val qual = TextOps.q("q_quality_score")(s, d)
-        .select(col("doc_id"), col("quality"))
-      val exact = par(Tables(s, d, "documents"))
+      val base = TextOps.withQualityCols(TextOps.withLangCols(
+          par(Tables(s, d, "documents"))))
         .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("digest").orderBy("doc_id")))
-        .select(col("doc_id"), (col("rn") === 1).as("exact_canonical"))
+        .select(col("doc_id"), col("pred_lang"), col("quality"),
+          (col("rn") === 1).as("exact_canonical"))
       val near = dedupCluster(s, d)
         .select(col("doc_id"), col("is_canonical").as("near_canonical"))
-      lang.join(qual, "doc_id").join(exact, "doc_id").join(near, "doc_id")
+      base.join(near, "doc_id")
         .select(col("doc_id"), col("pred_lang"), col("quality"),
           col("exact_canonical"), col("near_canonical"),
           (col("pred_lang") === "en" && col("quality") >= 0.15 &&
