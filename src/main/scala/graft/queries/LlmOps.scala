@@ -158,6 +158,38 @@ object LlmOps {
         .orderBy("vec_id")
     }),
 
+    // Int8 scalar quantization (round 5) — the vector-store compression
+    // step of an embedding pipeline: per-vector scale = max|x_i|,
+    // q_i = round(127 * x_i / scale) in [-127, 127] (zero vectors
+    // quantize to all-zero). Output is exact integers joined to a string
+    // (the driver comparator cannot hash arrays) plus the float-derived
+    // scale, which is bitwise-identical on both engines.
+    //
+    // Shape: posexplode -> per-vector window max -> re-assemble via
+    // sort_array(collect_list(struct(pos, q))) — two-phase aggregates,
+    // ONE shuffle keyed on vec_id. Deliberately NOT a transform() over a
+    // derived scale column: interpreted HOFs re-evaluate referenced
+    // subtrees per element (CollapseProject inlines them), which would
+    // recompute the array max d times per row.
+    "q_embedding_quantize" -> ((s, d) => {
+      val e = par(Tables(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
+      val w = Window.partitionBy("vec_id")
+      e.withColumn("scale", max(abs(col("x"))).over(w))
+        .withColumn("qi",
+          when(col("scale") === 0, lit(0L))
+            .otherwise(round(col("x") * 127.0 / col("scale"), 0)
+              .cast("long")))
+        .groupBy("vec_id")
+        .agg(first(col("scale")).as("scale"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("qi")))),
+              st => st.getField("qi").cast("string")), ",").as("q_vec"))
+        .orderBy("vec_id")
+    }),
+
     // HLL sketch distinct — no oracle (approximate); ScalaTest pins the
     // 5% relative-error contract against exact counts.
     "q_approx_distinct" -> ((s, d) =>
@@ -175,6 +207,20 @@ object LlmOps {
        |FROM embeddings $where""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(x)) AS scale FROM e GROUP BY vec_id)
+        |SELECT vec_id, any_value(s.scale) AS scale,
+        |  string_agg(CAST(CASE WHEN s.scale = 0 THEN 0
+        |    ELSE CAST(round(x * 127.0 / s.scale, 0) AS BIGINT) END
+        |    AS VARCHAR), ',' ORDER BY e.pos) AS q_vec
+        |FROM e JOIN s USING (vec_id)
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id, md5(lower(trim(text))) AS digest, lang, source,

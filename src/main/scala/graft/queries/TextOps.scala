@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline (north star):
@@ -115,6 +116,60 @@ object TextOps {
           array_max(col("h")).as("fp_max"),
           size(col("h")).cast("long").as("n_shingles"))
         .orderBy("doc_id")),
+
+    // phi-frequent heavy hitters (round 5): every token whose share of
+    // total occurrences is >= 1%, with document frequency — the skew
+    // diagnosis a curation pipeline runs before choosing stop-shingle
+    // caps (q_dedup_ngram_jaccard's df-cap) or salting keys. Shape: one
+    // explode feeding a two-phase HashAggregate (map-side partial
+    // counts), a 1-row broadcast of the total, TakeOrdered output; the
+    // full token list never reaches the driver. Filter on the ROUNDED
+    // share so both engines agree at the threshold boundary.
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy("token")
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share",
+          round(col("occurrences").cast("double") / col("total"), 6))
+        .filter(col("share") >= 0.01)
+        .select("token", "occurrences", "doc_freq", "share")
+        .orderBy(col("occurrences").desc, col("token").asc)
+    }),
+
+    // Per-doc top-3 TF-IDF keywords (round 5): the keyword-extraction /
+    // topic-tagging primitive. tf and df are exact two-phase aggregates
+    // over one explode; n_docs is a 1-row broadcast; ranking uses the
+    // 6dp-ROUNDED score (ln may differ in the last ulp across engines)
+    // with token tie-break, so the rank-3 cut is engine-deterministic.
+    // Scale: shuffles are keyed on (doc_id, token) then token — never a
+    // driver collect; the window partitions by doc_id (bounded rows per
+    // doc).
+    "q_tfidf_keywords" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = par(Tables(s, d, "documents"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfq, "token").crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("token"), col("tfidf"))
+        .orderBy(col("doc_id").asc, col("rk").asc)
+    }),
 
     // Exact 3-gram Jaccard near-dup pairs >= 0.8: the oracle ground truth
     // the approximate dedup family (AnnOps) is tested against. The join
@@ -263,5 +318,42 @@ object TextOps {
         |JOIN sz s2 ON s2.doc_id = d2
         |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS occurrences,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |  FROM toks WHERE token <> '' GROUP BY token),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total
+        |      FROM toks WHERE token <> '')
+        |SELECT token, occurrences, doc_freq,
+        |       round(CAST(occurrences AS DOUBLE) / total, 6) AS share
+        |FROM c CROSS JOIN t
+        |WHERE round(CAST(occurrences AS DOUBLE) / total, 6) >= 0.01
+        |ORDER BY occurrences DESC, token ASC""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+        |d AS (SELECT token, count(*) AS df FROM t GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token,
+        |         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+        |  FROM t JOIN d USING (token) CROSS JOIN n)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk,
+        |  token, tfidf
+        |FROM scored
+        |QUALIFY rk <= 3
+        |ORDER BY doc_id ASC, rk ASC""".stripMargin,
   )
 }

@@ -85,6 +85,25 @@ class QueriesSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"))
   }
 
+  test("q_embedding_quantize reuses the vec_id partitioning (window + agg, one hash exchange)") {
+    val df = SparkEntry.queries("q_embedding_quantize")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    // AdaptiveSparkPlan.toString prints final AND initial plans — count
+    // hash exchanges only in the final section
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"window and groupBy should share the vec_id partitioning:\n$plan")
+  }
+
+  test("q_heavy_hitters broadcasts the 1-row total (corpus counts never collect)") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"total must broadcast to the counts, not shuffle:\n$plan")
+  }
+
   test("q_similarity_cosine uses the native cosine_sim expression") {
     val plan = SparkEntry.queries("q_similarity_cosine")(spark, sf)
       .queryExecution.executedPlan.toString
