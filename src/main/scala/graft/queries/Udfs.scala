@@ -50,7 +50,73 @@ object Udfs {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Count-min sketch over tokens as a typed Aggregator (round 5): a
+    * depth x width long matrix in one flat buffer. Cell-wise addition
+    * makes it MERGEABLE, so Spark runs it as a two-phase aggregate with
+    * map-side partials — the 100-TB frequency shape when the vocabulary
+    * itself is too big for a token-keyed shuffle (the exact
+    * q_heavy_hitters): total state is O(depth * width) no matter the
+    * corpus. Estimates never undercount; overcount is bounded by hash
+    * collisions (~N/width per row w.h.p.), spec-pinned against exact
+    * counts in LlmOpsSpec. Hashes are MurmurHash3 with the row index as
+    * seed — deterministic across JVMs and partitionings. */
+  final class CountMinSketchAgg(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], tok: String): Array[Long] = {
+      var i = 0
+      while (i < depth) {
+        b(i * width + CountMinSketchAgg.cell(tok, i, width)) += 1L
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  object CountMinSketchAgg {
+    def cell(tok: String, row: Int, width: Int): Int =
+      java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(tok, row), width)
+    /** Point estimate = min over rows (the CMS read path). */
+    def estimate(sketch: Array[Long], tok: String,
+      depth: Int, width: Int): Long =
+      (0 until depth).map(i => sketch(i * width + cell(tok, i, width))).min
+  }
+
   val q: Map[String, Q] = Map(
+    // CMS counts for the exact heavy-hitter tokens: builds the sketch in
+    // one distributed pass (constant state), then reads the estimates
+    // driver-side for the (bounded, phi-frequent) candidate set — the
+    // standard sketch+candidates split at scale. No oracle (approximate);
+    // LlmOpsSpec pins est >= exact and the collision bound.
+    "q_heavy_hitters_cms" -> ((s, d) => {
+      import s.implicits._
+      val depth = 4; val width = 2048
+      val toks = par(Tables(s, d, "documents"))
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "").as[String]
+      val sketch = toks.select(new CountMinSketchAgg(depth, width)
+        .toColumn.name("cms")).head()
+      val exact = TextOps.q("q_heavy_hitters")(s, d)
+        .select("token", "occurrences").collect()
+      val rows = exact.toSeq.map { r =>
+        (r.getString(0), r.getLong(1),
+          CountMinSketchAgg.estimate(sketch, r.getString(0), depth, width))
+      }
+      s.createDataset(rows).toDF("token", "occurrences", "cms_estimate")
+        .orderBy(col("occurrences").desc, col("token").asc)
+    }),
+
     "q_udf_topic_name" -> ((s, d) => {
       val topicName = udf(topicNameImpl _)
       Cdc.withPath(Tables(s, d, "orders"))

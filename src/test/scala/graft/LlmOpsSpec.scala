@@ -24,6 +24,20 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_heavy_hitters_cms: estimates never undercount, collisions bounded") {
+    val rows = SparkEntry.queries("q_heavy_hitters_cms")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "fixture word soup must have phi-frequent tokens")
+    val totalTokens = rows.map(_._2).sum // lower bound on N, enough here
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"CMS undercounted $tok: est=$est exact=$exact")
+      // depth-4 min over 2048-wide rows: overcount ~ N/width per
+      // colliding row; 4x slack keeps this deterministic-stable
+      assert(est - exact <= 4L * totalTokens / 2048 + 1,
+        s"CMS overcount too large for $tok: est=$est exact=$exact")
+    }
+  }
+
   test("q_dedup_exact keeps one row per normalized digest") {
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val digests = deduped.select("digest").collect().map(_.getString(0))

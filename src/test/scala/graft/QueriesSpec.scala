@@ -51,7 +51,8 @@ class QueriesSpec extends AnyFunSuite {
       "q_approx_distinct",      // HLL sketch — tolerance pinned in LlmOpsSpec
       "q_ann_ivf",              // approximate ANN — invariants in AnnSpec
       "q_quantiles_grouped",    // quantile sketch — tolerance in PropertiesSpec
-      "q_multimodal_features")  // binary plumbing — MultiModalSpec
+      "q_multimodal_features",  // binary plumbing — MultiModalSpec
+      "q_heavy_hitters_cms")    // count-min sketch — bounds in LlmOpsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == noOracleAllowed,
       s"unexpected no-oracle queries: ${actual -- noOracleAllowed}; " +
