@@ -3,6 +3,7 @@ package graft.streaming
 import graft.queries.Cdc
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
 import java.util.concurrent.ConcurrentHashMap
@@ -240,6 +241,90 @@ object Streams {
         ()
       }
       .start()
+  }
+
+  /** s_cdc_upsert_materialize (round 5): the consumer-side step the
+    * reference delegates to its Pub/Sub subscribers — APPLYING the change
+    * stream to maintain a queryable latest-state table. Per micro-batch:
+    * newest version per key wins by the HLC `updated` string (NOT arrival
+    * order, so late-arriving older versions lose), deletes drop the key,
+    * and the merged state is published by an atomic pointer swap
+    * (write `v<batch>` dir, then repoint CURRENT) — a reader sees the old
+    * or the new table, never a half-written one; the previous version dir
+    * is kept for one generation then removed.
+    *
+    * Scale shape: the merge is one window over (state ∪ batch) keyed on
+    * key_id — state stays O(live keys). With bare parquet that is a full
+    * state rewrite per batch; on a real deployment the same per-batch
+    * dataflow drops into Delta/Iceberg `MERGE INTO` (log-structured,
+    * no rewrite) without touching the stream side. Ties on `updated`
+    * resolve delete-wins, then deterministic. */
+  def cdcUpsertMaterialize(parsed: DataFrame, tableDir: String,
+    checkpoint: String): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
+    parsed
+      .filter(col("op").isin("upsert", "delete"))
+      .select(element_at(col("key"), 1).as("key_id"),
+        col("after"), col("updated"), (col("op") === "delete").as("deleted"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val cur = readMaterialized(s, tableDir)
+          .map(_.withColumn("deleted", lit(false)))
+          .getOrElse(s.createDataFrame(
+            new java.util.ArrayList[Row](), batch.schema))
+        val w = Window.partitionBy("key_id")
+          .orderBy(col("updated").desc, col("deleted").desc)
+        val next = batch.unionByName(cur)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && !col("deleted"))
+          .select("key_id", "after", "updated")
+        val vdir = f"$tableDir/v$id%06d"
+        next.write.mode("overwrite").parquet(vdir)
+        swapPointer(tableDir, f"v$id%06d")
+        ()
+      }
+      .start()
+  }
+
+  /** The materialized table behind the CURRENT pointer, if published. */
+  def readMaterialized(s: SparkSession, tableDir: String): Option[DataFrame] = {
+    val ptr = java.nio.file.Paths.get(tableDir, "CURRENT")
+    if (java.nio.file.Files.exists(ptr))
+      Some(s.read.parquet(
+        s"$tableDir/${java.nio.file.Files.readString(ptr).trim}"))
+    else None
+  }
+
+  /** Atomically repoint CURRENT (tmp write + ATOMIC_MOVE) and drop
+    * version dirs older than the one being replaced. */
+  private def swapPointer(tableDir: String, version: String): Unit = {
+    val dir = java.nio.file.Paths.get(tableDir)
+    val prev = {
+      val p = dir.resolve("CURRENT")
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p).trim)
+      else None
+    }
+    val tmp = java.nio.file.Files.createTempFile(dir, ".ptr", ".tmp")
+    java.nio.file.Files.writeString(tmp, version)
+    java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // keep the just-replaced version for in-flight readers; drop older
+    val keep = Set(version) ++ prev
+    val stream = java.nio.file.Files.list(dir)
+    try stream.forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && !keep.contains(n) &&
+        java.nio.file.Files.isDirectory(p)) {
+        val files = java.nio.file.Files.walk(p)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally files.close()
+      }
+    } finally stream.close()
   }
 
   // --------------------------------------------------------------- windows

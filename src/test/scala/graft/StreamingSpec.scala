@@ -213,6 +213,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("s_cdc_upsert_materialize: newest wins, deletes drop, late arrivals lose, pointer swap") {
+    val in = tmp("cdc-upsert"); val table = tmp("cdc-table")
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
+      Seq(envLine(1), envLine(2), envLine(3)))
+    val parsed = Streams.parseEnvelope(Streams.ingestLines(spark, in), payload)
+    val q = Streams.cdcUpsertMaterialize(parsed, table, tmp("cdc-up-ckpt"))
+    q.processAllAvailable()
+    assert(Streams.readMaterialized(spark, table).get.count() == 3)
+    // second delivery: newer update to key 1, delete of key 2, and a LATE
+    // (older-updated) version of key 3 that must NOT overwrite
+    val newK1 = s"""{"after": {"o_orderkey": 1, "o_custkey": 1, "o_totalprice": 999.5}, "key": [1], "updated": "${upd(10)}"}"""
+    val delK2 = s"""{"after": null, "key": [2], "updated": "${upd(11)}"}"""
+    val lateK3 = s"""{"after": {"o_orderkey": 3, "o_custkey": 3, "o_totalprice": 111.5}, "key": [3], "updated": "${upd(0)}"}"""
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(2)}-u2-orders-1.ndjson",
+      Seq(newK1, delK2, lateK3))
+    q.processAllAvailable()
+    q.stop()
+    val st = Streams.readMaterialized(spark, table).get
+      .select(col("key_id"), col("after.o_totalprice"), col("updated"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(st.keySet == Set(1L, 3L), s"delete must drop key 2, got $st")
+    assert(st(1L) == 999.5, "newest version must win for key 1")
+    assert(st(3L) == 30.5, "late-arriving older version must lose for key 3")
+    // published via pointer: CURRENT exists, stale version dirs pruned
+    assert(Files.exists(Paths.get(table, "CURRENT")))
+    val vdirs = Files.list(Paths.get(table)).toArray.map(_.toString)
+      .count(_.matches(".*/v\\d+$"))
+    assert(vdirs <= 2, s"stale version dirs not pruned: $vdirs")
+  }
+
   test("s_resolved_watermark: markers advance monotonically per batch") {
     val in = tmp("cdc-res"); val markers = tmp("cdc-markers")
     write(in, s"sharedKey=k1/t/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
