@@ -117,6 +117,37 @@ object TextOps {
           size(col("h")).cast("long").as("n_shingles"))
         .orderBy("doc_id")),
 
+    // Unigram surprisal scoring (round 5): per-doc total and mean
+    // -ln p(token) under the corpus's own unigram distribution — the
+    // cheap perplexity proxy curation pipelines use to flag gibberish
+    // (high surprisal) and boilerplate (low). Determinism: each term is
+    // tf * round(-ln(cnt/total), 9) cast to exact decimal BEFORE the
+    // sum (float sums are order-dependent; decimal sums are not), the
+    // total re-rounds to 6dp, and the mean divides two already-portable
+    // values in double. Scale: two token-keyed two-phase aggs + a 1-row
+    // broadcast total + one (doc_id, token)-keyed agg — no collects.
+    "q_unigram_logprob" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("total"))
+      tf.join(cnts, "token").crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tf"),
+          (col("tf").cast("decimal(8,0)") *
+            round(-log(col("cnt").cast("double") / col("total")), 9)
+              .cast("decimal(20,12)")).as("term"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tok"),
+          round(sum(col("term")), 6).cast("double").as("total_surprise"))
+        .select(col("doc_id"), col("n_tok"), col("total_surprise"),
+          round(col("total_surprise") / col("n_tok"), 6)
+            .as("avg_surprise"))
+        .orderBy("doc_id")
+    }),
+
     // phi-frequent heavy hitters (round 5): every token whose share of
     // total occurrences is >= 1%, with document frequency — the skew
     // diagnosis a curation pipeline runs before choosing stop-shingle
@@ -318,6 +349,30 @@ object TextOps {
         |JOIN sz s2 ON s2.doc_id = d2
         |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE token <> '' GROUP BY doc_id, token),
+        |c AS (SELECT token, count(*) AS cnt
+        |      FROM toks WHERE token <> '' GROUP BY token),
+        |t AS (SELECT count(*) AS total FROM toks WHERE token <> ''),
+        |terms AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(tf.tf AS DECIMAL(8,0)) *
+        |    CAST(round(-ln(CAST(c.cnt AS DOUBLE) / t.total), 9)
+        |         AS DECIMAL(20,12)) AS term
+        |  FROM tf JOIN c USING (token) CROSS JOIN t),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+        |    CAST(round(SUM(term), 6) AS DOUBLE) AS total_surprise
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_tok, total_surprise,
+        |  round(total_surprise / n_tok, 6) AS avg_surprise
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH toks AS (

@@ -98,6 +98,39 @@ object Windows {
     // inside ONE shuffle keyed on user_id (window + groupBy share the
     // partitioning); time math is integer microseconds on both engines
     // (unix_micros == epoch_us), so no float drift anywhere.
+    // Ordered-funnel analysis (round 5): how many users progressed
+    // signup -> view -> purchase with STRICTLY increasing event times —
+    // the classic product-analytics cascade, computed via the min-time
+    // chain (stage k's anchor = earliest qualifying event after stage
+    // k-1's anchor; no per-user sequence materialization). Scale shape:
+    // three user_id-keyed two-phase aggs + two user_id equi-joins of
+    // user-cardinality frames — never an event-sequence collect; event
+    // times compared in exact integer micros (engine-portable).
+    "q_funnel" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "view").as("e")
+        .join(t1.as("t"), col("e.user_id") === col("t.user_id") &&
+          col("e.us") > col("t.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase").as("e")
+        .join(t2.as("t"), col("e.user_id") === col("t.user_id") &&
+          col("e.us") > col("t.t2"))
+        .groupBy(col("e.user_id")).agg(min(col("e.us")).as("t3"))
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Long,
+        name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_users"))
+      stage(t1, 1L, "signup")
+        .unionByName(stage(t2, 2L, "view"))
+        .unionByName(stage(t3, 3L, "purchase"))
+        .orderBy("stage_idx")
+    }),
+
     "q_sessionize" -> ((s, d) => {
       val gapUs = 300L * 1000000L
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -130,6 +163,30 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2 FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.us > t1.t1
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3 FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.us > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'signup',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM t1)),
+        |  (CAST(2 AS BIGINT), 'view',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM t2)),
+        |  (CAST(3 AS BIGINT), 'purchase',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM t3)))
+        |  v(stage_idx, stage, n_users)
+        |ORDER BY stage_idx""".stripMargin,
+
     "q_win_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_ok,
