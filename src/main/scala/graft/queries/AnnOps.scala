@@ -310,6 +310,15 @@ object AnnOps {
     // no oracle — approximate; AnnSpec pins nprobe=cells == brute force).
     "q_ann_ivf" -> ((s, d) => ivfKnn(s, d, nprobe = 2)),
 
+    // IVF over Lloyd-TRAINED centroids (round 5): 2 k-means rounds where
+    // assignment is the same zero-shuffle ivf_top_cells projection and
+    // the update is one (cell, dim) two-phase agg (O(cells x dims) rows
+    // to the driver, never the corpus). No oracle (approximate); AnnSpec
+    // pins nprobe=cells == brute force (holds for ANY centroids),
+    // training determinism, and that training does not worsen the mean
+    // assigned-cell score.
+    "q_ann_ivf_trained" -> ((s, d) => ivfKnnTrained(s, d, nprobe = 2)),
+
     // Sign-LSH (random-hyperplane) embedding near-dup — the 100-TB shape
     // for q_dedup_embedding, which broadcasts the corpus (round-3 verdict
     // #2). Contract: for each vector, its best bucket-mate within Hamming
@@ -459,10 +468,75 @@ object AnnOps {
     * bloated every carrying stage's task binary to ~1.6 MiB (the round-4
     * bench's largest). */
   private def assignCells(s: SparkSession, df: DataFrame, vecCol: String,
-    k: Int): DataFrame =
+    k: Int,
+    cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)): DataFrame =
     df.withColumn("cell",
       explode(graft.functions.IvfTopCells(s, col(vecCol),
-        typedLit[Seq[Seq[Double]]](centroidW.map(_.toSeq)), k)))
+        typedLit[Seq[Seq[Double]]](cents), k)))
+
+  /** Lloyd-trained coarse centroids (round 5): seed with the derived
+    * centroidW, then `iters` k-means rounds — assignment is the SAME
+    * stateless ivf_top_cells projection the search uses (k=1, zero
+    * shuffles), the update is one (cell, dim)-keyed two-phase aggregate
+    * collecting O(cells x dims) rows to the driver (512 doubles here;
+    * never the corpus). Coordinates round to 6dp each round so
+    * double-sum partial-order effects cannot drift assignments between
+    * otherwise-identical runs; a cell that goes empty keeps its previous
+    * centroid (the standard Lloyd guard). At 100 TB one trains on a
+    * hash-sample (q_sample_hash's shape) — the update agg is the only
+    * corpus-sized stage and it map-side combines. */
+  def trainCentroids(s: SparkSession, d: String,
+    iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)
+    val emb = Tables(s, d, "embeddings")
+    (0 until iters).foreach { _ =>
+      val sums = assignCells(s, emb, "embedding", 1, cents)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("double")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getInt(1)) =
+              BigDecimal(r.getDouble(2) / r.getLong(3))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            m.toSeq
+          case None => cents(c) // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** q_ann_ivf_trained: the ivfKnn search over Lloyd-trained centroids
+    * instead of the fixed derived seeds — 2 training rounds, then the
+    * identical probe/cell-join/exact-verify pipeline. */
+  def ivfKnnTrained(s: SparkSession, d: String,
+    nprobe: Int, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(s, d, iters)
+    val emb = Tables(s, d, "embeddings")
+    val corpus = assignCells(s, emb, "embedding", 1, cents)
+    val probes = assignCells(s,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe")),
+      "probe", nprobe, cents)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    corpus.join(probes, "cell")
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("probe_id", "vec_id", "cell", "cos_sim")
+      .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
+  }
 
   /** IVF search: assign corpus rows to their nearest coarse cell (a
     * stateless projection over driver-literal centroids), probe only the

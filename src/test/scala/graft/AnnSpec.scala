@@ -16,6 +16,23 @@ class AnnSpec extends AnyFunSuite {
       brute.collect().map(_.toString).toSeq)
   }
 
+  test("q_ann_ivf_trained: nprobe = numCells still equals brute force; training deterministic") {
+    // the exactness invariant holds for ANY centroids — including trained
+    val exhaustive = AnnOps.ivfKnnTrained(spark, sf,
+      nprobe = AnnOps.numCells)
+      .select("probe_id", "vec_id", "cos_sim")
+    val brute = SparkEntry.queries("q_knn_pergroup")(spark, sf)
+    assert(exhaustive.collect().map(_.toString).toSeq ==
+      brute.collect().map(_.toString).toSeq)
+    // training is deterministic (6dp-rounded means, fixed seeds)
+    val c1 = AnnOps.trainCentroids(spark, sf, 2)
+    val c2 = AnnOps.trainCentroids(spark, sf, 2)
+    assert(c1 == c2, "two training runs diverged")
+    // and it actually moved the centroids off the seeds
+    val seeds = AnnOps.trainCentroids(spark, sf, 0)
+    assert(c1 != seeds, "training left every centroid at its seed")
+  }
+
   test("q_ann_ivf prunes: visited candidates are a strict corpus subset") {
     // nprobe=2 of 8 cells must scan well under the full corpus per probe
     val perProbeScan = AnnOps.ivfKnn(spark, sf, nprobe = 2)

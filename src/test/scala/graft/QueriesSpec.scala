@@ -52,6 +52,7 @@ class QueriesSpec extends AnyFunSuite {
       "q_ann_ivf",              // approximate ANN — invariants in AnnSpec
       "q_quantiles_grouped",    // quantile sketch — tolerance in PropertiesSpec
       "q_multimodal_features",  // binary plumbing — MultiModalSpec
+      "q_ann_ivf_trained",      // approximate ANN — invariants in AnnSpec
       "q_heavy_hitters_cms")    // count-min sketch — bounds in LlmOpsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == noOracleAllowed,
