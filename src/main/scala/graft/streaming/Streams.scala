@@ -386,6 +386,45 @@ object Streams {
       }
   }
 
+  /** s_stateful_counter_tws (round 5): the same per-user running counter
+    * on Spark 4's transformWithState — the arbitrary-state API that
+    * supersedes mapGroupsWithState (typed per-key ValueState handles,
+    * timers, TTL, and the RocksDB state store it requires: changelog-
+    * checkpointed, spillable state — the 100-TB shape where
+    * mapGroupsWithState's HDFSBackedStateStore keeps every key on-heap).
+    * Semantics are pinned identical to statefulCounter by the golden
+    * spec; the processor emits one updated UserCount per key per batch. */
+  class UserCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, UserCount] {
+    @transient private var agg:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserCount] = {
+      val (n0, s0) = if (agg.exists()) agg.get() else (0L, 0.0)
+      var n = n0; var sum = s0
+      rows.foreach { e => n += 1; sum += e.value }
+      agg.update((n, sum))
+      Iterator.single(UserCount(uid, n, math.round(sum * 100).toDouble / 100))
+    }
+  }
+
+  def statefulCounterTws(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** s_join_stream_stream: watermarked stream-stream interval join — each
     * left event matches right events of the same user within the trailing
     * 10-minute interval. Both sides are watermarked so the join state is

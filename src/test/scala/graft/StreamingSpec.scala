@@ -370,6 +370,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState.toMap == golden, s"state=$finalState golden=$golden")
   }
 
+  test("s_stateful_counter_tws: transformWithState on RocksDB == batch aggregate") {
+    val dir = tmp("ev-tws"); writeEventFixture(dir)
+    // transformWithState requires the RocksDB state store provider — the
+    // spillable, changelog-checkpointed store that is also the 100-TB
+    // choice (HDFSBackedStateStore keeps every key on-heap)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val finalState = TrieMap[Long, (Long, Double)]()
+      val counted = Streams.statefulCounterTws(
+        eventStream(dir).as[Streams.Event])
+      val q = counted.writeStream.outputMode("update")
+        .option("checkpointLocation", tmp("ev-tws-ckpt"))
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.UserCount], _: Long) =>
+          b.collect().foreach(u =>
+            finalState(u.user_id) = (u.n_events, u.sum_value))
+          ()
+        }.start()
+      q.processAllAvailable()
+      // second batch: ValueState carries across micro-batches
+      write(dir, "b2.ndjson", Seq(evLine(6, "2024-01-01T00:05:00Z", 1, "click", 1.0)))
+      q.processAllAvailable()
+      q.stop()
+      val golden = eventBatch(dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(finalState.toMap == golden, s"state=$finalState golden=$golden")
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("s_join_stream_stream: watermarked interval join == batch golden") {
     val la = tmp("ev-ssl"); val rb = tmp("ev-ssr")
     write(la, "a.ndjson", Seq(
