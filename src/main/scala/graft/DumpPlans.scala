@@ -19,6 +19,10 @@ object DumpPlans {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.graft.allowQuadratic", "true") // plan dump, not a run
+      // do NOT execute sketch jobs (eager localCheckpoint) just to dump
+      // a plan — and keep the dumped plan the real pipeline, not the
+      // degenerate post-checkpoint LogicalRDD scan
+      .config("spark.graft.skipEagerMaterialize", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     keys.foreach { k =>

@@ -490,10 +490,15 @@ object AnnOps {
     var cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)
     val emb = Tables(s, d, "embeddings")
     (0 until iters).foreach { _ =>
+      // Exact-decimal element sums: each float rounds to the same
+      // decimal(30,10) no matter the partition, and decimal addition is
+      // associative/commutative — so the mean is PARTITION-ORDER
+      // INDEPENDENT (a rounded double sum is not: a 1-ulp difference at
+      // a .5e-6 boundary would drift a centroid between runs).
       val sums = assignCells(s, emb, "embedding", 1, cents)
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos")
-        .agg(sum(col("col").cast("double")).as("sx"),
+        .agg(sum(col("col").cast("decimal(30,10)")).as("sx"),
           count(lit(1)).as("n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
@@ -503,7 +508,7 @@ object AnnOps {
             val dim = rows.map(_.getInt(1)).max + 1
             val m = new Array[Double](dim)
             rows.foreach(r => m(r.getInt(1)) =
-              BigDecimal(r.getDouble(2) / r.getLong(3))
+              (BigDecimal(r.getDecimal(2)) / BigDecimal(r.getLong(3)))
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             m.toSeq
           case None => cents(c) // empty cell: keep previous centroid
@@ -513,12 +518,20 @@ object AnnOps {
     cents
   }
 
-  /** q_ann_ivf_trained: the ivfKnn search over Lloyd-trained centroids
-    * instead of the fixed derived seeds — 2 training rounds, then the
-    * identical probe/cell-join/exact-verify pipeline. */
+  /** q_ann_ivf_trained: the IDENTICAL ivfKnn search (same probes, join,
+    * verify, tie-breaks — one code path, so the variants can never
+    * drift) over Lloyd-trained centroids instead of the fixed seeds. */
   def ivfKnnTrained(s: SparkSession, d: String,
-    nprobe: Int, iters: Int = 2): DataFrame = {
-    val cents = trainCentroids(s, d, iters)
+    nprobe: Int, iters: Int = 2): DataFrame =
+    ivfKnn(s, d, nprobe, trainCentroids(s, d, iters))
+
+  /** IVF search: assign corpus rows to their nearest coarse cell (a
+    * stateless projection over driver-literal centroids), probe only the
+    * `nprobe` cells nearest each query, exact cosine top-5 inside the
+    * visited cells. nprobe = numCells degrades to exact brute force — the
+    * invariant AnnSpec pins. */
+  def ivfKnn(s: SparkSession, d: String, nprobe: Int,
+    cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)): DataFrame = {
     val emb = Tables(s, d, "embeddings")
     val corpus = assignCells(s, emb, "embedding", 1, cents)
     val probes = assignCells(s,
@@ -526,31 +539,6 @@ object AnnOps {
         .select(col("vec_id").as("probe_id"),
           col("embedding").as("probe")),
       "probe", nprobe, cents)
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    corpus.join(probes, "cell")
-      .select(col("probe_id"), col("vec_id"), col("cell"),
-        round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
-          .as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("probe_id", "vec_id", "cell", "cos_sim")
-      .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
-  }
-
-  /** IVF search: assign corpus rows to their nearest coarse cell (a
-    * stateless projection over driver-literal centroids), probe only the
-    * `nprobe` cells nearest each query, exact cosine top-5 inside the
-    * visited cells. nprobe = numCells degrades to exact brute force — the
-    * invariant AnnSpec pins. */
-  def ivfKnn(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val emb = Tables(s, d, "embeddings")
-    val corpus = assignCells(s, emb, "embedding", 1)
-    val probes = assignCells(s,
-      emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"),
-          col("embedding").as("probe")),
-      "probe", nprobe)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     corpus.join(probes, "cell") // equi-join on cell: only visited cells scan

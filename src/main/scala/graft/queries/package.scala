@@ -42,9 +42,18 @@ package object queries {
     */
   private[queries] def materializeAndFree(
       df: DataFrame, handles: DataFrame*): DataFrame = {
-    val out = df.localCheckpoint(true)
-    handles.foreach(_.unpersist())
-    out
+    // Plan-inspection escape hatch: DumpPlans sets this so building the
+    // frame does NOT execute the sketch job (an eager localCheckpoint at
+    // plan-dump time would both run the full query and collapse the
+    // dumped plan to a LogicalRDD scan). Leaks the internal caches —
+    // acceptable only in a dump/inspection session, never the harness.
+    if (df.sparkSession.conf
+        .get("spark.graft.skipEagerMaterialize", "false") == "true") df
+    else {
+      val out = df.localCheckpoint(true)
+      handles.foreach(_.unpersist())
+      out
+    }
   }
 }
 

@@ -123,8 +123,15 @@ final class IngestServer(bindAddr: String, landingDir: String,
         else {
           val m = Map("rejected_401" -> rejected.get(),
             "landed" -> landed.get()) ++ extraMetrics()
+          // keys contain caller-chosen query names: escape for JSON
+          def esc(k: String): String = k.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
           val json = m.toSeq.sortBy(_._1)
-            .map { case (k, v) => s""""$k": $v""" }
+            .map { case (k, v) => s""""${esc(k)}": $v""" }
             .mkString("{", ", ", "}")
           reply(ex, 200, json, "application/json")
         }

@@ -247,18 +247,27 @@ object Streams {
     * reference delegates to its Pub/Sub subscribers — APPLYING the change
     * stream to maintain a queryable latest-state table. Per micro-batch:
     * newest version per key wins by the HLC `updated` string (NOT arrival
-    * order, so late-arriving older versions lose), deletes drop the key,
-    * and the merged state is published by an atomic pointer swap
-    * (write `v<batch>` dir, then repoint CURRENT) — a reader sees the old
-    * or the new table, never a half-written one; the previous version dir
-    * is kept for one generation then removed.
+    * order, so late-arriving older versions lose), deletes TOMBSTONE the
+    * key (the tombstone keeps its `updated`, so a late older upsert in a
+    * LATER batch still loses — it never resurrects the key), and the
+    * merged state is published by an atomic pointer swap (write
+    * `v<batch>` dir, then repoint CURRENT) — a reader sees the old or
+    * the new table, never a half-written one; the previous version dir
+    * is kept for one generation then removed. Replay safety: if CURRENT
+    * already points at this batch's version (crash AFTER the swap but
+    * BEFORE the checkpoint commit), the batch was fully applied — the
+    * replay is a no-op instead of overwriting the directory it is
+    * lazily reading from.
     *
     * Scale shape: the merge is one window over (state ∪ batch) keyed on
-    * key_id — state stays O(live keys). With bare parquet that is a full
-    * state rewrite per batch; on a real deployment the same per-batch
-    * dataflow drops into Delta/Iceberg `MERGE INTO` (log-structured,
-    * no rewrite) without touching the stream side. Ties on `updated`
-    * resolve delete-wins, then deterministic. */
+    * key_id — state stays O(live keys + tombstones; a real deployment
+    * ages tombstones out past the source's resolved watermark). With
+    * bare parquet that is a full state rewrite per batch; on a real
+    * deployment the same per-batch dataflow drops into Delta/Iceberg
+    * `MERGE INTO` (log-structured, no rewrite) without touching the
+    * stream side. Ties on `updated` resolve delete-wins, then by
+    * content digest — fully deterministic even for duplicated
+    * deliveries with divergent payloads. */
   def cdcUpsertMaterialize(parsed: DataFrame, tableDir: String,
     checkpoint: String): StreamingQuery = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
@@ -270,30 +279,45 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
-        val cur = readMaterialized(s, tableDir)
-          .map(_.withColumn("deleted", lit(false)))
-          .getOrElse(s.createDataFrame(
-            new java.util.ArrayList[Row](), batch.schema))
-        val w = Window.partitionBy("key_id")
-          .orderBy(col("updated").desc, col("deleted").desc)
-        val next = batch.unionByName(cur)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1 && !col("deleted"))
-          .select("key_id", "after", "updated")
-        val vdir = f"$tableDir/v$id%06d"
-        next.write.mode("overwrite").parquet(vdir)
-        swapPointer(tableDir, f"v$id%06d")
-        ()
+        val version = f"v$id%06d"
+        if (currentVersion(tableDir).contains(version)) {
+          // replay of a batch whose swap already landed: fully applied
+          ()
+        } else {
+          // state INCLUDING tombstones — deletes must keep outranking
+          // late older upserts across batches
+          val cur = readRaw(s, tableDir).getOrElse(
+            s.createDataFrame(new java.util.ArrayList[Row](), batch.schema))
+          val w = Window.partitionBy("key_id")
+            .orderBy(col("updated").desc, col("deleted").desc,
+              coalesce(md5(to_json(col("after"))), lit("")).desc)
+          val next = batch.unionByName(cur)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select("key_id", "after", "updated", "deleted")
+          val vdir = s"$tableDir/$version"
+          next.write.mode("overwrite").parquet(vdir)
+          swapPointer(tableDir, version)
+          ()
+        }
       }
       .start()
   }
 
-  /** The materialized table behind the CURRENT pointer, if published. */
-  def readMaterialized(s: SparkSession, tableDir: String): Option[DataFrame] = {
+  /** The LIVE materialized table behind the CURRENT pointer, if
+    * published: tombstoned (deleted) keys are filtered out. */
+  def readMaterialized(s: SparkSession, tableDir: String): Option[DataFrame] =
+    readRaw(s, tableDir)
+      .map(_.filter(!col("deleted")).drop("deleted"))
+
+  /** Raw state including tombstones (the merge input). */
+  private def readRaw(s: SparkSession, tableDir: String): Option[DataFrame] =
+    currentVersion(tableDir).map(v => s.read.parquet(s"$tableDir/$v"))
+
+  private def currentVersion(tableDir: String): Option[String] = {
     val ptr = java.nio.file.Paths.get(tableDir, "CURRENT")
     if (java.nio.file.Files.exists(ptr))
-      Some(s.read.parquet(
-        s"$tableDir/${java.nio.file.Files.readString(ptr).trim}"))
+      Some(java.nio.file.Files.readString(ptr).trim)
     else None
   }
 

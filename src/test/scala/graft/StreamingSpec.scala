@@ -229,11 +229,19 @@ class StreamingSpec extends AnyFunSuite {
     write(in, s"sharedKey=k1/t/2024-01-01/${ts33(2)}-u2-orders-1.ndjson",
       Seq(newK1, delK2, lateK3))
     q.processAllAvailable()
+    // third delivery: a LATE upsert of key 2 OLDER than its delete —
+    // the tombstone must keep outranking it across batches
+    val lateK2 = s"""{"after": {"o_orderkey": 2, "o_custkey": 2, "o_totalprice": 777.5}, "key": [2], "updated": "${upd(4)}"}"""
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(3)}-u3-orders-1.ndjson",
+      Seq(lateK2))
+    q.processAllAvailable()
     q.stop()
     val st = Streams.readMaterialized(spark, table).get
       .select(col("key_id"), col("after.o_totalprice"), col("updated"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(st.keySet == Set(1L, 3L), s"delete must drop key 2, got $st")
+    assert(st.keySet == Set(1L, 3L),
+      s"delete must drop key 2 and its tombstone must block the late " +
+        s"older upsert, got $st")
     assert(st(1L) == 999.5, "newest version must win for key 1")
     assert(st(3L) == 30.5, "late-arriving older version must lose for key 3")
     // published via pointer: CURRENT exists, stale version dirs pruned
