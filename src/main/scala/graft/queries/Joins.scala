@@ -131,6 +131,37 @@ object Joins {
     // At equal times order rows sort before event rows (is_event 0 < 1),
     // giving exact <= semantics; okey ascending makes the tie-break among
     // same-date orders the max o_orderkey, deterministically.
+    // Interval-overlap self-join (round 5): orders become service
+    // windows [orderdate, orderdate + (okey % 7 + 1) days]; emit every
+    // same-customer pair of OVERLAPPING windows. Scale shape: the
+    // customer key IS the equi-join key (per-key row counts are
+    // bounded), so this is a key-partitioned hash join with the overlap
+    // as residual — the correct plan when a natural partition key
+    // exists; the bucketed-grid decomposition (q_join_theta) is the
+    // fallback when there is none. Overlap in exact integer date math.
+    "q_join_interval_overlap" -> ((s, d) => {
+      val iv = Tables(s, d, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_custkey").as("cust"),
+          col("o_orderdate").cast("date").as("s0"))
+        .withColumn("e0", date_add(col("s0"),
+          (col("okey") % 7 + 1).cast("int")))
+      iv.as("a").join(iv.as("b"),
+          col("a.cust") === col("b.cust") &&
+          col("a.okey") < col("b.okey") &&
+          col("a.s0") <= col("b.e0") && col("b.s0") <= col("a.e0"))
+        .select(col("a.cust").as("o_custkey"),
+          col("a.okey").as("k1"), col("b.okey").as("k2"),
+          date_format(greatest(col("a.s0"), col("b.s0")), "yyyy-MM-dd")
+            .as("overlap_start"),
+          date_format(least(col("a.e0"), col("b.e0")), "yyyy-MM-dd")
+            .as("overlap_end"),
+          (datediff(least(col("a.e0"), col("b.e0")),
+            greatest(col("a.s0"), col("b.s0"))) + 1).cast("long")
+            .as("overlap_days"))
+        .orderBy("o_custkey", "k1", "k2")
+    }),
+
     "q_join_asof" -> ((s, d) => {
       val e = Tables(s, d, "events")
         .withColumn("asof", date_add(lit("1992-01-01").cast("date"),
@@ -159,6 +190,23 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS okey, o_custkey AS cust,
+        |         CAST(o_orderdate AS DATE) AS s0,
+        |         CAST(o_orderdate AS DATE)
+        |           + CAST(o_orderkey % 7 + 1 AS INT) AS e0
+        |  FROM orders)
+        |SELECT a.cust AS o_custkey, a.okey AS k1, b.okey AS k2,
+        |  strftime(greatest(a.s0, b.s0), '%Y-%m-%d') AS overlap_start,
+        |  strftime(least(a.e0, b.e0), '%Y-%m-%d') AS overlap_end,
+        |  CAST(date_diff('day', greatest(a.s0, b.s0), least(a.e0, b.e0))
+        |       + 1 AS BIGINT) AS overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.cust = b.cust AND a.okey < b.okey
+        | AND a.s0 <= b.e0 AND b.s0 <= a.e0
+        |ORDER BY o_custkey, k1, k2""".stripMargin,
+
     "q_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -347,6 +347,51 @@ object MultiModal {
       .toDF("id", "frame_idx", "frame")
   }
 
+  /** 60-bit hash of a PNG frame's DECODED pixels (row-major ARGB ints) —
+    * pixel-level identity, not byte-level: two encoders producing
+    * different PNG bytes for the same image still collide, which is the
+    * point of frame-level dedup. Same md5-prefix family as h60. */
+  def frameHash(png: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val buf = java.nio.ByteBuffer.allocate(8 + img.getWidth * img.getHeight * 4)
+    buf.putInt(img.getWidth).putInt(img.getHeight)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { buf.putInt(img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(buf.array()).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Frame-level dedup across a video corpus: decode every frame
+    * (batched mapPartitions, the same codec seam as extractFeatures),
+    * hash decoded pixels, then one frame_hash-keyed window marks
+    * duplicates and elects the canonical copy (first (id, frame_idx)).
+    * Scale shape: decode is embarrassingly parallel; the only shuffle
+    * is keyed on the 8-byte frame hash — the exact-dedup shape of
+    * q_dedup_exact lifted to the frame modality. */
+  def frameDedup(records: Dataset[MMRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    val hashes = records.filter(_.modality == "video")
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        mpngFrames(r.content).zipWithIndex.map { case (f, i) =>
+          (r.id, i, frameHash(f))
+        }
+      }))
+      .toDF("id", "frame_idx", "frame_hash")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("frame_hash")
+    val wRank = w.orderBy(col("id").asc, col("frame_idx").asc)
+    hashes
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_canonical",
+        row_number().over(wRank) === 1)
+      .orderBy("id", "frame_idx")
+  }
+
   /** Query-surface entry: end-to-end features joined back to metadata —
     * no oracle (binary plumbing is not SQL-expressible); MultiModalSpec
     * pins schema, determinism, batching, and feature math. */
@@ -359,5 +404,12 @@ object MultiModal {
             (acc, x) => acc + x), 4).as("f_sum"))
         .orderBy("id")
     }),
+
+    // Frame-level dedup over the video corpus (round 5). The fixture's
+    // videos are all text-seeded distinct, so n_copies is 1 throughout
+    // here; MultiModalSpec plants shared frames through the SAME
+    // distributed pipeline and pins that they (and only they) group.
+    // No oracle (binary decode is not SQL-expressible).
+    "q_frame_dedup" -> ((s, d) => frameDedup(corpus(s, d))),
   )
 }

@@ -21,6 +21,41 @@ class MultiModalSpec extends AnyFunSuite {
       .filter(col("meta.sample_rate") === 16000).count() > 0)
   }
 
+  test("q_frame_dedup groups planted shared frames by decoded pixels, not bytes") {
+    import spark.implicits._
+    // two videos SHARING one frame (the planted duplicate), one distinct
+    // frame each; a third video entirely distinct
+    val shared = MultiModal.pngBytes(8, 6, "shared-frame".getBytes("UTF-8"))
+    val a = MultiModal.pngBytes(8, 6, "only-a".getBytes("UTF-8"))
+    val b = MultiModal.pngBytes(8, 6, "only-b".getBytes("UTF-8"))
+    val c = MultiModal.pngBytes(8, 6, "only-c".getBytes("UTF-8"))
+    def rec(id: Long, frames: Seq[Array[Byte]]) =
+      MultiModal.MMRecord(id, "video", MultiModal.mpngOf(frames),
+        MultiModal.MMeta(8, 6, 0, frames.length))
+    val corpus = spark.createDataset(Seq(
+      rec(2, Seq(shared, a)), rec(5, Seq(b, shared)), rec(8, Seq(c))))
+    val rows = MultiModal.frameDedup(corpus)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 5)
+    val byCopies = rows.groupBy(_._4)
+    // exactly the two planted copies group; all other frames are unique
+    assert(byCopies(2L).map(t => (t._1, t._2)).toSet == Set((2L, 0), (5L, 1)),
+      s"expected the shared frame at (2,0) and (5,1): $rows")
+    assert(byCopies(1L).length == 3)
+    // canonical = first (id, frame_idx) of the duplicate group
+    assert(rows.filter(t => t._4 == 2L && t._5).map(t => (t._1, t._2)).toSeq
+      == Seq((2L, 0)))
+    // pixel identity: same decoded pixels => same hash even though the
+    // two container entries could differ byte-wise after re-encode
+    assert(MultiModal.frameHash(shared) ==
+      MultiModal.frameHash(MultiModal.resizePng(shared, 8, 6)))
+    // fixture corpus: runs end-to-end, all frames distinct
+    val fixture = SparkEntry.queries("q_frame_dedup")(spark, sf)
+    assert(fixture.filter(col("n_copies") > 1).count() == 0)
+    assert(fixture.count() > 0)
+  }
+
   test("feature extraction: fixed dim, normalized, deterministic, batched") {
     val f1 = MultiModal.extractFeatures(MultiModal.corpus(spark, sf)).collect()
     assert(f1.length == 500)

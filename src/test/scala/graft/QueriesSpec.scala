@@ -53,6 +53,7 @@ class QueriesSpec extends AnyFunSuite {
       "q_quantiles_grouped",    // quantile sketch — tolerance in PropertiesSpec
       "q_multimodal_features",  // binary plumbing — MultiModalSpec
       "q_ann_ivf_trained",      // approximate ANN — invariants in AnnSpec
+      "q_frame_dedup",          // binary decode — planted-dup MultiModalSpec
       "q_heavy_hitters_cms")    // count-min sketch — bounds in LlmOpsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == noOracleAllowed,
