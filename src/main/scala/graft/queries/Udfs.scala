@@ -93,7 +93,67 @@ object Udfs {
       (0 until depth).map(i => sketch(i * width + cell(tok, i, width))).min
   }
 
+  /** Misra-Gries (space-saving) frequency summary as a typed Aggregator
+    * (round 5): at most k counters survive; an unseen token either takes
+    * a free slot or decrements every counter (dropping zeros). Merge
+    * adds counts then subtracts the (k+1)-th largest to re-cap — the
+    * standard MG merge, which preserves the deterministic guarantees:
+    * estimates NEVER overcount, undercount by at most N/(k+1), and every
+    * token with true frequency > N/(k+1) is present. The CMS above is
+    * the mirror image (never undercounts); together they bracket the
+    * true count. State is O(k) per partial — mergeable, map-side
+    * combined, vocabulary-size independent. */
+  final class MisraGriesAgg(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      if (b.contains(tok)) b.updated(tok, b(tok) + 1L)
+      else if (b.size < k) b.updated(tok, 1L)
+      else b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+    override def merge(a: Map[String, Long],
+      b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).iterator
+        .map(t => t -> (a.getOrElse(t, 0L) + b.getOrElse(t, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Long]]()
+  }
+
   val q: Map[String, Q] = Map(
+    // Misra-Gries estimates for the exact phi-frequent tokens: with
+    // k=128 the guaranteed-presence threshold N/129 (~0.78% of
+    // occurrences) is below the 1% phi cut, so every reported heavy
+    // hitter MUST appear in the summary. No oracle (summary content is
+    // merge-order dependent; the BOUNDS are not) — LlmOpsSpec pins
+    // never-overcount, undercount <= N/(k+1), and full presence.
+    "q_heavy_hitters_mg" -> ((s, d) => {
+      import s.implicits._
+      val k = 128
+      val toks = par(Tables(s, d, "documents"))
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "").as[String]
+      val summary = toks.select(new MisraGriesAgg(k)
+        .toColumn.name("mg")).head()
+      val exact = TextOps.q("q_heavy_hitters")(s, d)
+        .select("token", "occurrences").collect()
+      val rows = exact.toSeq.map { r =>
+        (r.getString(0), r.getLong(1),
+          summary.getOrElse(r.getString(0), 0L))
+      }
+      s.createDataset(rows).toDF("token", "occurrences", "mg_estimate")
+        .orderBy(col("occurrences").desc, col("token").asc)
+    }),
+
     // CMS counts for the exact heavy-hitter tokens: builds the sketch in
     // one distributed pass (constant state), then reads the estimates
     // driver-side for the (bounded, phi-frequent) candidate set — the

@@ -291,10 +291,19 @@ object Streams {
           val w = Window.partitionBy("key_id")
             .orderBy(col("updated").desc, col("deleted").desc,
               coalesce(md5(to_json(col("after"))), lit("")).desc)
-          val next = batch.unionByName(cur)
+          // Tombstone GC: `spark.graft.tombstoneLowWatermark` (an HLC
+          // `updated` lower bound, e.g. a consumed RESOLVED marker — the
+          // source's promise that nothing older will arrive) lets
+          // tombstones below it age out. Without it they are retained
+          // forever, which is correct but grows state by deleted keys.
+          val lowWm = s.conf.get("spark.graft.tombstoneLowWatermark", "")
+          val merged = batch.unionByName(cur)
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
             .select("key_id", "after", "updated", "deleted")
+          val next =
+            if (lowWm.isEmpty) merged
+            else merged.filter(!col("deleted") || col("updated") >= lowWm)
           val vdir = s"$tableDir/$version"
           next.write.mode("overwrite").parquet(vdir)
           swapPointer(tableDir, version)

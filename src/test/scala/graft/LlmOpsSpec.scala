@@ -38,6 +38,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_heavy_hitters_mg: never overcounts, bounded undercount, full presence") {
+    val rows = SparkEntry.queries("q_heavy_hitters_mg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // N from the exact token explode (the bound is in terms of ALL tokens)
+    val n = Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    rows.foreach { case (tok, exact, est) =>
+      assert(est <= exact, s"MG overcounted $tok: est=$est exact=$exact")
+      assert(exact - est <= n / 129 + 1,
+        s"MG undercount beyond N/(k+1) for $tok: est=$est exact=$exact n=$n")
+      // phi=1% > 1/129 of N, so presence is GUARANTEED, not probabilistic
+      assert(est > 0, s"phi-frequent token $tok absent from the summary")
+    }
+  }
+
   test("q_dedup_exact keeps one row per normalized digest") {
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val digests = deduped.select("digest").collect().map(_.getString(0))

@@ -244,6 +244,12 @@ class StreamingSpec extends AnyFunSuite {
         s"older upsert, got $st")
     assert(st(1L) == 999.5, "newest version must win for key 1")
     assert(st(3L) == 30.5, "late-arriving older version must lose for key 3")
+    // tombstones are retained by default (no low watermark configured):
+    // key 2's delete marker still outranks anything older
+    val raw = spark.read.parquet(
+      s"$table/${Files.readString(Paths.get(table, "CURRENT")).trim}")
+    assert(raw.filter(col("deleted")).count() == 1,
+      "delete tombstone must be retained without a low watermark")
     // published via pointer: CURRENT exists, stale version dirs pruned
     assert(Files.exists(Paths.get(table, "CURRENT")))
     val vdirs = Files.list(Paths.get(table)).toArray.map(_.toString)
@@ -376,6 +382,30 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(finalState.toMap == golden, s"state=$finalState golden=$golden")
+  }
+
+  test("s_cdc_upsert_materialize: tombstones age out past the configured low watermark") {
+    val in = tmp("cdc-gc"); val table = tmp("cdc-gc-table")
+    write(in, s"sharedKey=k1/t/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
+      Seq(envLine(1), delLine(2)))
+    val parsed = Streams.parseEnvelope(Streams.ingestLines(spark, in), payload)
+    // low watermark ABOVE the delete's updated: the source has promised
+    // nothing older than upd(50) will arrive, so the tombstone may go
+    spark.conf.set("spark.graft.tombstoneLowWatermark", upd(50))
+    try {
+      val q = Streams.cdcUpsertMaterialize(parsed, table, tmp("cdc-gc-ckpt"))
+      q.processAllAvailable()
+      write(in, s"sharedKey=k1/t/2024-01-01/${ts33(2)}-u2-orders-1.ndjson",
+        Seq(envLine(3)))
+      q.processAllAvailable()
+      q.stop()
+      val raw = spark.read.parquet(
+        s"$table/${Files.readString(Paths.get(table, "CURRENT")).trim}")
+      assert(raw.filter(col("deleted")).count() == 0,
+        "tombstone below the low watermark must be garbage-collected")
+      assert(Streams.readMaterialized(spark, table).get
+        .select("key_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    } finally spark.conf.unset("spark.graft.tombstoneLowWatermark")
   }
 
   test("s_stateful_counter_tws: transformWithState on RocksDB == batch aggregate") {
