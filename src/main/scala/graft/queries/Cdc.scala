@@ -125,6 +125,36 @@ object Cdc {
         .orderBy("o_orderkey")
     }),
 
+    // Schema-evolution timeline (round 5): CRDB bumps the filename's
+    // <schema_id> suffix on ALTER TABLE; the reference CAPTURES the
+    // suffix and DISCARDS it (group 6 used nowhere, publisher.go:158-159
+    // reads only groups 1 and 5). This query surfaces what that throws
+    // away — per schema version: its delivery-key range and row count,
+    // i.e. when each schema became visible in the feed. Input is a
+    // synthetic evolving feed (schema bumps every 1000 keys), and the id
+    // travels THROUGH the path string and back out via the same
+    // generalFile regex the router uses — the full capture path is
+    // exercised, not just arithmetic. One groupBy: |schemas| rows out.
+    "q_cdc_schema_evolution" -> ((s, d) => {
+      val ts33 = lpad(col("o_orderkey").cast("string"), 33, "0")
+      val sid = floor(col("o_orderkey") / 1000).cast("long") + 1
+      val p = par(Tables(s, d, "orders"))
+        .withColumn("path", concat(
+          lit("/v1/ord_topic/2024-01-01/"), ts33,
+          lit("-u"), (col("o_orderkey") % 97).cast("string"),
+          lit("-orders-"), sid.cast("string"), lit(".ndjson")))
+      p.select(
+          regexp_extract(col("path"), generalFile, 5).as("tbl"),
+          regexp_extract(col("path"), generalFile, 6).cast("long")
+            .as("schema_id"),
+          regexp_extract(col("path"), generalFile, 3).as("ts33"))
+        .groupBy("tbl", "schema_id")
+        .agg(count(lit(1)).as("n_files"),
+          min(col("ts33")).as("first_ts"),
+          max(col("ts33")).as("last_ts"))
+        .orderBy("tbl", "schema_id")
+    }),
+
     // Changefeed compaction: v0 insert for every order, v1 update for
     // key%3==0, v2 delete for key%10==0; latest version per key wins by
     // `updated` (NOT arrival order), deletes drop the key (R11 semantics).
@@ -182,6 +212,23 @@ object Cdc {
       |       WHEN regexp_extract(path, '$generalFile', 1) <> '' THEN 'cdc-' || regexp_extract(path, '$generalFile', 1)
       |       ELSE NULL END AS topic
       |FROM p ORDER BY o_orderkey""".stripMargin,
+
+    "q_cdc_schema_evolution" ->
+      s"""WITH p AS (
+         |  SELECT '/v1/ord_topic/2024-01-01/'
+         |    || lpad(CAST(o_orderkey AS VARCHAR), 33, '0')
+         |    || '-u' || CAST(o_orderkey % 97 AS VARCHAR)
+         |    || '-orders-'
+         |    || CAST(CAST(floor(o_orderkey / 1000) AS BIGINT) + 1 AS VARCHAR)
+         |    || '.ndjson' AS path
+         |  FROM orders)
+         |SELECT regexp_extract(path, '$generalFile', 5) AS tbl,
+         |  CAST(regexp_extract(path, '$generalFile', 6) AS BIGINT)
+         |    AS schema_id,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  min(regexp_extract(path, '$generalFile', 3)) AS first_ts,
+         |  max(regexp_extract(path, '$generalFile', 3)) AS last_ts
+         |FROM p GROUP BY 1, 2 ORDER BY tbl, schema_id""".stripMargin,
 
     "q_cdc_latest_by_key" ->
       """WITH versions AS (
