@@ -10,7 +10,13 @@ import org.apache.spark.sql.SparkSession
   *    projections, under-measuring the dominant operator;
   *  - one warmup pass (flagship query) amortizes JIT/codegen startup so
   *    single-iteration timings aren't dominated by first-class-load cost;
-  *  - a query that throws is reported as "failed", never as a timing.
+  *  - a query that throws is reported as "failed", never as a timing;
+  *  - each query runs SPARK_GRAFT_BENCH_ITERS (default 3) cold-cache
+  *    passes and reports the per-query MEDIAN: the round-5 single-pass
+  *    record had a transient host-load event smear the alphabetical
+  *    join block (q_join_multiway 22.2 s vs its 1.6 s n=5 median), and a
+  *    median-of-3 bounds that distortion without changing what is
+  *    measured — every pass still starts from a cleared cache.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,12 +53,17 @@ object Bench {
     // Warmup: JIT + codegen + parquet footer caches.
     try run("q_agg_group") catch { case _: Throwable => () }
 
+    val iters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val t0 = System.nanoTime()
       try {
-        run(name)
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          run(name)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(name -> times(times.length / 2))
       } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -63,7 +74,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

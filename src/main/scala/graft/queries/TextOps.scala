@@ -136,6 +136,12 @@ object TextOps {
       val tot = toks.agg(count(lit(1)).as("total"))
       tf.join(cnts, "token").crossJoin(broadcast(tot))
         .select(col("doc_id"), col("tf"),
+          // Accepted risk (round-5 advice, same class as q_tfidf_keywords):
+          // a last-ulp ln() difference exactly at a 9dp rounding boundary
+          // could diverge a term; the 9dp->6dp double-rounding gap makes
+          // that survive to the hash only if the 6dp total ALSO sits at a
+          // boundary. Never observed across sf0.01/sf0.1; if it flakes,
+          // widen 9 -> 12 here and in the oracle together.
           (col("tf").cast("decimal(8,0)") *
             round(-log(col("cnt").cast("double") / col("total")), 9)
               .cast("decimal(20,12)")).as("term"))

@@ -120,7 +120,7 @@ final class IngestServer(bindAddr: String, landingDir: String,
     override def handle(ex: HttpExchange): Unit =
       try {
         if (ex.getRequestMethod != "GET") reply(ex, 405, "GET only")
-        else {
+        else try {
           val m = Map("rejected_401" -> rejected.get(),
             "landed" -> landed.get()) ++ extraMetrics()
           // keys contain caller-chosen query names: escape for JSON
@@ -134,6 +134,11 @@ final class IngestServer(bindAddr: String, landingDir: String,
             .map { case (k, v) => s""""${esc(k)}": $v""" }
             .mkString("{", ", ", "}")
           reply(ex, 200, json, "application/json")
+        } catch {
+          // extraMetrics() can throw if e.g. the SparkSession was stopped
+          // while the HTTP server is still up (round-5 advice): reply 500
+          // instead of silently dropping the connection on the scraper.
+          case e: Exception => reply(ex, 500, s"metrics failure: ${e.getMessage}")
         }
       } finally ex.close()
   })

@@ -52,6 +52,10 @@ object NetWire {
   val Nak: Byte = 0x15
   /** Frames in flight before draining their acks (see scaladoc above). */
   val ackWindow = 1000
+  /** Max PUBLISH payload the broker accepts. A corrupt/hostile length
+    * prefix must not drive `new Array[Byte](n)` to a negative-size throw
+    * or a multi-GiB allocation inside the broker JVM. */
+  val maxFrameBytes: Int = 16 * 1024 * 1024
 }
 
 /** One delivered message as the broker stores it. */
@@ -72,6 +76,7 @@ final class NetBroker(bindPort: Int = 0) extends AutoCloseable {
   @volatile private var closed = false
 
   private val server = new ServerSocket()
+  server.setReuseAddress(true) // restart-on-same-port (broker-loss specs)
   server.bind(new InetSocketAddress("127.0.0.1", bindPort))
   def port: Int = server.getLocalPort
   def addr: String = s"127.0.0.1:$port"
@@ -111,7 +116,17 @@ final class NetBroker(bindPort: Int = 0) extends AutoCloseable {
             out.writeByte(NetWire.Ack.toInt)
           case NetWire.CmdPublish =>
             val topic = in.readUTF()
-            val data = new Array[Byte](in.readInt())
+            val dataLen = in.readInt()
+            // Wire data is untrusted: a corrupt frame's length prefix
+            // could be negative (NegativeArraySizeException) or huge
+            // (OOM the broker). NAK and drop the connection — the sender
+            // cannot be resynchronized mid-stream after a bad prefix.
+            if (dataLen < 0 || dataLen > NetWire.maxFrameBytes) {
+              out.writeByte(NetWire.Nak.toInt)
+              out.flush()
+              return
+            }
+            val data = new Array[Byte](dataLen)
             in.readFully(data)
             val attrs = (0 until in.readInt())
               .map(_ => in.readUTF() -> in.readUTF()).toMap
@@ -146,6 +161,16 @@ final class NetBroker(bindPort: Int = 0) extends AutoCloseable {
 object NetPublisher {
   private val created = ConcurrentHashMap.newKeySet[String]()
   def reset(): Unit = created.clear()
+
+  /** Drop every create-once entry for `addr`. Called on a publish NAK:
+    * the dominant NAK cause is a broker that restarted and lost its
+    * topics, in which case the JVM-global cache is stale — without the
+    * eviction, the replayed batch skips ensureTopic, publishes into the
+    * missing topic, NAKs again, and the micro-batch retries forever. */
+  private[streaming] def evictAddr(addr: String): Unit = {
+    val it = created.iterator()
+    while (it.hasNext) if (it.next().startsWith(s"$addr/")) it.remove()
+  }
 
   private def connect(addr: String): Socket = {
     val Array(h, p) = addr.split(":", 2)
@@ -191,8 +216,13 @@ object NetPublisher {
       def drainAcks(): Unit = {
         var i = 0
         while (i < inFlight) {
-          if (in.readByte() != NetWire.Ack)
+          if (in.readByte() != NetWire.Ack) {
+            // Stale-cache invalidation (round-5 advice): a NAK usually
+            // means the broker restarted and lost its topics, so the
+            // replay must re-run ensureTopic rather than skip it.
+            evictAddr(addr)
             throw new java.io.IOException(s"broker NAK on publish to $addr")
+          }
           i += 1
         }
         inFlight = 0

@@ -306,7 +306,15 @@ object Streams {
             else merged.filter(!col("deleted") || col("updated") >= lowWm)
           val vdir = s"$tableDir/$version"
           next.write.mode("overwrite").parquet(vdir)
-          swapPointer(tableDir, version)
+          // Reader-vs-GC window (round-5 advice): readMaterialized
+          // resolves CURRENT lazily, so a reader whose action runs k
+          // batches later needs the k-generations-old dir to still
+          // exist. Retention depth is the deployment's choice of that
+          // window; default 2 (current + one prior) matches readers
+          // that materialize within one batch interval.
+          val retain = math.max(1,
+            s.conf.get("spark.graft.materializeRetainGenerations", "2").toInt)
+          swapPointer(tableDir, version, retain)
           ()
         }
       }
@@ -330,23 +338,29 @@ object Streams {
     else None
   }
 
-  /** Atomically repoint CURRENT (tmp write + ATOMIC_MOVE) and drop
-    * version dirs older than the one being replaced. */
-  private def swapPointer(tableDir: String, version: String): Unit = {
+  /** Atomically repoint CURRENT (tmp write + ATOMIC_MOVE) and drop all
+    * but the newest `retain` version dirs (zero-padded names, so
+    * lexicographic order IS version order). `retain`=2 keeps the new
+    * version plus one generation for in-flight readers. */
+  private def swapPointer(tableDir: String, version: String,
+    retain: Int = 2): Unit = {
     val dir = java.nio.file.Paths.get(tableDir)
-    val prev = {
-      val p = dir.resolve("CURRENT")
-      if (java.nio.file.Files.exists(p))
-        Some(java.nio.file.Files.readString(p).trim)
-      else None
-    }
     val tmp = java.nio.file.Files.createTempFile(dir, ".ptr", ".tmp")
     java.nio.file.Files.writeString(tmp, version)
     java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // keep the just-replaced version for in-flight readers; drop older
-    val keep = Set(version) ++ prev
+    // keep the newest `retain` versions for in-flight readers; drop older
+    val keep = {
+      val ls = java.nio.file.Files.list(dir)
+      val versions =
+        try ls.map[String](_.getFileName.toString)
+          .filter(n => n.startsWith("v") && !n.contains("."))
+          .sorted(java.util.Comparator.reverseOrder[String]())
+          .toArray.map(_.toString)
+        finally ls.close()
+      versions.take(math.max(retain, 1)).toSet + version
+    }
     val stream = java.nio.file.Files.list(dir)
     try stream.forEach { p =>
       val n = p.getFileName.toString

@@ -201,6 +201,21 @@ class ConfigIngestSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("R14: /metrics replies 500 when the metrics source throws (stopped session)") {
+    val srv = new IngestServer(":0", tmp("metrics-throw"), Set.empty,
+      extraMetrics =
+        () => throw new IllegalStateException("SparkSession stopped"))
+    try {
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      // a scraper must see an explicit 500, not a dropped connection
+      assert(r.statusCode() == 500)
+      assert(r.body().contains("SparkSession stopped"))
+    } finally srv.close()
+  }
+
   test("concurrent POSTs land atomically: N complete files, exact counters") {
     val landing = tmp("http-concurrent")
     val srv = new IngestServer(":0", landing, Set("k1"))

@@ -213,6 +213,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("s_route_publish_net: publish NAK evicts the create-once cache — broker restart recovers") {
+    val b1 = new NetBroker()
+    val port = b1.port
+    NetPublisher.reset()
+    NetPublisher.ensureTopic(b1.addr, "t_restart")
+    NetPublisher.publishPartition(b1.addr,
+      Iterator(("t_restart", "before", Map.empty[String, String])))
+    assert(b1.messages("t_restart").map(_.data) == Seq("before"))
+    b1.close()
+    // broker restarts on the SAME port, losing all topics — the stale
+    // JVM-global create-once cache would skip ensureTopic forever
+    val b2 = new NetBroker(port)
+    try {
+      intercept[java.io.IOException] {
+        NetPublisher.publishPartition(b2.addr,
+          Iterator(("t_restart", "lost", Map.empty[String, String])))
+      }
+      // the NAK evicted the addr's cache entries, so the retry path
+      // (ensureTopic + publish, exactly what a batch replay runs)
+      // re-creates the topic instead of wedging on repeated NAKs
+      NetPublisher.ensureTopic(b2.addr, "t_restart")
+      NetPublisher.publishPartition(b2.addr,
+        Iterator(("t_restart", "after", Map.empty[String, String])))
+      assert(b2.createCount("t_restart") == 1)
+      assert(b2.messages("t_restart").map(_.data) == Seq("after"))
+    } finally b2.close()
+  }
+
+  test("s_route_publish_net: corrupt length prefix is NAK'd, not allocated") {
+    val broker = new NetBroker()
+    try {
+      for (badLen <- Seq(-7, Int.MaxValue)) {
+        val sock = new java.net.Socket("127.0.0.1", broker.port)
+        try {
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          out.writeByte(2) // CmdPublish
+          out.writeUTF("t")
+          out.writeInt(badLen) // hostile/corrupt frame length
+          out.flush()
+          val reply = new java.io.DataInputStream(sock.getInputStream).readByte()
+          assert(reply == 0x15, s"len=$badLen must NAK, got $reply")
+        } finally sock.close()
+      }
+      // broker survives the corrupt frames and still serves good ones
+      NetPublisher.reset()
+      NetPublisher.ensureTopic(broker.addr, "t_ok")
+      NetPublisher.publishPartition(broker.addr,
+        Iterator(("t_ok", "fine", Map.empty[String, String])))
+      assert(broker.messages("t_ok").map(_.data) == Seq("fine"))
+    } finally broker.close()
+  }
+
   test("s_cdc_upsert_materialize: newest wins, deletes drop, late arrivals lose, pointer swap") {
     val in = tmp("cdc-upsert"); val table = tmp("cdc-table")
     write(in, s"sharedKey=k1/t/2024-01-01/${ts33(1)}-u1-orders-1.ndjson",
@@ -255,6 +307,31 @@ class StreamingSpec extends AnyFunSuite {
     val vdirs = Files.list(Paths.get(table)).toArray.map(_.toString)
       .count(_.matches(".*/v\\d+$"))
     assert(vdirs <= 2, s"stale version dirs not pruned: $vdirs")
+  }
+
+  test("s_cdc_upsert_materialize: configurable retention keeps N generations for lagging readers") {
+    val in = tmp("cdc-ret"); val table = tmp("cdc-ret-table")
+    spark.conf.set("spark.graft.materializeRetainGenerations", "3")
+    try {
+      val parsed =
+        Streams.parseEnvelope(Streams.ingestLines(spark, in), payload)
+      val q = Streams.cdcUpsertMaterialize(parsed, table, tmp("cdc-ret-ckpt"))
+      for (i <- 1 to 4) {
+        write(in, s"sharedKey=k1/t/2024-01-01/${ts33(i)}-u$i-orders-1.ndjson",
+          Seq(envLine(i)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      // 4 swaps with retain=3: exactly the newest 3 generations survive,
+      // so a reader that resolved CURRENT up to 2 batches ago still finds
+      // its directory (the round-5 advice scenario)
+      val vdirs = Files.list(Paths.get(table)).toArray.map(_.toString)
+        .filter(_.matches(".*/v\\d+$")).sorted
+      assert(vdirs.length == 3, s"retain=3 must keep 3 generations: ${vdirs.toSeq}")
+      val oldest = vdirs.head.split("/").last
+      assert(spark.read.parquet(s"$table/$oldest").count() >= 1,
+        "the oldest retained generation must still be readable")
+    } finally spark.conf.unset("spark.graft.materializeRetainGenerations")
   }
 
   test("s_resolved_watermark: markers advance monotonically per batch") {
