@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** Session-extension entry point: the idiomatic way to ship this
@@ -27,7 +28,10 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   *  - `ivf_top_cells(vec, centroids, k)` — IVF coarse-cell assignment
   *    (IvfTopCells.scala);
   *  - `shingle_hash60(text, n, distinct)` — fused shingle hasher
-  *    (ShingleHash60.scala).
+  *    (ShingleHash60.scala);
+  *  - `bloom_agg(long[, n])` / `bloom_contains(bloom, long)` — Catalyst's
+  *    own runtime-filter bloom sketch pair, surfaced for the explicit
+  *    semi-join prefilter pattern (q_join_bloom).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -85,6 +89,31 @@ object GraftExtensions {
         if (exprs.length != 3) throw new IllegalArgumentException(
           s"ivf_top_cells requires exactly 3 arguments, got ${exprs.length}")
         IvfTopCells(exprs.head, exprs(1), exprs(2))
+      }))
+    // Catalyst's runtime-filter bloom pair (used internally by
+    // spark.sql.optimizer.runtime.bloomFilter; not exposed as SQL
+    // functions upstream). Registering them gives the library an
+    // EXPLICIT semi-join prefilter: build one compact bloom over the
+    // small side's join key, broadcast the single sketch row, and drop
+    // non-matching probe rows at the scan — before the shuffle the join
+    // would otherwise pay for them (q_join_bloom).
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case _ => throw new IllegalArgumentException(
+          s"bloom_agg requires 1 or 2 arguments, got ${exprs.length}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"bloom_contains requires exactly 2 arguments, got ${exprs.length}")
+        BloomFilterMightContain(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("shingle_hash60"),

@@ -187,9 +187,58 @@ object Joins {
           col("last_okey").as("o_orderkey"))
         .orderBy("event_id")
     }),
+
+    // Bloom-prefiltered join (round 6): the explicit form of the runtime
+    // row-level filter Catalyst injects for selective joins — build ONE
+    // compact bloom sketch over the dim side's join key (bloom_agg, a
+    // partial-merge ObjectHashAggregate), ship it as a scalar subquery
+    // (one broadcast of ~100 KB regardless of dim row count), and drop
+    // fact rows at the SCAN, before the join's shuffle ever sees them.
+    // The 100-TB case this exists for: a dim too big to broadcast as
+    // rows (so the join must shuffle both sides) but whose KEY SET fits
+    // a bloom — the prefilter then cuts the fact-side shuffle by the
+    // join's selectivity, at the cost of one extra dim pass. False
+    // positives only waste shuffle; the join itself keeps the result
+    // exact, which is why the oracle is the PLAIN join. SQL-written so
+    // the bloom side is the scalar subquery bloom_contains requires.
+    "q_join_bloom" -> ((s, d) => {
+      Tables(s, d, "orders").createOrReplaceTempView("orders")
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """WITH dim AS (
+          |  SELECT o_orderkey FROM orders
+          |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000),
+          |pre AS (
+          |  SELECT l_orderkey, l_extendedprice FROM lineitem
+          |  WHERE bloom_contains(
+          |    (SELECT bloom_agg(xxhash64(o_orderkey), CAST(100000 AS BIGINT))
+          |     FROM dim),
+          |    xxhash64(l_orderkey)))
+          |SELECT d.o_orderkey, COUNT(*) AS n_items,
+          |  CAST(ROUND(SUM(CAST(p.l_extendedprice AS DECIMAL(30,8))), 2)
+          |    AS DOUBLE) AS sum_price
+          |FROM pre p JOIN dim d ON p.l_orderkey = d.o_orderkey
+          |GROUP BY d.o_orderkey
+          |ORDER BY d.o_orderkey""".stripMargin)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    // The bloom prefilter is semantically transparent (false positives
+    // are removed by the join; true keys always pass), so the oracle is
+    // the plain join the user would have written.
+    "q_join_bloom" ->
+      """SELECT d.o_orderkey, COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))), 2)
+        |    AS DOUBLE) AS sum_price
+        |FROM lineitem l
+        |JOIN (SELECT o_orderkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_totalprice > 150000) d
+        |  ON l.l_orderkey = d.o_orderkey
+        |GROUP BY d.o_orderkey
+        |ORDER BY d.o_orderkey""".stripMargin,
+
     "q_join_interval_overlap" ->
       """WITH iv AS (
         |  SELECT o_orderkey AS okey, o_custkey AS cust,
