@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-6 curation operators (CurationOps). Value
+  * parity is the DuckDB gate; these pin the semantic contracts and the
+  * 100-TB plan shapes (broadcast sides, exchange counts).
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_decontaminate: probe docs excluded, flag == overlap>0, probe side broadcast") {
+    val rows = run("q_decontaminate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      assert(id % 20 != 0, s"probe doc $id leaked into corpus output")
+      val n = r.getLong(r.fieldIndex("n_overlap"))
+      val flag = r.getBoolean(r.fieldIndex("contaminated"))
+      assert(flag == (n > 0), s"doc $id: contaminated=$flag n_overlap=$n")
+    }
+    val plan = run("q_decontaminate").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe shingle set must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("q_decontaminate: an exact copy of a probe doc is flagged") {
+    // The fixture plants exact duplicates (q_dedup_exact's subject). If
+    // any duplicate group spans the probe/corpus split, its corpus
+    // members MUST be contaminated (identical text ⇒ identical 5-grams,
+    // when the doc has ≥5 tokens).
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+        size(split(col("text"), " ")).as("n_tok"))
+    val probeH = docs.filter(col("doc_id") % 20 === 0 && col("n_tok") >= 5)
+      .select("h").distinct()
+    val mustFlag = docs.filter(col("doc_id") % 20 =!= 0)
+      .join(probeH, "h").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    if (mustFlag.nonEmpty) {
+      val flagged = run("q_decontaminate")
+        .filter(col("contaminated")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(mustFlag.subsetOf(flagged),
+        s"exact probe copies not flagged: ${mustFlag -- flagged}")
+    }
+  }
+
+  test("q_pii_redact: every synthesized email/phone found and scrubbed, name preserved") {
+    val rows = run("q_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_emails")) == 1L)
+      assert(r.getLong(r.fieldIndex("n_phones")) == 1L)
+      val red = r.getString(r.fieldIndex("redacted"))
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"),
+        s"not redacted: $red")
+      assert(!red.contains("@mail.example") && !red.matches(".*555-[0-9]{4}.*"),
+        s"PII survived redaction: $red")
+      assert(red.contains(" ref Customer#"),
+        s"non-PII text must survive: $red")
+    }
+  }
+
+  test("q_pii_redact: map-side only (no hash exchange before the presentation sort)") {
+    val plan = run("q_pii_redact").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"regex scrub must stay a stateless projection:\n$plan")
+  }
+
+  test("q_repetition_ratio: ratios bounded and consistent with counts") {
+    val rows = run("q_repetition_ratio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getLong(r.fieldIndex("n_tok"))
+      val nDist = r.getLong(r.fieldIndex("n_dist_tok"))
+      val n2 = r.getLong(r.fieldIndex("n_2gram"))
+      val nDist2 = r.getLong(r.fieldIndex("n_dist_2gram"))
+      assert(nDist >= 1 && nDist <= nTok)
+      assert(nDist2 <= math.max(n2, 1))
+      val repTok = r.getDouble(r.fieldIndex("rep_token"))
+      val rep2 = r.getDouble(r.fieldIndex("rep_2gram"))
+      assert(repTok >= 0.0 && repTok < 1.0)
+      assert(rep2 >= 0.0 && rep2 < 1.0)
+      // 2-gram repetition can't exceed token repetition's ceiling:
+      // all-distinct tokens ⇒ all-distinct 2-grams
+      if (nDist == nTok) assert(nDist2 == n2)
+    }
+  }
+
+  test("q_domain_mix: rates in (0,1], kept within source, heavy target ⇒ higher rate") {
+    val rows = run("q_domain_mix").collect()
+    assert(rows.length > 1)
+    var heavyMin = 2.0; var lightMax = -1.0
+    rows.foreach { r =>
+      val rate = r.getDouble(r.fieldIndex("rate"))
+      val w = r.getDouble(r.fieldIndex("target_w"))
+      val nSrc = r.getLong(r.fieldIndex("n_source"))
+      val nKept = r.getLong(r.fieldIndex("n_kept"))
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(nKept <= nSrc)
+      if (w == 0.08) heavyMin = math.min(heavyMin, rate)
+      else lightMax = math.max(lightMax, rate)
+    }
+    assert(heavyMin > lightMax,
+      s"8%-target sources must sample at higher rates (min $heavyMin) " +
+        s"than 2%-target ones (max $lightMax)")
+  }
+
+  test("q_pack_sequences: bins contiguous from 0, token totals conserved per source") {
+    val packed = run("q_pack_sequences").collect()
+    assert(packed.nonEmpty)
+    val bySource = packed.groupBy(_.getString(0))
+    val truth = Tables(spark, sf, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(lower(col("text")), " ")).cast("long")).as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    bySource.foreach { case (src, rows) =>
+      val bins = rows.map(_.getLong(rows.head.fieldIndex("bin"))).sorted
+      assert(bins.head == 0L, s"$src: first bin ${bins.head}")
+      assert(bins.zipWithIndex.forall { case (b, i) => b == i },
+        s"$src: bins not contiguous: ${bins.mkString(",")}")
+      val (nDocs, nTok) = truth(src)
+      assert(rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum == nDocs)
+      assert(rows.map(_.getLong(rows.head.fieldIndex("bin_tokens"))).sum == nTok)
+      // a non-final bin b closes only because the next doc's exclusive
+      // cumsum crossed (b+1)*2048, so the running total through bin b
+      // must be >= (b+1)*2048
+      rows.sortBy(_.getLong(rows.head.fieldIndex("bin"))).init
+        .foldLeft(0L) { (cum, r) =>
+          val b = r.getLong(r.fieldIndex("bin"))
+          val next = cum + r.getLong(r.fieldIndex("bin_tokens"))
+          assert(next >= 2048 * (b + 1), s"$src bin $b under-filled: $next")
+          next
+        }
+    }
+  }
+
+  test("q_pack_sequences: agg reuses the source window partitioning (one hash exchange)") {
+    val df = run("q_pack_sequences")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"groupBy(source,bin) should reuse the window's source partitioning:\n$plan")
+  }
+
+  test("q_outlier_zscore: all flagged |z| >= 3, stats side broadcast, minority of events") {
+    val df = run("q_outlier_zscore")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("z"))) >= 3.0)
+    }
+    val total = Tables(spark, sf, "events").count()
+    assert(rows.length < total / 20,
+      s"outliers should be rare: ${rows.length} of $total")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"5-row stats table must broadcast:\n$plan")
+  }
+}
