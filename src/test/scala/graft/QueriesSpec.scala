@@ -122,4 +122,16 @@ class QueriesSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"),
       s"band join regressed to a nested loop:\n$plan")
   }
+
+  test("q_join_bucketed: SMJ + agg run exchange-free on the bucket partitioning") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.contains("SortMergeJoin"),
+      s"merge hint must keep the co-located SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed sides must join and aggregate without a shuffle:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).length == 2,
+      s"both scans must read bucketed layout:\n$plan")
+  }
 }
