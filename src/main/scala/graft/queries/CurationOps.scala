@@ -208,6 +208,125 @@ object CurationOps {
           round(col("mean"), 6).as("mean"), col("z"))
         .orderBy("event_id")
     }),
+
+    // ── Winsorization (percentile clipping) ───────────────────────────
+    // Clamp `value` to exact per-type [p01, p99] — the feature-prep pass
+    // before telemetry-derived signals feed training. Percentiles are
+    // EXACT type-7 interpolations computed in-frame: one event_type
+    // partitioning shared by the rank window, the count window, AND the
+    // per-type aggregate (no second exchange), boundary rows picked by
+    // rank arithmetic, 4dp-rounded like q_quantiles (proven formula
+    // parity with DuckDB quantile_cont). The per-type sort is the
+    // inherent cost of exact per-group quantiles; the sketch escape
+    // hatch at 100 TB is q_quantiles_grouped's approx_percentile.
+    // Clip bounds come back as a 5-row broadcast.
+    "q_winsorize" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val wOrd = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val wAll = Window.partitionBy("event_type")
+      val ranked = ev
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+      def h(p: Double): Column = lit(p) * (col("n") - 1) + 1.0
+      def interp(p: Double, tag: String) = Seq(
+        max(when(col("rn") === floor(h(p)), col("value"))).as(s"lo_$tag"),
+        max(when(col("rn") === ceil(h(p)), col("value"))).as(s"hi_$tag"))
+      val stats = ranked.groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          (interp(0.01, "p01") ++ interp(0.99, "p99")): _*)
+        .select(col("event_type"),
+          round(col("lo_p01") + (lit(0.01) * (col("n") - 1) + 1.0
+            - floor(lit(0.01) * (col("n") - 1) + 1.0))
+            * (col("hi_p01") - col("lo_p01")), 4).as("p01"),
+          round(col("lo_p99") + (lit(0.99) * (col("n") - 1) + 1.0
+            - floor(lit(0.99) * (col("n") - 1) + 1.0))
+            * (col("hi_p99") - col("lo_p99")), 4).as("p99"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("p01"), col("p99"),
+          least(greatest(col("value"), col("p01")), col("p99"))
+            .as("clipped"))
+        .orderBy("event_id")
+    }),
+
+    // ── Two-sample KS drift test ──────────────────────────────────────
+    // Distribution drift between the early and late halves of the event
+    // stream (split at the integer-micros timestamp midpoint), per
+    // event_type: D = max |ECDF_early - ECDF_late| over distinct values
+    // — the corpus-version QA gate before a retrain. Shape: ONE
+    // event_type repartition that the (type, value) aggregate, both
+    // ECDF windows, and the final max all reuse (CurationSpec pins a
+    // single hash exchange); the midpoint is a 1-row broadcast. ECDFs
+    // compare at distinct-value granularity, so duplicate handling is
+    // tie-unambiguous on both engines. Flag at the alpha=0.05 critical
+    // value 1.3581*sqrt((nA+nB)/(nA*nB)).
+    "q_ks_drift" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+        .select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(
+        ((min(col("us")) + max(col("us"))) / lit(2L)).cast("long").as("mid"))
+      val tagged = ev.crossJoin(broadcast(mid))
+        .withColumn("early", (col("us") <= col("mid")).cast("long"))
+      val perValue = tagged
+        .repartition(col("event_type"))
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(col("early")).as("ca"),
+          sum(lit(1L) - col("early")).as("cb"))
+      val wCum = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      perValue
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .withColumn("diff",
+          abs(sum(col("ca")).over(wCum).cast("double") / col("na")
+            - sum(col("cb")).over(wCum).cast("double") / col("nb")))
+        .groupBy("event_type")
+        .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
+          round(max(col("diff")), 6).as("d_stat"))
+        .withColumn("threshold",
+          // cast BEFORE the product: nA*nB overflows long at real scale
+          round(lit(1.3581) * sqrt((col("n_early") + col("n_late"))
+            .cast("double")
+            / (col("n_early").cast("double")
+              * col("n_late").cast("double"))), 6))
+        .withColumn("drifted", col("d_stat") > col("threshold"))
+        .orderBy("event_type")
+    }),
+
+    // ── Token entropy per source ──────────────────────────────────────
+    // Shannon entropy of each source's unigram distribution (nats) —
+    // low entropy flags templated/boilerplate sources, and the number
+    // feeds mixture design next to q_domain_mix. Same determinism
+    // scheme as q_unigram_logprob: each term is cnt * 9dp-rounded
+    // ln(tot/cnt) cast to exact decimal BEFORE the order-independent
+    // sum; the 1-per-source totals broadcast. Two token-keyed two-phase
+    // aggs — never a collect.
+    "q_entropy_per_source" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val cnt = toks.groupBy("source", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("source")
+        .agg(sum(col("cnt")).as("tot"),
+          count(lit(1)).as("n_distinct"))
+      cnt.join(broadcast(tot), "source")
+        .select(col("source"), col("tot"), col("n_distinct"),
+          (col("cnt").cast("decimal(12,0)") *
+            round(log(col("tot").cast("double") / col("cnt")), 9)
+              .cast("decimal(20,12)")).as("term"))
+        .groupBy("source")
+        .agg(max(col("tot")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          round(sum(col("term")), 6).cast("double").as("total_nats"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          round(col("total_nats") / col("n_tokens"), 6).as("entropy"))
+        .orderBy("source")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -331,5 +450,76 @@ object CurationOps {
         |FROM z
         |WHERE abs(round((value - mean) / std, 4)) >= 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.01), 4) AS p01,
+        |    round(quantile_cont(value, 0.99), 4) AS p99
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, s.p01, s.p99,
+        |  least(greatest(e.value, s.p01), s.p99) AS clipped
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |pv AS (
+        |  SELECT event_type, value,
+        |    SUM(CASE WHEN us <= m.mid THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN us <= m.mid THEN 0 ELSE 1 END) AS cb
+        |  FROM ev CROSS JOIN m GROUP BY event_type, value),
+        |c AS (
+        |  SELECT event_type,
+        |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb,
+        |    abs(CAST(SUM(ca) OVER w AS DOUBLE)
+        |          / SUM(ca) OVER (PARTITION BY event_type)
+        |        - CAST(SUM(cb) OVER w AS DOUBLE)
+        |          / SUM(cb) OVER (PARTITION BY event_type)) AS diff
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type,
+        |  CAST(max(na) AS BIGINT) AS n_early,
+        |  CAST(max(nb) AS BIGINT) AS n_late,
+        |  round(max(diff), 6) AS d_stat,
+        |  round(1.3581 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))), 6)
+        |    AS threshold,
+        |  round(max(diff), 6) >
+        |    round(1.3581 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |      / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))), 6)
+        |    AS drifted
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_entropy_per_source" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, count(*) AS cnt
+        |  FROM toks WHERE token <> '' GROUP BY source, token),
+        |t AS (
+        |  SELECT source, SUM(cnt) AS tot, count(*) AS n_distinct
+        |  FROM c GROUP BY source),
+        |terms AS (
+        |  SELECT c.source,
+        |    CAST(c.cnt AS DECIMAL(12,0)) *
+        |    CAST(round(ln(CAST(t.tot AS DOUBLE) / c.cnt), 9)
+        |         AS DECIMAL(20,12)) AS term
+        |  FROM c JOIN t USING (source)),
+        |agg AS (
+        |  SELECT s.source,
+        |    CAST(max(t.tot) AS BIGINT) AS n_tokens,
+        |    CAST(max(t.n_distinct) AS BIGINT) AS n_distinct,
+        |    CAST(round(SUM(s.term), 6) AS DOUBLE) AS total_nats
+        |  FROM terms s JOIN t USING (source) GROUP BY s.source)
+        |SELECT source, n_tokens, n_distinct,
+        |  round(total_nats / n_tokens, 6) AS entropy
+        |FROM agg ORDER BY source""".stripMargin,
   )
 }

@@ -150,6 +150,59 @@ class CurationSpec extends AnyFunSuite {
       s"groupBy(source,bin) should reuse the window's source partitioning:\n$plan")
   }
 
+  test("q_winsorize: bounds ordered, clipping exact, only tail rows change") {
+    val rows = run("q_winsorize").collect()
+    assert(rows.nonEmpty)
+    var changed = 0
+    rows.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("value"))
+      val p01 = r.getDouble(r.fieldIndex("p01"))
+      val p99 = r.getDouble(r.fieldIndex("p99"))
+      val c = r.getDouble(r.fieldIndex("clipped"))
+      assert(p01 <= p99)
+      assert(c >= p01 && c <= p99)
+      assert(c == math.min(math.max(v, p01), p99))
+      if (c != v) changed += 1
+    }
+    // clipping at p01/p99 must touch roughly the 2% tails, never the bulk
+    assert(changed > 0 && changed <= rows.length / 10,
+      s"$changed of ${rows.length} rows clipped")
+  }
+
+  test("q_ks_drift: D in [0,1], halves partition the stream, one hash exchange") {
+    val df = run("q_ks_drift")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "events").count()
+    var seen = 0L
+    rows.foreach { r =>
+      val d = r.getDouble(r.fieldIndex("d_stat"))
+      assert(d >= 0.0 && d <= 1.0)
+      assert(d <= r.getDouble(r.fieldIndex("threshold")) ||
+        r.getBoolean(r.fieldIndex("drifted")))
+      seen += r.getLong(r.fieldIndex("n_early")) +
+        r.getLong(r.fieldIndex("n_late"))
+    }
+    assert(seen == total, s"split must partition the stream: $seen != $total")
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"(type,value) agg + ECDF windows + final agg must share one " +
+        s"event_type exchange:\n$plan")
+  }
+
+  test("q_entropy_per_source: 0 < H <= ln(n_distinct) (uniform bound)") {
+    val rows = run("q_entropy_per_source").collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("entropy"))
+      val nd = r.getLong(r.fieldIndex("n_distinct"))
+      assert(h > 0.0, s"${r.getString(0)}: entropy $h")
+      assert(h <= math.log(nd.toDouble) + 1e-4,
+        s"${r.getString(0)}: H=$h exceeds ln($nd)")
+    }
+  }
+
   test("q_outlier_zscore: all flagged |z| >= 3, stats side broadcast, minority of events") {
     val df = run("q_outlier_zscore")
     val rows = df.collect()
