@@ -32,6 +32,32 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
+    // Partition pruning (round 6): the third physical-layout lever after
+    // row-group pushdown (q_scan_pushdown) and bucketing
+    // (q_join_bucketed) — events materialized ONCE partitioned by
+    // event_type, then a type-selective aggregate reads ONLY that
+    // partition's directory: the filter shows up as a PartitionFilter
+    // (metadata-level pruning, no data I/O for other types;
+    // QueriesSpec pins it), which at 100 TB is the difference between
+    // scanning one partition and scanning the corpus. Written once per
+    // session/SF; reruns hit the _SUCCESS-marked layout.
+    "q_scan_partition_pruned" -> ((s, d) => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_$tag/events"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        Tables(s, d, "events")
+          .write.partitionBy("event_type")
+          .mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("day")
+    }),
+
     "q_filter_compound" -> ((s, d) =>
       Tables(s, d, "part")
         .filter(
@@ -122,6 +148,17 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+
+    // The partitioned layout is physical; the oracle is the plain
+    // filtered aggregate over the original table.
+    "q_scan_partition_pruned" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
 
     "q_filter_compound" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice

@@ -123,6 +123,35 @@ class QueriesSpec extends AnyFunSuite {
       s"band join regressed to a nested loop:\n$plan")
   }
 
+  test("q_scan_partition_pruned: type filter prunes at the partition level") {
+    val df = SparkEntry.queries("q_scan_partition_pruned")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_type[^\\]]*=[^\\]]*purchase"
+        .r.findFirstIn(plan).nonEmpty,
+      s"event_type must prune as a PARTITION filter (metadata, no I/O):\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition column must not appear as a data filter:\n$plan")
+    // hard evidence: the executed scan read only the purchase
+    // partition's files (inputFiles would list the whole relation —
+    // pruning happens at execution, so check the scan metric; AQE off
+    // so the scan node and its metrics are reachable in the plan tree)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df2 = SparkEntry.queries("q_scan_partition_pruned")(spark, sf)
+      df2.collect()
+      val scan = df2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val readFiles = scan.metrics("numFiles").value
+      val purchaseFiles = new java.io.File(scan.relation.location.rootPaths
+        .head.toUri.getPath, "event_type=purchase")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(readFiles == purchaseFiles && purchaseFiles > 0,
+        s"scan read $readFiles files; purchase partition has $purchaseFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q_join_bucketed: SMJ + agg run exchange-free on the bucket partitioning") {
     val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan
