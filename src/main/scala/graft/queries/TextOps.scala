@@ -37,9 +37,10 @@ object TextOps {
 
   /** Language-ID columns (s_en..s_fr marker counts + pred_lang argmax
     * with fixed priority tie-break) added to a frame with `text`. ONE
-    * definition shared by q_lang_id and q_curation_keep, so the composed
-    * pipeline can never drift from the individually-proven operator. */
-  private[queries] def withLangCols(df: DataFrame): DataFrame = {
+    * definition shared by q_lang_id, q_curation_keep, AND the streaming
+    * s_curation_filter (graft-wide visibility), so no mode of the
+    * pipeline can drift from the individually-proven operator. */
+  private[graft] def withLangCols(df: DataFrame): DataFrame = {
     val tok = toks(col("text"))
     val scored = langProfiles.foldLeft(df) { case (acc, (lang, words)) =>
       acc.withColumn(s"s_$lang",
@@ -56,7 +57,7 @@ object TextOps {
   /** Quality columns (token/stopword/char-shape signals + composite
     * `quality`) added to a frame with `text`; exact-integer arithmetic
     * until the final division. Shared like [[withLangCols]]. */
-  private[queries] def withQualityCols(df: DataFrame): DataFrame = {
+  private[graft] def withQualityCols(df: DataFrame): DataFrame = {
     val tok = toks(col("text"))
     df.withColumn("n_tok", size(tok).cast("long"))
       .withColumn("n_stop",

@@ -501,6 +501,31 @@ object Streams {
       org.apache.spark.sql.functions.broadcast(dim),
       stream(streamKey) === dim(dimKey), "left")
 
+  /** s_curation_filter (round 6): the curation verdict's STATELESS
+    * subset — language-ID + quality score + keep flag — applied to a
+    * document stream AS IT ARRIVES, via the very same
+    * TextOps.withLangCols/withQualityCols the batch operators
+    * (q_lang_id / q_quality_score / q_curation_keep) run, so the two
+    * modes cannot drift (StreamingSpec pins stream == batch on the same
+    * drop). Pure projections: no watermark, no state, no shuffle —
+    * filters documents at ingest before they ever land in the corpus,
+    * leaving only the corpus-wide verdict bits (exact/near-dup
+    * canonicality, which need global state) to the batch pass. */
+  def curationFilter(docs: DataFrame): DataFrame =
+    graft.queries.TextOps.withQualityCols(
+      graft.queries.TextOps.withLangCols(docs))
+      .withColumn("keep",
+        col("pred_lang") === "en" && col("quality") >= 0.15)
+      .select("doc_id", "pred_lang", "quality", "keep")
+
+  /** Schema for document streams (mirrors testdata documents.parquet). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   // ------------------------------------------------------------ pipeline
 
   /** The fully-composed bridge (server.go:49-90 wiring, R15-configured):

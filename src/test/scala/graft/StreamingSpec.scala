@@ -587,6 +587,31 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("cust_name").isNull).count() == 1)
   }
 
+  test("s_curation_filter: stream == batch golden, and == the batch operators") {
+    val dir = tmp("docs-in")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .coalesce(1).write.mode("overwrite").json(dir)
+    runToMemory(Streams.curationFilter(
+      spark.readStream.schema(Streams.docSchema).json(dir)),
+      "t_curation", "append")
+    val got = sortedRows(spark.table("t_curation"))
+    assert(got.nonEmpty)
+    // golden 1: identical transform on the batch read of the same drop
+    assert(got == sortedRows(Streams.curationFilter(
+      spark.read.schema(Streams.docSchema).json(dir))))
+    // golden 2: per-doc verdict bits match the PROVEN batch operators
+    // (q_lang_id's pred_lang, q_quality_score's quality) on the fixture
+    val lang = SparkEntry.queries("q_lang_id")(spark, sf)
+      .select("doc_id", "pred_lang")
+    val qual = SparkEntry.queries("q_quality_score")(spark, sf)
+      .select("doc_id", "quality")
+    val want = sortedRows(lang.join(qual, "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        (col("pred_lang") === "en" && col("quality") >= 0.15).as("keep")))
+    assert(got == want,
+      "streamed curation verdict diverged from the batch operators")
+  }
+
   // ---------------------------------------------------------- lifecycle
 
   test("s_console_dump: --dumpOnly mode logs instead of publishing") {
