@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object MultiModal {
 
+  // ImageIO defaults to FILE-backed stream caches: every read/write
+  // spills through a temp file on disk (plus registry contention) —
+  // per-frame that dwarfs the actual decode of these small payloads.
+  // Memory-backed caching is strictly better at our payload sizes.
+  // (Executor JVMs each run this once when the object loads.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MMeta(width: Int, height: Int, sample_rate: Int, n_frames: Int)
   case class MMRecord(id: Long, modality: String, content: Array[Byte],
     meta: MMeta)
@@ -187,7 +194,13 @@ object MultiModal {
     * cheap. */
   def corpus(spark: SparkSession, dir: String): Dataset[MMRecord] = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    // par(): the payload SYNTHESIS below is the fixture's decode-cost
+    // stand-in; without the single-row-group shim it (and every
+    // downstream mapPartitions that inherits this partitioning, e.g.
+    // frameDedup's decode) runs on ONE core. Real deployments read many
+    // files and never need the shim (round-6 perf audit: q_frame_dedup
+    // spent its whole decode stage single-threaded).
+    par(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
@@ -227,13 +240,19 @@ object MultiModal {
       MMFeature(r.id, r.modality, featureDim, feats)
     }
 
-  /** Feature extraction with real batch shape: repartition by modality
-    * (codec locality), then drain each partition in fixed-size batches —
-    * the JVM analogue of `mapInPandas` over Arrow record batches. */
+  /** Feature extraction with real batch shape: repartition by
+    * (modality, id-salt) — salting keeps batches codec-homogeneous in
+    * the common case WITHOUT collapsing parallelism to |modalities|
+    * partitions (round-6 perf audit: plain modality partitioning ran
+    * the decode on 3 of 32 cores). decodeBatch dispatches per record,
+    * so a mixed batch is correct either way. Then drain each partition
+    * in fixed-size batches — the JVM analogue of `mapInPandas` over
+    * Arrow record batches. */
   def extractFeatures(records: Dataset[MMRecord]): Dataset[MMFeature] = {
     import records.sparkSession.implicits._
+    val salt = records.sparkSession.sparkContext.defaultParallelism
     records
-      .repartition(col("modality"))
+      .repartition(col("modality"), pmod(col("id"), lit(salt)))
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(decodeBatch)
       }
@@ -322,8 +341,9 @@ object MultiModal {
 
   def resize(records: Dataset[MMRecord], maxW: Int, maxH: Int): Dataset[MMRecord] = {
     import records.sparkSession.implicits._
+    val salt = records.sparkSession.sparkContext.defaultParallelism
     records
-      .repartition(col("modality"))
+      .repartition(col("modality"), pmod(col("id"), lit(salt)))
       .mapPartitions(_.grouped(batchSize).flatMap(resizeBatch(_, maxW, maxH)))
   }
 
