@@ -61,6 +61,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 curation ops are shuffle-partitioning invariant") {
+    // hash sampling / packing / drift / clipping must not depend on how
+    // the engine happens to partition — the property that makes their
+    // results re-derivable on any cluster layout (SURVEY §7.4)
+    val keys = Seq("q_pack_sequences", "q_domain_mix", "q_ks_drift",
+      "q_winsorize", "q_decontaminate")
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    def snap() = keys.map(k => k -> SparkEntry.queries(k)(spark, sf)
+      .collect().map(_.toString).sorted.toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = snap()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = snap()
+      keys.foreach(k => assert(a(k) == b(k), s"$k varies with partitioning"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
+  test("winsorize clipping is idempotent") {
+    val w = SparkEntry.queries("q_winsorize")(spark, sf)
+    val again = w.withColumn("c2",
+      least(greatest(col("clipped"), col("p01")), col("p99")))
+    assert(again.filter(col("c2") =!= col("clipped")).count() == 0)
+  }
+
   test("salted join equals plain join (salt is semantics-neutral)") {
     val fact = Tables(spark, sf, "lineitem")
       .select((col("l_orderkey") % 10).as("bucket_id"), col("l_quantity"))
