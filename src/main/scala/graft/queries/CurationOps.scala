@@ -296,6 +296,29 @@ object CurationOps {
         .orderBy("event_type")
     }),
 
+    // ── Shard assignment (corpus shuffle for training export) ────────
+    // The step between curation and training: give every document a
+    // reproducible pseudo-random position — shard = hash mod N (scale-
+    // right: no global row_number), within-shard order = the hash
+    // itself — so any worker can re-derive its shard deterministically
+    // and the interleave de-clusters sources/near-neighbors. Output is
+    // the per-shard manifest (counts, per-source spread, hash range);
+    // the shard column is what a writer would partitionBy. One shuffle
+    // keyed on shard; source spread via count(distinct). The h60-order
+    // "shuffle" is exactly q_sample_hash's portable hash, so sampling,
+    // splits, and shard layout all derive from ONE document identity.
+    "q_shard_assign" -> ((s, d) => {
+      val n = 16
+      val h = h60(col("doc_id").cast("string"))
+      Tables(s, d, "documents")
+        .withColumn("shard", pmod(h, lit(n)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(h).as("h_min"), max(h).as("h_max"))
+        .orderBy("shard")
+    }),
+
     // ── Token entropy per source ──────────────────────────────────────
     // Shannon entropy of each source's unigram distribution (nats) —
     // low entropy flags templated/boilerplate sources, and the number
@@ -495,6 +518,16 @@ object CurationOps {
         |    AS drifted
         |FROM c GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_shard_assign" ->
+      s"""SELECT ${h60Sql("doc_id")} % 16 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  min(${h60Sql("doc_id")}) AS h_min,
+         |  max(${h60Sql("doc_id")}) AS h_max
+         |FROM documents
+         |GROUP BY shard
+         |ORDER BY shard""".stripMargin,
 
     "q_entropy_per_source" ->
       """WITH toks AS (

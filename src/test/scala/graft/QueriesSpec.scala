@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites: local[4] mirrors the driver's Verify
@@ -150,6 +151,42 @@ class QueriesSpec extends AnyFunSuite {
       assert(readFiles == purchaseFiles && purchaseFiles > 0,
         s"scan read $readFiles files; purchase partition has $purchaseFiles")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("AQE splits a skewed join partition (runtime complement to manual salting)") {
+    // q_join_salted is the planned fix for known-hot keys; AQE's skew
+    // join is the runtime fix for skew discovered mid-query. Pin that
+    // the platform behavior SURVEY §4.2 relies on actually fires: a
+    // 90%-hot key under test-sized thresholds must mark the SMJ
+    // partition skewed and split it.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 60000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload-"), col("id")).as("payload"))
+      val dim = spark.range(0, 60000)
+        .select(col("id").as("k"), lit("dim").as("dv"))
+      // no operator after the join that requires its partitioning —
+      // OptimizeSkewedJoin refuses to split when a downstream stage
+      // still needs the unsplit distribution
+      val j = fact.join(dim, "k")
+      j.collect() // materialize THIS QueryExecution so AQE finalizes it
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skew=true:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q_join_bucketed: SMJ + agg run exchange-free on the bucket partitioning") {
