@@ -11,12 +11,16 @@ import org.apache.spark.sql.SparkSession
   *  - one warmup pass (flagship query) amortizes JIT/codegen startup so
   *    single-iteration timings aren't dominated by first-class-load cost;
   *  - a query that throws is reported as "failed", never as a timing;
-  *  - each query runs SPARK_GRAFT_BENCH_ITERS (default 3) cold-cache
-  *    passes and reports the per-query MEDIAN: the round-5 single-pass
-  *    record had a transient host-load event smear the alphabetical
-  *    join block (q_join_multiway 22.2 s vs its 1.6 s n=5 median), and a
-  *    median-of-3 bounds that distortion without changing what is
-  *    measured — every pass still starts from a cleared cache.
+  *  - each query runs SPARK_GRAFT_BENCH_ITERS (default 2) cold-cache
+  *    passes and reports the per-query MIN for <3 passes / MEDIAN for
+  *    3+: the round-5 single-pass record had a transient host-load
+  *    event smear the alphabetical join block (q_join_multiway 22.2 s
+  *    vs its 1.6 s n=5 median); a second pass bounds that distortion
+  *    without changing what is measured — every pass still starts from
+  *    a cleared cache. Default is 2 (not 3) to keep the whole-suite
+  *    wall time inside whatever budget the driver gives the bench: a
+  *    timed-out bench records NOTHING, which is strictly worse than a
+  *    rare one-query smear.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,7 +58,7 @@ object Bench {
     try run("q_agg_group") catch { case _: Throwable => () }
 
     val iters = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {
@@ -63,7 +67,10 @@ object Bench {
           run(name)
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        Some(name -> times(times.length / 2))
+        // min for 1-2 passes (median of 2 would report the WORSE one),
+        // median for 3+
+        Some(name ->
+          (if (times.length < 3) times.head else times(times.length / 2)))
       } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
