@@ -44,6 +44,66 @@ object SamplingOps {
         .orderBy("lang")
     }),
 
+    // Exactly-k-per-stratum sample (round 6): the fixed-QUOTA companion
+    // to q_stratified_sample's fixed-RATE gate — every source
+    // contributes exactly k docs (fewer only if the stratum is smaller),
+    // chosen by hash order, so the quota sample is reproducible and
+    // stable under repartitioning like everything else derived from
+    // h60(doc_id). One source-keyed window (WindowGroupLimit prunes
+    // rank > k before the shuffle completes at scale).
+    "q_sample_stratum_k" -> ((s, d) => {
+      val h = h60(col("doc_id").cast("string"))
+      Tables(s, d, "documents")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(h, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"))
+        .orderBy("source", "rk")
+    }),
+
+    // Percent-rank (quantile) normalization per stratum (round 6): map
+    // `value` to its within-type percentile — the rank-based feature
+    // normalization that is robust to outliers (vs q_outlier_zscore's
+    // moment-based z). RANK-based, so tie groups share a value and the
+    // result is independent of tie order; 6dp rounding for engine
+    // parity. One event_type-keyed window shuffle.
+    "q_rank_normalize" -> ((s, d) =>
+      Tables(s, d, "events")
+        .withColumn("pr", round(percent_rank().over(
+          Window.partitionBy("event_type").orderBy("value")), 6))
+        .select(col("event_id"), col("event_type"), col("value"), col("pr"))
+        .orderBy("event_id")),
+
+    // Column profile (round 6): per-column null count / distinct count /
+    // rows — the data-quality profiling pass before a pipeline trusts a
+    // new drop. Nulls derived via nullif (fixture tables are complete,
+    // same trick as q_filter_null). ONE aggregate pass over the table
+    // (count-distinct expands internally), then a 3-row literal unpivot
+    // of the 1-row result — no per-column rescans.
+    "q_profile_nulls" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .withColumn("status_n", nullif(col("o_orderstatus"), lit("P")))
+        .withColumn("prio_n", nullif(col("o_orderpriority"), lit("1-URGENT")))
+        .withColumn("price_n",
+          when(col("o_totalprice") > 400000, lit(null)
+            .cast("double")).otherwise(col("o_totalprice")))
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("status_n").isNull.cast("long")).as("nulls_status"),
+        countDistinct(col("status_n")).as("dist_status"),
+        sum(col("prio_n").isNull.cast("long")).as("nulls_prio"),
+        countDistinct(col("prio_n")).as("dist_prio"),
+        sum(col("price_n").isNull.cast("long")).as("nulls_price"),
+        countDistinct(col("price_n")).as("dist_price"))
+      val cols = Seq("status", "prio", "price")
+      cols.map { c =>
+        agg.select(lit(c).as("column_name"), col("n_rows"),
+          col(s"nulls_$c").as("n_nulls"),
+          col(s"dist_$c").as("n_distinct"))
+      }.reduce(_ unionByName _).orderBy("column_name")
+    }),
+
     // Exact interpolated quantiles, distributed: Spark's `percentile`
     // buffers EVERY value in one final aggregation buffer (OOM at 100 TB),
     // so this is the classic two-pass exact-rank shape instead:
@@ -160,6 +220,49 @@ object SamplingOps {
          |   OR (lang <> 'en' AND ${h60Sql("doc_id")} % 100 < 10)
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
+
+    "q_sample_stratum_k" ->
+      s"""SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ${h60Sql("doc_id")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5
+         |ORDER BY source, rk""".stripMargin,
+
+    "q_rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  round(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY value), 6) AS pr
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_profile_nulls" ->
+      """WITH o AS (
+        |  SELECT nullif(o_orderstatus, 'P') AS status_n,
+        |    nullif(o_orderpriority, '1-URGENT') AS prio_n,
+        |    CASE WHEN o_totalprice > 400000 THEN NULL
+        |      ELSE o_totalprice END AS price_n
+        |  FROM orders),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN status_n IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulls_status,
+        |    CAST(count(DISTINCT status_n) AS BIGINT) AS dist_status,
+        |    CAST(SUM(CASE WHEN prio_n IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulls_prio,
+        |    CAST(count(DISTINCT prio_n) AS BIGINT) AS dist_prio,
+        |    CAST(SUM(CASE WHEN price_n IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nulls_price,
+        |    CAST(count(DISTINCT price_n) AS BIGINT) AS dist_price
+        |  FROM o)
+        |SELECT 'price' AS column_name, n_rows, nulls_price AS n_nulls,
+        |  dist_price AS n_distinct FROM a
+        |UNION ALL
+        |SELECT 'prio', n_rows, nulls_prio, dist_prio FROM a
+        |UNION ALL
+        |SELECT 'status', n_rows, nulls_status, dist_status FROM a
+        |ORDER BY column_name""".stripMargin,
 
     "q_quantiles" ->
       """SELECT

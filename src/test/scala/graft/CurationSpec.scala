@@ -203,6 +203,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_stratum_k: exactly k per stratum, rank-limit pruned pre-shuffle") {
+    val df = run("q_sample_stratum_k")
+    val rows = df.collect()
+    val perSource = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (src, n) =>
+      assert(n <= 5, s"$src: $n > k")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should prune before the full window sort:\n$plan")
+  }
+
+  test("q_rank_normalize: pr in [0,1], ties share a value") {
+    val rows = run("q_rank_normalize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pr = r.getDouble(r.fieldIndex("pr"))
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+    val byKey = rows.groupBy(r =>
+      (r.getString(r.fieldIndex("event_type")),
+        r.getDouble(r.fieldIndex("value"))))
+    byKey.foreach { case (k, rs) =>
+      assert(rs.map(_.getDouble(rs.head.fieldIndex("pr"))).distinct.length == 1,
+        s"tie group $k has divergent percent ranks")
+    }
+  }
+
   test("q_outlier_zscore: all flagged |z| >= 3, stats side broadcast, minority of events") {
     val df = run("q_outlier_zscore")
     val rows = df.collect()
