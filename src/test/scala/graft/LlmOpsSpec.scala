@@ -230,4 +230,23 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(rs.head.getLong(1) == p, s"probe $p: self not nearest")
     }
   }
+
+  test("q_embedding_project: 8 dims per vector, linear (scaled input => scaled output), matrix broadcast") {
+    val df = SparkEntry.queries("q_embedding_project")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getLong(0))
+    byVec.foreach { case (v, rs) =>
+      assert(rs.length == 8, s"vec $v: ${rs.length} dims")
+    }
+    // identical duplicate embeddings project identically (pure function
+    // of the vector): re-run must be bit-identical
+    val again = SparkEntry.queries("q_embedding_project")(spark, sf)
+      .collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"512-row projection matrix must broadcast:\n$plan")
+  }
 }
