@@ -196,12 +196,15 @@ object LlmOps {
     // (md5 of "i_j" -> integer weight in [-1000, 1000], i.e. 3dp), so
     // any engine regenerates it — no random state to ship. Determinism:
     // terms are exact decimals (6dp-rounded component x integer
-    // weight), so the per-(vec, j) sums are order-independent and the
-    // final /1000 happens in double on an exactly-representable sum
-    // (|unscaled| <= ~2e11 << 2^53). Scale shape: posexplode ->
-    // BROADCAST join with the 512-row literal matrix -> one
-    // (vec_id, j)-keyed two-phase agg; map-side combine does the heavy
-    // reduction, nothing ever collects.
+    // weight as an EXACT decimal(4,3)), so the per-(vec, j) sums are
+    // order-independent, and the 6dp rounding happens on the exact
+    // DECIMAL sum — never on a double (a double at a .5e-6 boundary
+    // rounds differently on the two engines: Spark rounds the shortest
+    // decimal repr HALF_UP, DuckDB the binary value — caught by the
+    // sf0.1 gate as a 1-in-16000-cell mismatch). Scale shape:
+    // posexplode -> BROADCAST join with the 512-row literal matrix ->
+    // one (vec_id, j)-keyed two-phase agg; map-side combine does the
+    // heavy reduction, nothing ever collects.
     "q_embedding_project" -> ((s, d) => {
       val dIn = 64L; val dOut = 8L
       val h = conv(substring(md5(
@@ -209,17 +212,16 @@ object LlmOps {
         16, 10).cast("long")
       val r = s.range(dIn).select(col("id").as("i"))
         .crossJoin(s.range(dOut).select(col("id").as("j")))
-        .withColumn("r3",
-          (pmod(h, lit(2001L)) - 1000L).cast("decimal(4,0)"))
+        .withColumn("rw",
+          (pmod(h, lit(2001L)) - 1000L).cast("decimal(4,0)")
+            * lit("0.001").cast("decimal(4,3)"))
       val e = par(Tables(s, d, "embeddings"))
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").cast("long").as("i"),
           round(col("col").cast("double"), 6).cast("decimal(12,6)").as("x6"))
       e.join(broadcast(r), Seq("i"))
         .groupBy(col("vec_id"), col("j"))
-        .agg(sum(col("x6") * col("r3")).as("ts"))
-        .select(col("vec_id"), col("j"),
-          round(col("ts").cast("double") / 1000.0, 6).as("proj"))
+        .agg(round(sum(col("x6") * col("rw")), 6).cast("double").as("proj"))
         .orderBy("vec_id", "j")
     }),
 
@@ -243,22 +245,20 @@ object LlmOps {
     "q_embedding_project" ->
       """WITH r AS (
         |  SELECT t1.i, t2.j,
-        |    CAST(('0x' || substring(md5(CAST(t1.i AS VARCHAR) || '_'
+        |    CAST(CAST(('0x' || substring(md5(CAST(t1.i AS VARCHAR) || '_'
         |      || CAST(t2.j AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000
-        |      AS r3
+        |      AS DECIMAL(4,0)) * CAST(0.001 AS DECIMAL(4,3)) AS rw
         |  FROM range(64) t1(i) CROSS JOIN range(8) t2(j)),
         |e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
         |      AS DECIMAL(12,6)) AS x6
-        |  FROM embeddings),
-        |t AS (
-        |  SELECT e.vec_id, r.j,
-        |    SUM(e.x6 * CAST(r.r3 AS DECIMAL(4,0))) AS ts
-        |  FROM e JOIN r USING (i) GROUP BY e.vec_id, r.j)
-        |SELECT vec_id, CAST(j AS BIGINT) AS j,
-        |  round(CAST(ts AS DOUBLE) / 1000.0, 6) AS proj
-        |FROM t ORDER BY vec_id, j""".stripMargin,
+        |  FROM embeddings)
+        |SELECT e.vec_id, CAST(r.j AS BIGINT) AS j,
+        |  CAST(round(SUM(e.x6 * r.rw), 6) AS DOUBLE) AS proj
+        |FROM e JOIN r USING (i)
+        |GROUP BY e.vec_id, r.j
+        |ORDER BY vec_id, j""".stripMargin,
 
     "q_embedding_quantize" ->
       """WITH e AS (
