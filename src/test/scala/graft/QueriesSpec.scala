@@ -189,6 +189,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_bloom: prefilter reaches the fact side pre-join and is semantics-neutral") {
+    val df = SparkEntry.queries("q_join_bloom")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // BloomFilterMightContain prints as might_contain in physical plans
+    assert(plan.contains("might_contain"),
+      s"fact rows must be bloom-prefiltered at the scan:\n$plan")
+    // the bloom build ships as a scalar subquery (one sketch row), not
+    // a row broadcast of the dim
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"bloom sketch must arrive via scalar subquery:\n$plan")
+    // false positives are removed by the join: result == the plain join
+    val plain = {
+      val dim = Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000)
+        .select(col("o_orderkey"))
+      Tables(spark, sf, "lineitem")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(30,8)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderkey")
+    }
+    assert(df.collect().map(_.toString).toSeq ==
+      plain.collect().map(_.toString).toSeq,
+      "bloom prefilter changed the join result")
+  }
+
   test("q_join_bucketed: SMJ + agg run exchange-free on the bucket partitioning") {
     val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan
