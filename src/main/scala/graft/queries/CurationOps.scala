@@ -161,18 +161,43 @@ object CurationOps {
     // deterministic order — the concat-then-split packing a training
     // pipeline runs before tokenized-batch writing. bin = floor(exclusive
     // running-token-sum / budget): contiguous docs share a bin, a doc
-    // straddling the boundary opens the next one. ONE shuffle (the
-    // source-keyed window), then a source+bin agg reuses the same
-    // partitioning. The /2048 quotient is a power-of-2 division — exact
-    // in binary floating point, so floor() is engine-deterministic.
+    // straddling the boundary opens the next one.
+    //
+    // Round 7: the prefix sum is TWO-LEVEL (replacing a per-source
+    // window that sorted each source's entire row set in ONE task —
+    // the skewed-key scale-killer at 100 TB with a handful of sources):
+    //   level 1 — deterministic ordered chunks derived from the doc_id
+    //     itself (chunk = doc_id div C): no range sampling, no persist/
+    //     recompute hazard, ≤ C docs per (source, chunk) task;
+    //   level 2 — per-chunk token totals (metadata: O(n/C) tiny rows)
+    //     prefix-summed per source and joined back as chunk offsets.
+    // Sizing: C ≈ sqrt(max docs/source) balances the two levels (C rows
+    // per level-1 task, n/C metadata rows per level-2 group); tune via
+    // spark.graft.packChunkSize. The /2048 quotient is a power-of-2
+    // division — exact in binary floating point, so floor() is
+    // engine-deterministic; chunking only changes WHERE partial sums
+    // are computed, never their integer values, so the output is
+    // bit-identical to the single-window form (the DuckDB oracle).
     "q_pack_sequences" -> ((s, d) => {
       val docs = Tables(s, d, "documents").select(
         col("doc_id"), col("source"),
         size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
+      val c = s.conf.get("spark.graft.packChunkSize", "4096").toLong
+      val chunked = docs.withColumn("chunk",
+        floor(col("doc_id") / lit(c)).cast("long"))
+      val offs = chunked.groupBy("source", "chunk")
+        .agg(sum(col("n_tok")).as("chunk_tok"))
+        .withColumn("chunk_off",
+          coalesce(sum(col("chunk_tok")).over(
+            Window.partitionBy("source").orderBy("chunk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "chunk", "chunk_off")
+      val wChunk = Window.partitionBy("source", "chunk").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
-      docs
-        .withColumn("cum_excl", sum(col("n_tok")).over(w) - col("n_tok"))
+      chunked
+        .join(broadcast(offs), Seq("source", "chunk"))
+        .withColumn("cum_excl",
+          col("chunk_off") + sum(col("n_tok")).over(wChunk) - col("n_tok"))
         .withColumn("bin",
           floor(col("cum_excl") / lit(2048)).cast("long"))
         .groupBy(col("source"), col("bin"))
@@ -254,13 +279,30 @@ object CurationOps {
     // Distribution drift between the early and late halves of the event
     // stream (split at the integer-micros timestamp midpoint), per
     // event_type: D = max |ECDF_early - ECDF_late| over distinct values
-    // — the corpus-version QA gate before a retrain. Shape: ONE
-    // event_type repartition that the (type, value) aggregate, both
-    // ECDF windows, and the final max all reuse (CurationSpec pins a
-    // single hash exchange); the midpoint is a 1-row broadcast. ECDFs
-    // compare at distinct-value granularity, so duplicate handling is
+    // — the corpus-version QA gate before a retrain. ECDFs compare at
+    // distinct-value granularity, so duplicate handling is
     // tie-unambiguous on both engines. Flag at the alpha=0.05 critical
     // value 1.3581*sqrt((nA+nB)/(nA*nB)).
+    //
+    // Round 7: the ECDF prefix sums are DISTRIBUTED (replacing per-type
+    // windows that sorted each type's full distinct-value set — value
+    // is continuous so distinct ≈ rows — in ONE task). This is the
+    // q_quantiles two-pass exact-rank shape (SamplingOps.scala) with
+    // zero driver collect: range-partition the distinct (type, value)
+    // rows so every task owns a bounded slice of one type's value
+    // range; cumulative counts = within-slice running sum + the slice's
+    // offset. Offsets/totals come from a per-(slice, type) subtotal
+    // frame — O(#partitions × #types) metadata rows — prefix-summed
+    // over slice ids and broadcast back. Distinct (type, value) keys
+    // mean no tie ever straddles a slice boundary. Both branches re-read
+    // the same range exchange (reused, not recomputed, within the one
+    // plan); an in-DAG assert_true cross-checks each slice's row count
+    // against the subtotal pass, so a recomputed-and-resampled exchange
+    // fails loudly instead of silently shifting ranks (the q_quantiles
+    // drift guard, without its driver round-trip). Degenerate halves
+    // (na or nb = 0 — possible on a real drop even though the fixture
+    // never makes one) yield NULL d_stat/threshold/drifted on BOTH
+    // engines rather than Spark-null vs DuckDB-inf divergence.
     "q_ks_drift" -> ((s, d) => {
       val ev = Tables(s, d, "events")
         .select(col("event_type"), col("value"),
@@ -270,28 +312,50 @@ object CurationOps {
       val tagged = ev.crossJoin(broadcast(mid))
         .withColumn("early", (col("us") <= col("mid")).cast("long"))
       val perValue = tagged
-        .repartition(col("event_type"))
         .groupBy(col("event_type"), col("value"))
         .agg(sum(col("early")).as("ca"),
           sum(lit(1L) - col("early")).as("cb"))
-      val wCum = Window.partitionBy("event_type").orderBy("value")
+      val nPart = s.sparkContext.defaultParallelism
+      val parted = perValue
+        .repartitionByRange(nPart, col("event_type"), col("value"))
+        .withColumn("pid", spark_partition_id())
+      val subs = parted.groupBy("pid", "event_type")
+        .agg(sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+          count(lit(1)).as("scnt"))
+      val wOff = Window.partitionBy("event_type").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = subs
+        .withColumn("off_a", coalesce(sum(col("sca")).over(wOff), lit(0L)))
+        .withColumn("off_b", coalesce(sum(col("scb")).over(wOff), lit(0L)))
+        .select("pid", "event_type", "off_a", "off_b", "scnt")
+      val tots = subs.groupBy("event_type")
+        .agg(sum(col("sca")).as("na"), sum(col("scb")).as("nb"))
+      val wCum = Window.partitionBy("pid", "event_type").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy("event_type")
-      perValue
-        .withColumn("na", sum(col("ca")).over(wAll))
-        .withColumn("nb", sum(col("cb")).over(wAll))
-        .withColumn("diff",
-          abs(sum(col("ca")).over(wCum).cast("double") / col("na")
-            - sum(col("cb")).over(wCum).cast("double") / col("nb")))
+      val wCnt = Window.partitionBy("pid", "event_type")
+      parted
+        .join(broadcast(offs), Seq("pid", "event_type"))
+        .join(broadcast(tots), Seq("event_type"))
+        .withColumn("chk", assert_true(
+          count(lit(1)).over(wCnt) === col("scnt"),
+          lit("q_ks_drift: range partitioning drifted between the " +
+            "subtotal pass and the cumsum pass")))
+        .filter(col("chk").isNull)
+        .withColumn("diff", when(col("na") > 0 && col("nb") > 0,
+          abs((col("off_a") + sum(col("ca")).over(wCum)).cast("double")
+            / col("na")
+            - (col("off_b") + sum(col("cb")).over(wCum)).cast("double")
+            / col("nb"))))
         .groupBy("event_type")
         .agg(max(col("na")).as("n_early"), max(col("nb")).as("n_late"),
           round(max(col("diff")), 6).as("d_stat"))
         .withColumn("threshold",
-          // cast BEFORE the product: nA*nB overflows long at real scale
-          round(lit(1.3581) * sqrt((col("n_early") + col("n_late"))
-            .cast("double")
-            / (col("n_early").cast("double")
-              * col("n_late").cast("double"))), 6))
+          when(col("n_early") > 0 && col("n_late") > 0,
+            // cast BEFORE the product: nA*nB overflows long at real scale
+            round(lit(1.3581) * sqrt((col("n_early") + col("n_late"))
+              .cast("double")
+              / (col("n_early").cast("double")
+                * col("n_late").cast("double"))), 6)))
         .withColumn("drifted", col("d_stat") > col("threshold"))
         .orderBy("event_type")
     }),
@@ -498,10 +562,12 @@ object CurationOps {
         |  SELECT event_type,
         |    SUM(ca) OVER (PARTITION BY event_type) AS na,
         |    SUM(cb) OVER (PARTITION BY event_type) AS nb,
-        |    abs(CAST(SUM(ca) OVER w AS DOUBLE)
-        |          / SUM(ca) OVER (PARTITION BY event_type)
-        |        - CAST(SUM(cb) OVER w AS DOUBLE)
-        |          / SUM(cb) OVER (PARTITION BY event_type)) AS diff
+        |    CASE WHEN SUM(ca) OVER (PARTITION BY event_type) > 0
+        |          AND SUM(cb) OVER (PARTITION BY event_type) > 0 THEN
+        |      abs(CAST(SUM(ca) OVER w AS DOUBLE)
+        |            / SUM(ca) OVER (PARTITION BY event_type)
+        |          - CAST(SUM(cb) OVER w AS DOUBLE)
+        |            / SUM(cb) OVER (PARTITION BY event_type)) END AS diff
         |  FROM pv
         |  WINDOW w AS (PARTITION BY event_type ORDER BY value
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -509,13 +575,15 @@ object CurationOps {
         |  CAST(max(na) AS BIGINT) AS n_early,
         |  CAST(max(nb) AS BIGINT) AS n_late,
         |  round(max(diff), 6) AS d_stat,
-        |  round(1.3581 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
-        |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))), 6)
-        |    AS threshold,
-        |  round(max(diff), 6) >
+        |  CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
         |    round(1.3581 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
         |      / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))), 6)
-        |    AS drifted
+        |    END AS threshold,
+        |  round(max(diff), 6) >
+        |    CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+        |      round(1.3581 * sqrt(CAST(max(na) + max(nb) AS DOUBLE)
+        |        / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))), 6)
+        |      END AS drifted
         |FROM c GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 

@@ -141,13 +141,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("q_pack_sequences: agg reuses the source window partitioning (one hash exchange)") {
+  test("q_pack_sequences: running sum is chunked — no single-task-per-source window") {
+    // The round-6 shape (Window partitionBy source over every doc of the
+    // source) collapses to one task per source key at 100 TB. The
+    // round-7 two-level prefix sum must (a) run the data-sized running
+    // sum under a (source, chunk) partition spec and (b) never window
+    // the raw docs by source alone.
     val df = run("q_pack_sequences")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 1,
-      s"groupBy(source,bin) should reuse the window's source partitioning:\n$plan")
+    assert("\\], \\[source#\\d+\\], \\[doc_id#".r.findFirstIn(plan).isEmpty,
+      s"found a per-source window over raw docs (one task per source):\n$plan")
+    assert("\\[source#\\d+[^\\]]*chunk#\\d+L?\\], \\[doc_id#".r
+      .findFirstIn(plan).nonEmpty,
+      s"expected the running sum windowed by (source, chunk):\n$plan")
   }
 
   test("q_winsorize: bounds ordered, clipping exact, only tail rows change") {
@@ -169,7 +176,7 @@ class CurationSpec extends AnyFunSuite {
       s"$changed of ${rows.length} rows clipped")
   }
 
-  test("q_ks_drift: D in [0,1], halves partition the stream, one hash exchange") {
+  test("q_ks_drift: D in [0,1], halves partition the stream, ECDF windows chunked") {
     val df = run("q_ks_drift")
     val rows = df.collect()
     assert(rows.nonEmpty)
@@ -184,11 +191,20 @@ class CurationSpec extends AnyFunSuite {
         r.getLong(r.fieldIndex("n_late"))
     }
     assert(seen == total, s"split must partition the stream: $seen != $total")
+    // The round-6 shape windowed each type's FULL distinct-value set by
+    // event_type alone — one task per type at 100 TB (value is
+    // continuous, distinct ≈ rows). The round-7 shape must run every
+    // value-ordered window under a (pid, event_type) slice partition;
+    // the only event_type-alone window allowed is the slice-offset
+    // prefix sum, which orders by pid over O(#slices × #types) metadata
+    // rows, never by value over data.
     val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 1,
-      s"(type,value) agg + ECDF windows + final agg must share one " +
-        s"event_type exchange:\n$plan")
+    assert("\\], \\[event_type#\\d+\\], \\[value#".r.findFirstIn(plan).isEmpty,
+      s"found a per-type window over the full value set (one task per " +
+        s"type):\n$plan")
+    assert("\\[pid#\\d+, event_type#\\d+\\], \\[value#".r
+      .findFirstIn(plan).nonEmpty,
+      s"expected the ECDF running sums windowed by (pid, event_type):\n$plan")
   }
 
   test("q_entropy_per_source: 0 < H <= ln(n_distinct) (uniform bound)") {
