@@ -1,0 +1,110 @@
+package graft.queries
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Shared machinery for queries that materialize a PHYSICAL copy of
+  * fixture data (partitioned layout, bucketed tables, persisted dedup
+  * index). Two hazards when that copy lives in the shared java.io.tmpdir
+  * (round-6 ADVICE, medium):
+  *
+  *   - staleness: a tag derived from the fixture PATH alone keeps serving
+  *     the old copy after the fixture is regenerated in place. Tags here
+  *     digest the source parquet files' (name, size, mtime) — a
+  *     regenerated fixture changes the tag, which simply addresses a
+  *     fresh directory (content-addressed cache: no invalidation
+  *     protocol to get wrong, stale copies are just unreferenced);
+  *   - write races: two JVMs on the same fixture could overwrite each
+  *     other mid-read under mode("overwrite"). Writers here stage into a
+  *     process-unique dir and ATOMIC_MOVE it into place; the loser of a
+  *     rename race deletes its staging dir and reads the winner's copy,
+  *     which is byte-equivalent by construction (same source content,
+  *     deterministic layout).
+  *
+  * At 100 TB the analogue is a catalog-managed table keyed by snapshot
+  * id, written by one job and atomically committed — this object is that
+  * contract scaled down to tmpdir.
+  */
+object FixtureLayout {
+
+  /** Content-derived cache tag for `tables` under fixture dir `d`. */
+  def contentTag(d: String, tables: Seq[String]): String = {
+    val md = MessageDigest.getInstance("MD5")
+    md.update(d.getBytes("UTF-8"))
+    tables.foreach { t =>
+      val f = new File(s"$d/$t.parquet")
+      val leaves: Seq[File] =
+        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+      leaves.filter(_.isFile).foreach { p =>
+        md.update(s"${p.getName}:${p.length}:${p.lastModified}"
+          .getBytes("UTF-8"))
+      }
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) { val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec) }
+    f.delete()
+    ()
+  }
+
+  /** Publish-once directory: if `dest` exists it is complete (publication
+    * is atomic, so a visible dest is never half-written) and is reused;
+    * otherwise `write` runs against a process-unique staging path that is
+    * atomically renamed into place. Returns `dest`. */
+  def ensureDir(dest: String)(write: String => Unit): String = {
+    val destDir = new File(dest)
+    if (!destDir.isDirectory) {
+      destDir.getParentFile.mkdirs()
+      val staging = new File(
+        dest + ".staging." + java.util.UUID.randomUUID().toString.take(8))
+      write(staging.getAbsolutePath)
+      try Files.move(staging.toPath, destDir.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          // Lost the publish race (dest appeared between the check and
+          // the rename): drop our staging copy and read the winner's.
+          deleteRec(staging)
+          if (!destDir.isDirectory) throw e
+      }
+    }
+    dest
+  }
+
+  /** Bucketed-table publish: materialize `build` bucketed+sorted on
+    * `key` at `path` and register it as `tbl` in this session's catalog.
+    * Idempotent and race-safe at every layer: catalog hit → reuse;
+    * published dir → register only; otherwise write through a throwaway
+    * writer table (bucketed writes require saveAsTable), drop the writer
+    * (external — files stay), publish the files atomically, then
+    * register. A concurrent CREATE of the same name falls back to the
+    * existing entry. */
+  def ensureBucketedTable(s: SparkSession, tbl: String, path: String,
+      key: String, buckets: Int)(build: => DataFrame): DataFrame = {
+    if (!s.catalog.tableExists(tbl)) {
+      val df = build
+      ensureDir(path) { staging =>
+        val writer = tbl + "_w" + java.util.UUID.randomUUID().toString.take(8)
+        df.repartition(buckets, col(key))
+          .write.bucketBy(buckets, key).sortBy(key)
+          .option("path", staging)
+          .mode("overwrite").saveAsTable(writer)
+        s.sql(s"DROP TABLE $writer")
+      }
+      try s.sql(s"CREATE TABLE $tbl (${df.schema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+      catch {
+        case e: AnalysisException =>
+          if (!s.catalog.tableExists(tbl)) throw e
+      }
+    }
+    s.table(tbl)
+  }
+}

@@ -234,22 +234,17 @@ object Joins {
     // otherwise auto-broadcast, which proves nothing about bucketing).
     // First call per session writes the tables; reruns reuse them —
     // honest accounting, production amortizes the bucketing write the
-    // same way.
+    // same way. The layout is content-addressed, atomically published,
+    // and idempotent under concurrent creators (FixtureLayout, round 7).
     "q_join_bucketed" -> ((s, d) => {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val tag = FixtureLayout.contentTag(d, Seq("orders", "customer"))
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
-      def ensure(name: String, key: String, cols: String*) = {
-        val tbl = s"graft_bkt_${tag}_$name"
-        if (!s.catalog.tableExists(tbl))
+      def ensure(name: String, key: String, cols: String*) =
+        FixtureLayout.ensureBucketedTable(s, s"graft_bkt_${tag}_$name",
+          s"$base/$name", key, 8) {
           Tables(s, d, name).select(cols.map(col): _*)
-            .repartition(8, col(key))
-            .write.bucketBy(8, key).sortBy(key)
-            .option("path", s"$base/$name")
-            .mode("overwrite").saveAsTable(tbl)
-        s.table(tbl)
-      }
+        }
       val o = ensure("orders", "o_custkey",
         "o_orderkey", "o_custkey", "o_totalprice")
       val c = ensure("customer", "c_custkey", "c_custkey", "c_name")

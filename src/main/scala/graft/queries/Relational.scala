@@ -39,17 +39,20 @@ object Relational {
     // partition's directory: the filter shows up as a PartitionFilter
     // (metadata-level pruning, no data I/O for other types;
     // QueriesSpec pins it), which at 100 TB is the difference between
-    // scanning one partition and scanning the corpus. Written once per
-    // session/SF; reruns hit the _SUCCESS-marked layout.
+    // scanning one partition and scanning the corpus. The layout is
+    // content-addressed and atomically published (FixtureLayout, round
+    // 7): regenerating the fixture re-materializes under a new tag
+    // instead of silently serving the stale copy, and concurrent JVMs
+    // can't read a half-written overwrite.
     "q_scan_partition_pruned" -> ((s, d) => {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_part_$tag/events"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        Tables(s, d, "events")
-          .write.partitionBy("event_type")
-          .mode("overwrite").parquet(path)
+      val tag = FixtureLayout.contentTag(d, Seq("events"))
+      val path = FixtureLayout.ensureDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_$tag/events") {
+        staging =>
+          Tables(s, d, "events")
+            .write.partitionBy("event_type")
+            .mode("overwrite").parquet(staging)
+      }
       s.read.parquet(path)
         .filter(col("event_type") === "purchase")
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
