@@ -79,6 +79,30 @@ object AnnOps {
     materializeAndFree(pairs, handles: _*)
   }
 
+  /** (doc_id, band, bucket) LSH banding of a (doc_id, sh) frame: 48
+    * affine min-hashes over the exploded shingle hashes (one codegen'd
+    * HashAggregate), md5 bucket per 3-row band. ONE definition shared by
+    * the live pipeline, the persisted index build, and the new-drop side
+    * of q_dedup_incremental — so stored and recomputed bucketings can
+    * never drift. */
+  private def bandedFrom(docsSh: DataFrame): DataFrame = {
+    val minAggs = (0 until numHashes).map { i =>
+      val (a, b) = affine(i)
+      min((col("h") % P * a + b) % P).as(s"m$i")
+    }
+    val sig = docsSh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",",
+          slice(col("sig"), b * (numHashes / bands) + 1,
+            lit(numHashes / bands)))))))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+  }
+
   private def minhashPairsAnd(
     s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     // Distinct-shingle HASH arrays (8-byte elements, not ~25-byte text) —
@@ -91,26 +115,15 @@ object AnnOps {
           .as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     docs.count() // eager fill before the two verify-join reads
-    val minAggs = (0 until numHashes).map { i =>
-      val (a, b) = affine(i)
-      min((col("h") % P * a + b) % P).as(s"m$i")
-    }
-    val sig = shingleHashes(s, d).groupBy("doc_id")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     // Persist the banded SKETCH (doc_id, band, bucket — constant bytes
     // per doc) before the self-join: Spark does not reuse the exchange
     // across the two join sides, so without this the whole
     // explode+48-agg sig pipeline runs twice. Caching O(docs x bands)
     // rows is the standard LSH trade at any scale; MEMORY_AND_DISK
-    // spills rather than OOMs on a 100 TB corpus.
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",",
-          slice(col("sig"), b * (numHashes / bands) + 1,
-            lit(numHashes / bands)))))))
-      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    // spills rather than OOMs on a 100 TB corpus. The sig build explodes
+    // the PERSISTED sh arrays (round 7), so ShingleHash60 runs once per
+    // doc instead of once here and once in the verify-side scan.
+    val banded = bandedFrom(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     banded.count() // eager fill: one sig pass, not a per-side race
     val cand = banded.as("a").join(banded.as("b"),
@@ -136,6 +149,79 @@ object AnnOps {
 
   private val pairQ: Map[String, Q] = Map(
     "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("d1", "d2")),
+
+    // Incremental near-dup dedup against a PERSISTED corpus index (round
+    // 7) — the production dedup shape: a new drop (here doc_id % 10 = 3,
+    // ~10% of the corpus) dedups against the EXISTING corpus without
+    // recomputing the corpus's sketches. The existing side's minhash
+    // bands and shingle arrays are materialized ONCE as content-addressed
+    // bucketed tables (FixtureLayout: regenerated fixture ⇒ new tag;
+    // concurrent creators race safely), then every drop pays only
+    //   O(new docs): sketch the new side with the SAME bandedFrom
+    //     pipeline the index was built with;
+    //   O(new bands): equi-join new bands against the stored band table
+    //     (bucketed on `bucket`, so the stored side arrives pre-hashed)
+    //     plus a new×new self-join for dups within the drop;
+    //   exact-Jaccard verify on the candidates, old shingle arrays
+    //     served by the stored doc-sketch table (bucketed on doc_id).
+    // The corpus is re-scanned ZERO times (AnnSpec pins the plan: stored
+    // side comes from the index tables; `documents` scans carry the
+    // new-drop filter). Recall equals the full pipeline's: bucketings
+    // are identical, so the candidate set IS the full candidate set
+    // restricted to pairs touching the drop. Output = q_dedup_minhash
+    // restricted to those pairs (AnnSpec pins that equality too); the
+    // oracle is the exact-Jaccard twin with the same restriction.
+    // At 100 TB: the index is the standard amortized artifact (constant
+    // bytes/doc); each drop's cost scales with the drop, not the corpus.
+    "q_dedup_incremental" -> ((s, d) => {
+      val isNew = col("doc_id") % 10 === 3
+      val tag = FixtureLayout.contentTag(d, Seq("documents"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_$tag"
+      def corpusSh = par(Tables(s, d, "documents")).filter(!isNew)
+        .select(col("doc_id"),
+          graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
+            .as("sh"))
+      val idxBands = FixtureLayout.ensureBucketedTable(s,
+        s"graft_mhidx_${tag}_bands", s"$base/bands", "bucket", 8) {
+        bandedFrom(corpusSh)
+      }
+      val idxDocs = FixtureLayout.ensureBucketedTable(s,
+        s"graft_mhidx_${tag}_docs", s"$base/docs", "doc_id", 8) {
+        corpusSh
+      }
+      val newSh = par(Tables(s, d, "documents")).filter(isNew)
+        .select(col("doc_id"),
+          graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
+            .as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      newSh.count() // eager: one sketch pass feeds banding + verify
+      val newBanded = bandedFrom(newSh)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      newBanded.count()
+      val candOld = newBanded.as("a").join(idxBands.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      val candNew = newBanded.as("a").join(newBanded.as("b"),
+          col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val cand = candOld.unionByName(candNew).dropDuplicates("d1", "d2")
+      val shAll = newSh.unionByName(idxDocs)
+      val pairs = cand
+        .join(shAll.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+        .join(shAll.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+        .withColumn("inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .select(col("d1"), col("d2"), col("inter"),
+          round(col("inter").cast("double")
+            / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+      materializeAndFree(pairs, newSh, newBanded).orderBy("d1", "d2")
+    }),
 
     // Duplicate-cluster assignment — the step a real curation pipeline
     // runs AFTER pair generation: connected components over the near-dup
@@ -592,6 +678,32 @@ object AnnOps {
     // Shares the exact ground truth: LSH recall at the fixture's J-margin
     // makes the approximate and exact outputs identical (see header note).
     "q_dedup_minhash" -> TextOps.oracle("q_dedup_ngram_jaccard"),
+
+    // The incremental result is by construction the full pair set
+    // restricted to pairs touching the new drop (identical bucketing on
+    // both sides), so the oracle is the same exact-Jaccard twin with
+    // that restriction.
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(list_distinct(
+        |      [array_to_string(tok[i+1:i+3], ' ')
+        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sz s1 ON s1.doc_id = d1
+        |JOIN sz s2 ON s2.doc_id = d2
+        |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
+        |  AND (d1 % 10 = 3 OR d2 % 10 = 3)
+        |ORDER BY d1, d2""".stripMargin,
 
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $clusterCtes,

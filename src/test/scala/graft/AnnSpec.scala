@@ -128,4 +128,40 @@ class AnnSpec extends AnyFunSuite {
     assert(a == b, s"banded != brute-force; first diff: ${
       a.zip(b).find { case (x, y) => x != y }}")
   }
+
+  test("q_dedup_incremental equals full recompute restricted to the new drop") {
+    // Identical bucketing on the stored and live sides means the
+    // incremental candidate set IS the full candidate set restricted to
+    // pairs touching the drop — so the outputs must match exactly.
+    val full = SparkEntry.queries("q_dedup_minhash")(spark, sf).collect()
+      .filter(r => r.getLong(0) % 10 == 3 || r.getLong(1) % 10 == 3)
+      .map(_.toString).toSeq
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf).collect()
+      .map(_.toString).toSeq
+    assert(inc == full, s"incremental != restricted full: $inc vs $full")
+  }
+
+  test("q_dedup_incremental: stored index is read, never rebuilt") {
+    // Warm the index (idempotent), then inspect the un-truncated plan:
+    // the corpus side must come from the two bucketed index tables, and
+    // every scan of the raw documents table must carry the new-drop
+    // filter — i.e. the existing corpus is re-scanned zero times.
+    SparkEntry.queries("q_dedup_incremental")(spark, sf).count()
+    spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    try {
+      val plan = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("graft_mhidx_".r.findAllIn(plan).length >= 2,
+        s"expected both stored index tables in the plan:\n$plan")
+      val docScans = plan.linesIterator
+        .filter(_.contains("documents.parquet")).toSeq
+      assert(docScans.nonEmpty, "new side must scan documents")
+      docScans.foreach(l =>
+        assert(l.contains("% 10) = 3"),
+          s"documents scan without the new-drop filter (corpus rebuilt?):\n$l"))
+    } finally {
+      spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
