@@ -518,6 +518,25 @@ object Streams {
         col("pred_lang") === "en" && col("quality") >= 0.15)
       .select("doc_id", "pred_lang", "quality", "keep")
 
+  /** s_dedup_within_watermark (round 7): the STATEFUL extension of
+    * s_curation_filter — at-least-once document delivery made
+    * effectively-once by CONTENT inside the watermark horizon:
+    * dropDuplicatesWithinWatermark keyed on the md5 text digest, i.e.
+    * s_dedup_ids' R11 shape lifted from id identity to content identity.
+    * The digest is the very normalization q_dedup_exact canonicalizes on,
+    * so stream and batch agree on what "duplicate" means and
+    * StreamingSpec pins stream == batch on the same drop. State is one
+    * digest row per distinct document inside the horizon — bounded and
+    * RocksDB-spillable; duplicates that span horizons are the batch
+    * pass's job (q_dedup_exact corpus-wide, q_dedup_incremental per drop
+    * against the persisted index). */
+  def dedupWithinWatermark(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("digest"))
+      .select("doc_id", "digest", "lang", "source")
+
   /** Schema for document streams (mirrors testdata documents.parquet). */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -612,6 +612,43 @@ class StreamingSpec extends AnyFunSuite {
       "streamed curation verdict diverged from the batch operators")
   }
 
+  test("s_dedup_within_watermark: stream == batch q_dedup_exact on the same drop") {
+    val dir = tmp("docs-dedup")
+    // One sorted single-partition file: arrival order is doc_id order,
+    // so the streaming keep-first-arrival survivor IS the batch
+    // keep-min-doc_id canonical and the two modes must agree exactly.
+    spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .orderBy("doc_id").coalesce(1)
+      .write.mode("overwrite").json(dir)
+    // At-least-once redelivery: the first 10 docs arrive AGAIN 5 minutes
+    // later (same doc_id, same text — inside the watermark horizon).
+    // Content-keyed dedup must swallow them.
+    val redeliverDir = tmp("docs-dedup-redeliver")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").limit(10)
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:05:00")))
+      .coalesce(1).write.mode("overwrite").json(redeliverDir)
+    val part = new java.io.File(redeliverDir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "zz-redelivery.json").toPath)
+    val schema = org.apache.spark.sql.types.StructType(
+      Streams.docSchema.fields :+ org.apache.spark.sql.types.StructField(
+        "ts", org.apache.spark.sql.types.TimestampType))
+    runToMemory(Streams.dedupWithinWatermark(
+      spark.readStream.schema(schema).json(dir)), "t_sdedup", "append")
+    val got = spark.table("t_sdedup")
+    val batch = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    assert(got.count() > 0)
+    assert(sortedRows(got.select("doc_id", "digest", "lang", "source")) ==
+      sortedRows(batch.select("doc_id", "digest", "lang", "source")),
+      "streamed within-watermark dedup diverged from batch q_dedup_exact")
+    // the redelivered copies were dropped, not re-emitted
+    val raw = spark.read.schema(schema).json(dir).count()
+    assert(got.count() < raw, "no duplicates were dropped")
+  }
+
   // ---------------------------------------------------------- lifecycle
 
   test("s_console_dump: --dumpOnly mode logs instead of publishing") {
