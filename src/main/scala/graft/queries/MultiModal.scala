@@ -387,6 +387,59 @@ object MultiModal {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** Per-window audio fingerprints: REAL WAV decode -> 16-bit PCM ->
+    * fixed 400-sample windows (25 ms @ 16 kHz) -> 60-bit md5-prefix hash
+    * (the h60 family) of each window's DECODED samples. Hashing the
+    * decoded signal — never container bytes — is the point: re-wrapping
+    * the same audio in a fresh container still collides, the audio twin
+    * of frameHash's decoded-pixel identity. Exact-signal hashing (not a
+    * quantized energy sketch) mirrors that precedent deliberately: a
+    * coarse 8-band energy signature false-positives on repetitive
+    * same-period texts-as-audio (observed on the fixture), and the dedup
+    * contract here is identity; a NEAR-dup audio pass would instead feed
+    * a banded spectral sketch through the minhash/LSH machinery the text
+    * family already proves. Only full windows are fingerprinted; a
+    * trailing partial window is not a stable unit of identity. */
+  def audioFingerprints(content: Array[Byte],
+      windowSamples: Int = 400): IndexedSeq[(Int, Long)] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    (0 until n / windowSamples).map { wi =>
+      // hash the raw little-endian PCM window (same byte order every
+      // decode path yields for 16-bit WAV data)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(bytes,
+          wi * windowSamples * 2, (wi + 1) * windowSamples * 2))
+        .map("%02x".format(_)).mkString
+      (wi, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+    }
+  }
+
+  /** Audio fingerprint dedup across the corpus: decode every clip
+    * (batched mapPartitions, the same codec seam as extractFeatures),
+    * fingerprint each 25 ms window, then one fp-keyed window marks
+    * shared segments and elects the canonical copy (first
+    * (id, window_idx)) — q_frame_dedup's grouping shape on the audio
+    * modality. Scale shape: decode is embarrassingly parallel; the only
+    * shuffle is keyed on the 8-byte fingerprint (tiny groups, the
+    * q_dedup_exact digest-window shape). */
+  def audioDedup(records: Dataset[MMRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    val fps = records.filter(_.modality == "audio")
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        audioFingerprints(r.content).map { case (i, fp) => (r.id, i, fp) }
+      }))
+      .toDF("id", "window_idx", "fp")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val wRank = w.orderBy(col("id").asc, col("window_idx").asc)
+    fps
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_canonical", row_number().over(wRank) === 1)
+      .orderBy("id", "window_idx")
+  }
+
   /** Frame-level dedup across a video corpus: decode every frame
     * (batched mapPartitions, the same codec seam as extractFeatures),
     * hash decoded pixels, then one frame_hash-keyed window marks
@@ -431,5 +484,13 @@ object MultiModal {
     // distributed pipeline and pins that they (and only they) group.
     // No oracle (binary decode is not SQL-expressible).
     "q_frame_dedup" -> ((s, d) => frameDedup(corpus(s, d))),
+
+    // Audio fingerprint dedup (round 7) — the one modality that had no
+    // dedup operator (video has q_frame_dedup). The fixture's clips are
+    // text-seeded distinct, so n_copies is 1 throughout here;
+    // MultiModalSpec plants a shared 25 ms segment through the SAME
+    // distributed pipeline and pins that it (and only it) groups.
+    // No oracle (binary decode is not SQL-expressible).
+    "q_audio_dedup" -> ((s, d) => audioDedup(corpus(s, d))),
   )
 }

@@ -56,6 +56,67 @@ class MultiModalSpec extends AnyFunSuite {
     assert(fixture.count() > 0)
   }
 
+  test("q_audio_dedup groups the planted shared segment by decoded signal") {
+    import spark.implicits._
+    // two clips of 4 windows (1600 samples @ 400/window): clip 2's
+    // SECOND window carries exactly clip 1's FIRST window's samples —
+    // a shared 25 ms segment at a different position; everything else
+    // distinct
+    val seedA = Array.tabulate(1600)(i => ((i * 37 + 11) % 128).toByte)
+    val seedB = Array.tabulate(1600)(i => ((i * 53 + 29) % 128).toByte)
+    System.arraycopy(seedA, 0, seedB, 400, 400)
+    def rec(id: Long, seed: Array[Byte]) =
+      MultiModal.MMRecord(id, "audio",
+        MultiModal.wavBytes(16000, 1600, seed),
+        MultiModal.MMeta(0, 0, 16000, 0))
+    val corpus = spark.createDataset(Seq(rec(1, seedA), rec(2, seedB)))
+    val rows = MultiModal.audioDedup(corpus)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 8)
+    val byCopies = rows.groupBy(_._4)
+    assert(byCopies(2L).map(t => (t._1, t._2)).toSet == Set((1L, 0), (2L, 1)),
+      s"expected the shared segment at (1,0) and (2,1): ${rows.toSeq}")
+    assert(byCopies(1L).length == 6)
+    // canonical = first (id, window_idx) of the duplicate group
+    assert(rows.filter(t => t._4 == 2L && t._5).map(t => (t._1, t._2)).toSeq
+      == Seq((1L, 0)))
+    // signal identity survives container re-encode: same samples through
+    // a fresh WAV wrapper still fingerprint identically
+    val fpA = MultiModal.audioFingerprints(
+      MultiModal.wavBytes(16000, 1600, seedA))
+    val fpA2 = MultiModal.audioFingerprints(
+      MultiModal.wavBytes(8000, 1600, seedA)) // different declared rate
+    assert(fpA.map(_._2) == fpA2.map(_._2),
+      "fingerprint must hash decoded samples, not container bytes")
+    // fixture corpus: runs end-to-end. Clips are text-seeded, and the
+    // fixture PLANTS near-dup texts sharing long prefixes — those yield
+    // genuinely identical audio segments, so groups DO occur. Pin the
+    // ground truth: every grouped window is an identical decoded sample
+    // run, never a mere fingerprint collision.
+    val fixture = SparkEntry.queries("q_audio_dedup")(spark, sf).collect()
+    assert(fixture.nonEmpty)
+    val clips = MultiModal.corpus(spark, sf)
+      .filter(_.modality == "audio").collect()
+      .map(r => r.id -> {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        in.readAllBytes()
+      }).toMap
+    def sampleRun(id: Long, wi: Int): Seq[Byte] =
+      clips(id).slice(wi * 800, wi * 800 + 800).toSeq
+    val groups = fixture.filter(_.getLong(3) > 1)
+      .groupBy(_.getLong(2)) // fp
+    assert(groups.nonEmpty, "fixture's planted near-dup texts should " +
+      "share at least one 400-sample audio segment")
+    groups.foreach { case (fp, members) =>
+      val runs = members.map(r => sampleRun(r.getLong(0), r.getInt(1)))
+      assert(runs.distinct.length == 1,
+        s"fp $fp groups non-identical sample runs (collision): " +
+          members.map(r => (r.getLong(0), r.getInt(1))).toSeq)
+    }
+  }
+
   test("feature extraction: fixed dim, normalized, deterministic, batched") {
     val f1 = MultiModal.extractFeatures(MultiModal.corpus(spark, sf)).collect()
     assert(f1.length == 500)

@@ -55,6 +55,7 @@ class QueriesSpec extends AnyFunSuite {
       "q_multimodal_features",  // binary plumbing — MultiModalSpec
       "q_ann_ivf_trained",      // approximate ANN — invariants in AnnSpec
       "q_frame_dedup",          // binary decode — planted-dup MultiModalSpec
+      "q_audio_dedup",          // binary decode — planted-segment MultiModalSpec
       "q_heavy_hitters_cms",    // count-min sketch — bounds in LlmOpsSpec
       "q_heavy_hitters_mg")     // Misra-Gries summary — bounds in LlmOpsSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
