@@ -81,7 +81,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"sf":"$sfDir"}""")
+    // Self-describing record (round-7 ADVICE): min-of-2 and median-of-n
+    // are different statistics — emit which one produced these numbers
+    // so cross-round comparisons can never silently mix them.
+    val stat = if (iters < 3) "min" else "median"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"stat":"$stat","sf":"$sfDir"}""")
     spark.stop()
   }
 }

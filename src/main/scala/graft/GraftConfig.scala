@@ -25,8 +25,20 @@ import org.apache.spark.sql.SparkSession
   *                                    driver's contract), then sf0.1
   *  - `spark.graft.singleRowgroupShim` — fixture-only scan shim
   *                                    (queries.par); never set in prod
-  *  (--credentials/--projectID are Google-Cloud-auth specific and have no
-  *  equivalent here: the sink is the filesystem, auth is the shared key.)
+  *  - `spark.graft.credentials`    ← --credentials (""): path to a sink
+  *                                    credentials JSON file. The bridge
+  *                                    treats an unusable credentials file
+  *                                    as FATAL at startup (main.go:35 +
+  *                                    server.go:50-57: bad creds kill the
+  *                                    process before it accepts traffic) —
+  *                                    so does this: a set-but-unreadable
+  *                                    path throws from `from()`. The
+  *                                    in-sandbox sink (filesystem /
+  *                                    NetBroker) never consults it; a
+  *                                    production Kafka/PubSub swap reads
+  *                                    the validated path from here.
+  *  (--projectID remains Google-Cloud-specific with no analogue: topics
+  *  here are directories/brokers, not cloud resource names.)
   */
 final case class GraftConfig(
   bindAddr: String,
@@ -35,12 +47,22 @@ final case class GraftConfig(
   sharedKeys: Set[String],
   dumpOnly: Boolean,
   sfDir: String,
-  singleRowgroupShim: Boolean)
+  singleRowgroupShim: Boolean,
+  credentials: Option[String])
 
 object GraftConfig {
   def from(spark: SparkSession): GraftConfig = {
     def c(key: String, dflt: String): String =
       spark.conf.get(s"spark.graft.$key", dflt)
+    val creds = Option(c("credentials", "")).map(_.trim).filter(_.nonEmpty)
+    creds.foreach { p =>
+      val f = new java.io.File(p)
+      if (!f.isFile || !f.canRead)
+        throw new IllegalArgumentException(
+          s"spark.graft.credentials=$p is not a readable file — refusing " +
+            "to start with unusable sink credentials (R15 parity: the " +
+            "reference exits fatally on bad --credentials)")
+    }
     GraftConfig(
       bindAddr = c("bindAddr", ":13013"),
       gracePeriodMs = c("gracePeriodMs", "30000").toLong,
@@ -50,6 +72,7 @@ object GraftConfig {
       dumpOnly = c("dumpOnly", "false").toBoolean,
       sfDir = c("sfDir",
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
-      singleRowgroupShim = c("singleRowgroupShim", "false").toBoolean)
+      singleRowgroupShim = c("singleRowgroupShim", "false").toBoolean,
+      credentials = creds)
   }
 }

@@ -132,23 +132,34 @@ object CurationOps {
     // applied as a reproducible doc_id-hash gate. Two tiny broadcast
     // sides (1-row total, 20-row rate table); the corpus is touched by
     // exactly one map-side filter pass + one per-source count — the
-    // shape that lets a 100-TB remix run as a single scan. The rate
-    // comparison uses the 4dp-ROUNDED rate (both engines agree at the
-    // gate boundary) and never casts the product back to int.
+    // shape that lets a 100-TB remix run as a single scan. The gate is
+    // INTEGER cross-multiplication (round 7, ADVICE): accept iff
+    // h * n_source < w_scaled * n_total with w_scaled = w*10000 exact —
+    // algebraically identical to h/10000 < min(1, w*N/n) (the cap case
+    // follows since h <= 9999), with zero double arithmetic on the
+    // comparison boundary. The 4dp `rate` column remains as the REPORTED
+    // value only; gating through it would re-introduce the
+    // double-rounding divergence 543ac1f removed from
+    // q_embedding_project (Spark rounds shortest-repr HALF_UP, DuckDB
+    // the binary value). Long math headroom: h*n_source <= 1e4 * 1e12
+    // and w_scaled*n_total <= 1e4 * 1e13 at 100 TB — both far under
+    // 2^63.
     "q_domain_mix" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val tgt = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
-        0.08).otherwise(0.02)
+      val even = substring(col("source"), 4, 10).cast("int") % 2 === 0
       val rates = docs.groupBy("source")
         .agg(count(lit(1)).as("n_source"))
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
-        .withColumn("target_w", tgt)
+        .withColumn("target_w", when(even, 0.08).otherwise(0.02))
+        .withColumn("w_scaled", when(even, 800L).otherwise(200L))
         .withColumn("rate",
           round(least(lit(1.0),
             col("target_w") * col("n_total") / col("n_source")), 4))
-      val kept = docs.join(broadcast(rates.select("source", "rate")), "source")
+      val kept = docs.join(
+          broadcast(rates.select("source", "n_source", "n_total",
+            "w_scaled")), "source")
         .filter(pmod(h60(col("doc_id").cast("string")), lit(10000))
-          < col("rate") * 10000)
+          * col("n_source") < col("w_scaled") * col("n_total"))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
       rates.join(kept, Seq("source"), "left")
         .select(col("source"), col("n_source"), col("target_w"), col("rate"),
@@ -215,8 +226,12 @@ object CurationOps {
     // decimal(12,2) and the (25,4) product sum are exactly double-
     // representable after the scale-preserving round), broadcast back
     // as a 5-row stats table; z rounds to 4dp so the >= 3 gate cuts at
-    // the same boundary on both engines. One map-side agg + broadcast
-    // join: a single scan at any scale.
+    // the same boundary on both engines. A zero-variance type (std = 0,
+    // possible on a real drop) yields NULL z on BOTH engines via an
+    // explicit guard (round 7, ADVICE) — without it Spark's non-ANSI
+    // divide returns NULL while DuckDB's IEEE float divide returns
+    // inf/nan, silently flipping row membership cross-engine. One
+    // map-side agg + broadcast join: a single scan at any scale.
     "q_outlier_zscore" -> ((s, d) => {
       val dec = col("value").cast("decimal(12,2)")
       val stats = Tables(s, d, "events").groupBy("event_type").agg(
@@ -227,7 +242,8 @@ object CurationOps {
         .withColumn("mean", col("sx") / col("n"))
         .withColumn("std",
           sqrt(col("sxx") / col("n") - col("mean") * col("mean")))
-        .withColumn("z", round((col("value") - col("mean")) / col("std"), 4))
+        .withColumn("z", when(col("std") > 0,
+          round((col("value") - col("mean")) / col("std"), 4)))
         .filter(abs(col("z")) >= 3.0)
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("mean"), 6).as("mean"), col("z"))
@@ -404,7 +420,7 @@ object CurationOps {
       cnt.join(broadcast(tot), "source")
         .select(col("source"), col("tot"), col("n_distinct"),
           (col("cnt").cast("decimal(12,0)") *
-            round(log(col("tot").cast("double") / col("cnt")), 9)
+            round(log(col("tot").cast("double") / col("cnt")), 12)
               .cast("decimal(20,12)")).as("term"))
         .groupBy("source")
         .agg(max(col("tot")).as("n_tokens"),
@@ -483,19 +499,24 @@ object CurationOps {
          |rates AS (
          |  -- CAST the weights to DOUBLE: DuckDB literals are DECIMAL and
          |  -- decimal arithmetic would diverge from Spark's double math.
-         |  SELECT source, n_source,
+         |  SELECT source, n_source, n_total,
          |    CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
          |      THEN CAST(0.08 AS DOUBLE) ELSE CAST(0.02 AS DOUBLE)
          |      END AS target_w,
+         |    CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+         |      THEN 800 ELSE 200 END AS w_scaled,
          |    round(least(CAST(1.0 AS DOUBLE),
          |      (CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
          |        THEN CAST(0.08 AS DOUBLE) ELSE CAST(0.02 AS DOUBLE) END)
          |      * n_total / n_source), 4) AS rate
          |  FROM per CROSS JOIN tot),
          |kept AS (
+         |  -- integer cross-multiplied gate: no double rounding on the
+         |  -- comparison boundary (matches the Spark side exactly)
          |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
          |  FROM documents d JOIN rates r ON d.source = r.source
-         |  WHERE ${h60Sql("doc_id")} % 10000 < r.rate * 10000
+         |  WHERE (${h60Sql("doc_id")} % 10000) * r.n_source
+         |        < r.w_scaled * r.n_total
          |  GROUP BY d.source)
          |SELECT r.source, r.n_source, r.target_w, r.rate,
          |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
@@ -533,9 +554,12 @@ object CurationOps {
         |  FROM events e JOIN s USING (event_type))
         |SELECT event_id, event_type, value,
         |  round(mean, 6) AS mean,
-        |  round((value - mean) / std, 4) AS z
+        |  -- zero-variance guard matches the Spark side: NULL z, row
+        |  -- dropped by the filter on both engines (never inf/nan here)
+        |  CASE WHEN std > 0 THEN round((value - mean) / std, 4) END AS z
         |FROM z
-        |WHERE abs(round((value - mean) / std, 4)) >= 3.0
+        |WHERE abs(CASE WHEN std > 0
+        |            THEN round((value - mean) / std, 4) END) >= 3.0
         |ORDER BY event_id""".stripMargin,
 
     "q_winsorize" ->
@@ -610,7 +634,7 @@ object CurationOps {
         |terms AS (
         |  SELECT c.source,
         |    CAST(c.cnt AS DECIMAL(12,0)) *
-        |    CAST(round(ln(CAST(t.tot AS DOUBLE) / c.cnt), 9)
+        |    CAST(round(ln(CAST(t.tot AS DOUBLE) / c.cnt), 12)
         |         AS DECIMAL(20,12)) AS term
         |  FROM c JOIN t USING (source)),
         |agg AS (

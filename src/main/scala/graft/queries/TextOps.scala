@@ -122,7 +122,7 @@ object TextOps {
     // -ln p(token) under the corpus's own unigram distribution — the
     // cheap perplexity proxy curation pipelines use to flag gibberish
     // (high surprisal) and boilerplate (low). Determinism: each term is
-    // tf * round(-ln(cnt/total), 9) cast to exact decimal BEFORE the
+    // tf * round(-ln(cnt/total), 12) cast to exact decimal BEFORE the
     // sum (float sums are order-dependent; decimal sums are not), the
     // total re-rounds to 6dp, and the mean divides two already-portable
     // values in double. Scale: two token-keyed two-phase aggs + a 1-row
@@ -137,14 +137,17 @@ object TextOps {
       val tot = toks.agg(count(lit(1)).as("total"))
       tf.join(cnts, "token").crossJoin(broadcast(tot))
         .select(col("doc_id"), col("tf"),
-          // Accepted risk (round-5 advice, same class as q_tfidf_keywords):
-          // a last-ulp ln() difference exactly at a 9dp rounding boundary
-          // could diverge a term; the 9dp->6dp double-rounding gap makes
-          // that survive to the hash only if the 6dp total ALSO sits at a
-          // boundary. Never observed across sf0.01/sf0.1; if it flakes,
-          // widen 9 -> 12 here and in the oracle together.
+          // Round-7 hardening of the round-5 accepted risk: terms
+          // pre-round at 12dp (was 9). A 1-ulp ln() divergence that
+          // flips a 12dp rounding shifts the term by 1e-12, which can
+          // only reach the 6dp-rounded total if THAT also sits within
+          // 1e-12 of a boundary — the compound probability per term
+          // drops by ~1e-6 vs the direct-ulp class, and any specific
+          // corpus value sitting exactly on a 9dp boundary almost
+          // surely does not sit on a 12dp one. Validated hash-identical
+          // at sf0.01 and sf0.1.
           (col("tf").cast("decimal(8,0)") *
-            round(-log(col("cnt").cast("double") / col("total")), 9)
+            round(-log(col("cnt").cast("double") / col("total")), 12)
               .cast("decimal(20,12)")).as("term"))
         .groupBy("doc_id")
         .agg(sum(col("tf")).as("n_tok"),
@@ -370,7 +373,7 @@ object TextOps {
         |terms AS (
         |  SELECT tf.doc_id, tf.tf,
         |    CAST(tf.tf AS DECIMAL(8,0)) *
-        |    CAST(round(-ln(CAST(c.cnt AS DOUBLE) / t.total), 9)
+        |    CAST(round(-ln(CAST(c.cnt AS DOUBLE) / t.total), 12)
         |         AS DECIMAL(20,12)) AS term
         |  FROM tf JOIN c USING (token) CROSS JOIN t),
         |agg AS (

@@ -37,6 +37,24 @@ class ConfigIngestSpec extends AnyFunSuite {
     assert(cfg.topicPrefix == "")           // --topicPrefix
     assert(cfg.sharedKeys.isEmpty)          // --sharedKey nil
     assert(!cfg.dumpOnly)                   // --dumpOnly false
+    assert(cfg.credentials.isEmpty)         // --credentials ""
+  }
+
+  test("GraftConfig: credentials path validated fatally, like --credentials") {
+    // readable file → accepted and surfaced
+    val f = java.io.File.createTempFile("graft_creds", ".json")
+    try {
+      java.nio.file.Files.write(f.toPath, "{}".getBytes)
+      withConf("spark.graft.credentials" -> f.getAbsolutePath) {
+        assert(GraftConfig.from(spark).credentials
+          .contains(f.getAbsolutePath))
+      }
+      // unreadable path → fatal at config time, before any traffic
+      // (main.go:35 + server.go:50-57: bad creds kill the process)
+      withConf("spark.graft.credentials" -> (f.getAbsolutePath + ".nope")) {
+        intercept[IllegalArgumentException](GraftConfig.from(spark))
+      }
+    } finally { f.delete(); () }
   }
 
   test("GraftConfig: spark.graft.* keys round-trip, incl. key rotation list") {
