@@ -46,6 +46,16 @@ final class IngestServer(bindAddr: String, landingDir: String,
   }
 
   private val server = HttpServer.create(addr, 0)
+  // Without an executor every handler shares the ONE dispatcher thread —
+  // a blocking /debug/pprof/profile would starve /healthz and ingest for
+  // its whole sampling window. Cached daemon pool: idle costs nothing,
+  // concurrent probes + profiles + uploads never queue behind each other.
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-ingest-http")
+      t.setDaemon(true)
+      t
+    }))
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       try {
@@ -140,6 +150,33 @@ final class IngestServer(bindAddr: String, landingDir: String,
           // instead of silently dropping the connection on the scraper.
           case e: Exception => reply(ex, 500, s"metrics failure: ${e.getMessage}")
         }
+      } finally ex.close()
+  })
+
+  // R14, faithful path: the reference mounts pprof at /debug/pprof
+  // (server.go:60-64). CPU profile = stack sampling in collapsed-stack
+  // form; goroutine dump = JVM thread dump. See Profiler for contract.
+  server.createContext("/debug/pprof/profile", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET") reply(ex, 405, "GET only")
+        else {
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val secs = Profiler.intParam(q, "seconds", 2)
+          val hz = Profiler.intParam(q, "hz", 100)
+          reply(ex, 200, Profiler.collapsedCpuProfile(secs, hz))
+        }
+      } catch {
+        case e: Exception => reply(ex, 500, s"profile failure: ${e.getMessage}")
+      } finally ex.close()
+  })
+  server.createContext("/debug/pprof/goroutine", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        if (ex.getRequestMethod != "GET") reply(ex, 405, "GET only")
+        else reply(ex, 200, Profiler.threadDump())
+      } catch {
+        case e: Exception => reply(ex, 500, s"dump failure: ${e.getMessage}")
       } finally ex.close()
   })
 

@@ -234,6 +234,49 @@ class ConfigIngestSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("R14: /debug/pprof profile + goroutine parity surface") {
+    val srv = new IngestServer(":0", tmp("pprof-landing"), Set.empty)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val burner = new Thread(() => ProfilerBurn.spin(stop), "pprof-burner")
+    burner.setDaemon(true); burner.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      // CPU profile: collapsed-stack lines, and the planted busy loop is
+      // the hottest thing on an idle box — its frame must be sampled
+      val p = get("/debug/pprof/profile?seconds=1&hz=100")
+      assert(p.statusCode() == 200)
+      val lines = p.body().linesIterator.filter(_.nonEmpty).toSeq
+      assert(lines.nonEmpty, "an active JVM must yield RUNNABLE samples")
+      assert(lines.forall(_.matches(".+ \\d+")),
+        s"collapsed-stack shape violated: ${lines.take(3).mkString(" | ")}")
+      assert(lines.exists(_.contains("ProfilerBurn")),
+        "the planted busy loop must appear in the CPU profile")
+
+      // goroutine-dump analogue: every thread with name, state, frames
+      val g = get("/debug/pprof/goroutine")
+      assert(g.statusCode() == 200)
+      assert(g.body().contains("[pprof-burner]: RUNNABLE"))
+      assert(g.body().contains("[main]"))
+
+      // a long profile must NOT starve the health probe (handlers run on
+      // a pool, not the single dispatcher thread)
+      val inflight = java.util.concurrent.CompletableFuture.supplyAsync(
+        () => get("/debug/pprof/profile?seconds=3&hz=20"))
+      Thread.sleep(300) // the profile is now mid-sample
+      val t0 = System.nanoTime()
+      assert(get("/healthz").statusCode() == 200)
+      val healthzMillis = (System.nanoTime() - t0) / 1000000L
+      assert(healthzMillis < 1000,
+        s"/healthz took ${healthzMillis}ms while a profile was in flight")
+      assert(inflight.get().statusCode() == 200)
+    } finally { stop.set(true); srv.close() }
+  }
+
   test("concurrent POSTs land atomically: N complete files, exact counters") {
     val landing = tmp("http-concurrent")
     val srv = new IngestServer(":0", landing, Set("k1"))
@@ -287,5 +330,15 @@ class ConfigIngestSpec extends AnyFunSuite {
       assert(progressed)
     }
     assert(!Files.exists(Paths.get(out, "data")), "dumpOnly must not publish")
+  }
+}
+
+/** A deliberately-named CPU burner so the /debug/pprof/profile test can
+  * assert its own frame shows up in the sampled collapsed stacks. */
+object ProfilerBurn {
+  def spin(stop: java.util.concurrent.atomic.AtomicBoolean): Long = {
+    var x = 0L
+    while (!stop.get()) { x += java.util.concurrent.ThreadLocalRandom.current().nextLong() }
+    x
   }
 }
