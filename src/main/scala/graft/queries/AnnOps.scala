@@ -405,6 +405,17 @@ object AnnOps {
     // assigned-cell score.
     "q_ann_ivf_trained" -> ((s, d) => ivfKnnTrained(s, d, nprobe = 2)),
 
+    // IVF + product quantization with exact rerank (round 7): the
+    // compressed-index ANN scale path — candidates ride the join as
+    // 8-byte codes + a stored norm, only the ADC top-64 shortlist
+    // rejoins raw vectors. Codebooks Lloyd-trained on coarse-cell
+    // residuals (2 rounds, data-point seeded). No oracle (approximate);
+    // AnnSpec pins full-shortlist == brute force, training determinism,
+    // and shortlist recall (measured 1.0 on the fixture).
+    "q_ann_ivfpq" -> ((s, d) =>
+      ivfPqKnn(s, d, nprobe = 2, shortlist = 64,
+        books = trainPqBooks(s, d, iters = 2))),
+
     // Sign-LSH (random-hyperplane) embedding near-dup — the 100-TB shape
     // for q_dedup_embedding, which broadcasts the corpus (round-3 verdict
     // #2). Contract: for each vector, its best bucket-mate within Hamming
@@ -632,6 +643,153 @@ object AnnOps {
         round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
           .as("cos_sim"))
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("probe_id", "vec_id", "cell", "cos_sim")
+      .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
+  }
+
+  // ------------------------------------------- IVF-PQ (round 7)
+
+  val pqM = 8        // subspaces (dim 64 => subDim 8)
+  val pqKs = 256     // codewords per subspace => 8 bits/code (the FAISS default)
+  private val pqSubDim = 64 / pqM
+
+  /** Derived (not random) sub-codebook seeds, the centroidW recipe per
+    * (subspace, codeword): reproducible from the strings alone. */
+  private val pqSeedBooks: Seq[Seq[Seq[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(s: Int, k: Int, j: Int): Double = {
+      val hx = md.digest(s"pq-$s-$k-$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      ((java.lang.Long.parseLong(hx, 16) % 1000L) / 500.0f - 1.0f).toDouble
+    }
+    (0 until pqM).map(s => (0 until pqKs).map(k =>
+      (0 until pqSubDim).map(j => w(s, k, j)).toSeq))
+  }
+
+  /** Lloyd-trained PQ codebooks over coarse-cell RESIDUALS — the
+    * trainCentroids contract transplanted to subspaces: assignment is the
+    * same stateless pq_encode projection the index build uses, the
+    * update is ONE (sub, code, subpos)-keyed two-phase aggregate
+    * collecting O(m x ks x subDim) rows to the driver (1024 doubles
+    * here; never the corpus), exact-decimal element sums + 6dp rounding
+    * so codebooks are partition-order independent, and an unused
+    * codeword keeps its previous value. At 100 TB training runs on a
+    * hash-sample; the update agg map-side combines. */
+  def trainPqBooks(s: SparkSession, d: String, iters: Int,
+    cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)): Seq[Seq[Seq[Double]]] = {
+    val coarseLit = typedLit[Seq[Seq[Double]]](cents)
+    val emb = assignCells(s, Tables(s, d, "embeddings"), "embedding", 1, cents)
+    // Seed each codeword ON a data point (the standard Lloyd init):
+    // hash-range seeds sit far from the residual distribution, so
+    // assignment collapses onto the few nearest seeds and unused
+    // codewords never move — measured 40/256 utilization and 0.52
+    // reconstruction cosine on the fixture vs near-memorization when
+    // seeded from the first ks residual subvectors (deterministic by
+    // vec_id; a pushdown-filtered 256-row scan at any corpus size).
+    // pqSeedBooks fills in if the corpus has fewer than ks vectors.
+    var books: Seq[Seq[Seq[Double]]] = {
+      val rows = emb.filter(col("vec_id") < pqKs)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .orderBy("vec_id").collect()
+      (0 until pqM).map { sub =>
+        (0 until pqKs).map { k =>
+          if (k < rows.length) {
+            val vec = rows(k).getSeq[Float](1)
+            val cent = cents(rows(k).getInt(2))
+            (0 until pqSubDim).map { j =>
+              vec(sub * pqSubDim + j).toDouble - cent(sub * pqSubDim + j)
+            }
+          } else pqSeedBooks(sub)(k)
+        }
+      }
+    }
+    (0 until iters).foreach { _ =>
+      val sums = emb
+        .select(col("cell"),
+          graft.functions.PqCodec.encode(s, col("embedding"), col("cell"),
+            coarseLit, typedLit[Seq[Seq[Seq[Double]]]](books)).as("codes"),
+          posexplode(col("embedding")))
+        .select(
+          (col("pos") / pqSubDim).cast("int").as("sub"),
+          (col("pos") % pqSubDim).as("subpos"),
+          element_at(col("codes"), (col("pos") / pqSubDim).cast("int") + 1)
+            .as("code"),
+          // the residual component this subspace quantizes
+          (col("col").cast("decimal(30,10)") -
+            element_at(element_at(coarseLit, col("cell") + 1),
+              col("pos") + 1).cast("decimal(30,10)")).as("r"))
+        .groupBy("sub", "code", "subpos")
+        .agg(sum("r").as("sr"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r => ((r.getInt(0), r.getInt(1),
+        r.getInt(2)), (BigDecimal(r.getDecimal(3)), r.getLong(4)))).toMap
+      books = books.indices.map { sub =>
+        books(sub).indices.map { k =>
+          (0 until pqSubDim).map { j =>
+            byKey.get((sub, k, j)) match {
+              case Some((sr, n)) => (sr / BigDecimal(n))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              case None => books(sub)(k)(j) // unused codeword: keep
+            }
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** q_ann_ivfpq: IVF-PQ with exact rerank (the FAISS IVFADC+refine
+    * shape). The stored index is (vec_id, cell, codes) — m bytes + a
+    * cell id per vector; the ADC candidate join carries ONLY that, never
+    * the float vectors. Per probe: visit `nprobe` cells, score
+    * candidates by CosineSim against the pq_decode reconstruction,
+    * keep the top-`shortlist` by ADC, and exact-rerank just those by
+    * joining the raw vectors back. shortlist >= corpus with
+    * nprobe = numCells degrades to exactly ivfKnn's brute force — the
+    * AnnSpec invariant; at real settings recall is bounded by the
+    * shortlist stage only, and the spec pins the fixture's measured
+    * recall. Output schema/tie-breaks identical to q_ann_ivf. */
+  def ivfPqKnn(s: SparkSession, d: String, nprobe: Int, shortlist: Int,
+    books: Seq[Seq[Seq[Double]]],
+    cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)): DataFrame = {
+    val coarseLit = typedLit[Seq[Seq[Double]]](cents)
+    val booksLit = typedLit[Seq[Seq[Seq[Double]]]](books)
+    val emb = Tables(s, d, "embeddings")
+    // THE INDEX: at scale this is the stored table (codes + the exact
+    // norm, not vectors). Storing |x| costs one float/vec and confines
+    // ADC error to the DIRECTION term: cos(q,x) ≈ dot(q, x̂)/(|q|·|x|)
+    // with the true norm, instead of also mis-estimating |x| from the
+    // reconstruction (the FAISS norm-augmented IP/cosine recipe).
+    val index = assignCells(s, emb, "embedding", 1, cents)
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PqCodec.encode(s, col("embedding"), col("cell"),
+          coarseLit, booksLit).as("codes"),
+        sqrt(graft.functions.DotProduct(s, col("embedding"),
+          col("embedding"))).as("vec_norm"))
+    val probes = assignCells(s,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe")),
+      "probe", nprobe, cents)
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adc_sim").desc, col("vec_id").asc)
+    val short = index.join(probes, "cell")
+      .select(col("probe_id"), col("vec_id"), col("cell"), col("probe"),
+        (graft.functions.DotProduct(s, col("probe"),
+          graft.functions.PqCodec.decode(s, col("codes"), col("cell"),
+            coarseLit, booksLit)) /
+          (sqrt(graft.functions.DotProduct(s, col("probe"), col("probe"))) *
+            col("vec_norm"))).as("adc_sim"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+    // exact rerank: ONLY the shortlist rows rejoin the raw vectors
+    val wExact = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    short.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(wExact))
       .filter(col("rn") <= 5)
       .select("probe_id", "vec_id", "cell", "cos_sim")
       .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)

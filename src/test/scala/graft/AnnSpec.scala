@@ -59,6 +59,62 @@ class AnnSpec extends AnyFunSuite {
       s"too many hash exchanges ($exchanges) — assignment shuffles?\n$plan")
   }
 
+  test("q_ann_ivfpq: full probes + full shortlist degrades to exact brute force") {
+    // holds for ANY codebooks: with every cell visited and nothing cut
+    // by the ADC shortlist, the exact rerank IS brute force
+    val books = AnnOps.trainPqBooks(spark, sf, 1)
+    val full = AnnOps.ivfPqKnn(spark, sf, nprobe = AnnOps.numCells,
+      shortlist = Int.MaxValue, books)
+      .select("probe_id", "vec_id", "cos_sim")
+    val brute = SparkEntry.queries("q_knn_pergroup")(spark, sf)
+    assert(full.collect().map(_.toString).toSeq ==
+      brute.collect().map(_.toString).toSeq)
+  }
+
+  test("q_ann_ivfpq: codebook training deterministic; codes well-formed") {
+    val b1 = AnnOps.trainPqBooks(spark, sf, 1)
+    val b2 = AnnOps.trainPqBooks(spark, sf, 1)
+    assert(b1 == b2, "two PQ training runs diverged")
+    val seeds = AnnOps.trainPqBooks(spark, sf, 0)
+    assert(b1 != seeds, "training left every codeword at its seed")
+    assert(b1.length == AnnOps.pqM && b1.forall(_.length == AnnOps.pqKs))
+    // every corpus vector encodes to m codes in [0, ks)
+    import org.apache.spark.sql.functions._
+    val coarse = AnnOps.trainCentroids(spark, sf, 0)
+    val codes = graft.Tables(spark, sf, "embeddings")
+      .select(graft.functions.PqCodec.encode(spark, col("embedding"),
+        lit(0), typedLit[Seq[Seq[Double]]](coarse),
+        typedLit[Seq[Seq[Seq[Double]]]](b1)).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.nonEmpty)
+    assert(codes.forall(c => c.length == AnnOps.pqM &&
+      c.forall(k => k >= 0 && k < AnnOps.pqKs)))
+  }
+
+  test("q_ann_ivfpq at shipped settings: deterministic, high shortlist recall") {
+    // vs exact search over the SAME visited cells: any difference is the
+    // ADC shortlist alone, so this isolates what PQ compression costs
+    val pq = SparkEntry.queries("q_ann_ivfpq")(spark, sf).collect()
+    val exact = AnnOps.ivfKnn(spark, sf, nprobe = 2).collect()
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pairs(pq) & pairs(exact)).size.toDouble / exact.length
+    assert(recall >= 0.9, s"shortlist recall $recall < 0.9 on the fixture")
+    val again = SparkEntry.queries("q_ann_ivfpq")(spark, sf).collect()
+    assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q_ann_ivfpq plan: PQ kernels present, no cartesian, bounded exchanges") {
+    val plan = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pq_encode") && plan.contains("pq_decode"),
+      "index/ADC must run through the native PQ codec kernels")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 5,
+      s"too many hash exchanges ($exchanges) in:\n$plan")
+  }
+
   test("minhash candidates achieve full recall on planted near-dups") {
     val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

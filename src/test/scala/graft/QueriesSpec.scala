@@ -54,6 +54,7 @@ class QueriesSpec extends AnyFunSuite {
       "q_quantiles_grouped",    // quantile sketch — tolerance in PropertiesSpec
       "q_multimodal_features",  // binary plumbing — MultiModalSpec
       "q_ann_ivf_trained",      // approximate ANN — invariants in AnnSpec
+      "q_ann_ivfpq",            // approximate ANN (PQ) — invariants in AnnSpec
       "q_frame_dedup",          // binary decode — planted-dup MultiModalSpec
       "q_audio_dedup",          // binary decode — planted-segment MultiModalSpec
       "q_heavy_hitters_cms",    // count-min sketch — bounds in LlmOpsSpec
