@@ -705,11 +705,20 @@ object AnnOps {
       }
     }
     (0 until iters).foreach { _ =>
-      val sums = emb
-        .select(col("cell"),
+      // Materialize the encoded frame BEFORE the per-dim explode:
+      // pq_encode is CodegenFallback, and the interpreted projection
+      // path has no subexpression elimination, so without the barrier
+      // CollapseProject inlines the m x ks x subDim encode loop into the
+      // post-explode projection — re-running it once per DIM (64x per
+      // row; measured 8.5 s/iter vs ~1 s with the barrier at sf0.1).
+      val enc = emb
+        .select(col("cell"), col("embedding"),
           graft.functions.PqCodec.encode(s, col("embedding"), col("cell"),
-            coarseLit, typedLit[Seq[Seq[Seq[Double]]]](books)).as("codes"),
-          posexplode(col("embedding")))
+            coarseLit, typedLit[Seq[Seq[Seq[Double]]]](books)).as("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      enc.count() // eager: encode exactly once per row per iteration
+      val sums = enc
+        .select(col("cell"), col("codes"), posexplode(col("embedding")))
         .select(
           (col("pos") / pqSubDim).cast("int").as("sub"),
           (col("pos") % pqSubDim).as("subpos"),
@@ -722,6 +731,7 @@ object AnnOps {
         .groupBy("sub", "code", "subpos")
         .agg(sum("r").as("sr"), count(lit(1)).as("n"))
         .collect()
+      enc.unpersist()
       val byKey = sums.map(r => ((r.getInt(0), r.getInt(1),
         r.getInt(2)), (BigDecimal(r.getDecimal(3)), r.getLong(4)))).toMap
       books = books.indices.map { sub =>
@@ -761,12 +771,18 @@ object AnnOps {
     // ADC error to the DIRECTION term: cos(q,x) ≈ dot(q, x̂)/(|q|·|x|)
     // with the true norm, instead of also mis-estimating |x| from the
     // reconstruction (the FAISS norm-augmented IP/cosine recipe).
+    // Persisted like minhash's banded sketch: the cell join multiplies
+    // index rows per matching probe, and pq_encode (CodegenFallback, no
+    // interpreted-path CSE) would re-run per MATCH if the projection is
+    // inlined above the join. O(corpus) rows of codes+norm — constant
+    // bytes/vec, MEMORY_AND_DISK spills rather than OOMs.
     val index = assignCells(s, emb, "embedding", 1, cents)
       .select(col("vec_id"), col("cell"),
         graft.functions.PqCodec.encode(s, col("embedding"), col("cell"),
           coarseLit, booksLit).as("codes"),
         sqrt(graft.functions.DotProduct(s, col("embedding"),
           col("embedding"))).as("vec_norm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val probes = assignCells(s,
       emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe")),
@@ -785,7 +801,8 @@ object AnnOps {
     // exact rerank: ONLY the shortlist rows rejoin the raw vectors
     val wExact = Window.partitionBy("probe_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    short.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val out = short
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("probe_id"), col("vec_id"), col("cell"),
         round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
           .as("cos_sim"))
@@ -793,6 +810,9 @@ object AnnOps {
       .filter(col("rn") <= 5)
       .select("probe_id", "vec_id", "cell", "cos_sim")
       .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
+    // tiny end product (probes x 5 rows): materialize it and release the
+    // index cache instead of leaking it into the session
+    materializeAndFree(out, index)
   }
 
   // ------------------------------------------------------------- oracles

@@ -105,8 +105,12 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("q_ann_ivfpq plan: PQ kernels present, no cartesian, bounded exchanges") {
-    val plan = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+    // plan inspection: keep the pipeline un-materialized so the digested
+    // plan is the real search, not the checkpointed LogicalRDD stub
+    spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    val plan = try SparkEntry.queries("q_ann_ivfpq")(spark, sf)
       .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.graft.skipEagerMaterialize", "false")
     assert(plan.contains("pq_encode") && plan.contains("pq_decode"),
       "index/ADC must run through the native PQ codec kernels")
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
