@@ -32,6 +32,25 @@ object SamplingOps {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test assignment (round 7): the split every
+    // training pipeline pins before anything else ships. Buckets come
+    // from the same portable h60(doc_id) gate as q_sample_hash
+    // (90/5/5), so membership is reproducible across runs, engines, and
+    // repartitioning, and a doc can never migrate between splits when
+    // the corpus grows — new docs land in their own buckets. Output is
+    // the per-(split, source) manifest; the assignment itself is the
+    // map-side projection. One two-phase agg, no other shuffle.
+    "q_train_val_split" -> ((s, d) => {
+      val bucket = pmod(h60(col("doc_id").cast("string")), lit(100))
+      Tables(s, d, "documents")
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split", "source")
+    }),
+
     // Stratified sampling: per-language rates (en kept at 50%, others at
     // 10%) — the per-source quota shape of corpus curation.
     "q_stratified_sample" -> ((s, d) => {
@@ -212,6 +231,15 @@ object SamplingOps {
          |FROM documents
          |WHERE ${h60Sql("doc_id")} % 100 < 10
          |ORDER BY doc_id""".stripMargin,
+
+    "q_train_val_split" ->
+      s"""SELECT CASE WHEN ${h60Sql("doc_id")} % 100 < 90 THEN 'train'
+         |            WHEN ${h60Sql("doc_id")} % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+         |FROM documents
+         |GROUP BY 1, 2
+         |ORDER BY split, source""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT lang, COUNT(*) AS n_sampled

@@ -219,6 +219,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_train_val_split: splits partition the corpus; one agg shuffle") {
+    val rows = run("q_train_val_split").collect()
+    val total = graft.Tables(spark, sf, "documents").count()
+    // disjoint + complete: the per-(split, source) manifest sums back to
+    // every document exactly once
+    assert(rows.map(_.getLong(2)).sum == total)
+    val splits = rows.map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"), s"splits: $splits")
+    // hash membership is per-doc: growth cannot migrate a doc between
+    // splits, so the 90/5/5 gate must land near its expectation
+    val byS = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(byS("train") > total * 80 / 100 && byS("train") < total * 95 / 100,
+      s"train share off expectation: $byS")
+    // plan: map-side split assign + ONE aggregation exchange (plus the
+    // presentation sort) — nothing else may shuffle
+    val plan = run("q_train_val_split").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$plan")
+  }
+
   test("q_sample_stratum_k: exactly k per stratum, rank-limit pruned pre-shuffle") {
     val df = run("q_sample_stratum_k")
     val rows = df.collect()
