@@ -11,7 +11,8 @@ object DumpPlans {
     "q_join_salted", "q_subquery_scalar", "q_ann_ivf", "q_dedup_embedding",
     "q_dedup_embedding_lsh", "q_embedding_quantize", "q_heavy_hitters",
     "q_decontaminate", "q_pack_sequences", "q_outlier_zscore",
-    "q_ks_drift", "q_join_bucketed", "q_scan_partition_pruned")
+    "q_ks_drift", "q_join_bucketed", "q_scan_partition_pruned",
+    "q_dedup_incremental", "q_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
