@@ -253,22 +253,45 @@ object CurationOps {
     // ── Winsorization (percentile clipping) ───────────────────────────
     // Clamp `value` to exact per-type [p01, p99] — the feature-prep pass
     // before telemetry-derived signals feed training. Percentiles are
-    // EXACT type-7 interpolations computed in-frame: one event_type
-    // partitioning shared by the rank window, the count window, AND the
-    // per-type aggregate (no second exchange), boundary rows picked by
-    // rank arithmetic, 4dp-rounded like q_quantiles (proven formula
-    // parity with DuckDB quantile_cont). The per-type sort is the
-    // inherent cost of exact per-group quantiles; the sketch escape
-    // hatch at 100 TB is q_quantiles_grouped's approx_percentile.
-    // Clip bounds come back as a 5-row broadcast.
+    // EXACT type-7 interpolations over GLOBAL per-type ranks computed
+    // the scale-true way (round 7; previously a per-type window whose
+    // sort collapsed to one task per type): the q_ks_drift two-pass
+    // range-partitioned prefix sum — range-partition by (type, value,
+    // event_id), per-(slice, type) subtotals prefix-summed over
+    // metadata-sized rows, broadcast back, rank = offset + slice-local
+    // row_number, with the same in-DAG assert_true guard against the
+    // range partitioner re-sampling between passes. Boundary rows picked
+    // by rank arithmetic, 4dp-rounded like q_quantiles (proven formula
+    // parity with DuckDB quantile_cont); the sketch escape hatch stays
+    // q_quantiles_grouped. Clip bounds come back as a 5-row broadcast.
     "q_winsorize" -> ((s, d) => {
       val ev = Tables(s, d, "events")
-      val wOrd = Window.partitionBy("event_type")
+      val nPart = s.sparkContext.defaultParallelism
+      val parted = ev
+        .repartitionByRange(nPart, col("event_type"), col("value"),
+          col("event_id"))
+        .withColumn("pid", spark_partition_id())
+      val subs = parted.groupBy("pid", "event_type")
+        .agg(count(lit(1)).as("scnt"))
+      val wOff = Window.partitionBy("event_type").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = subs
+        .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
+        .select("pid", "event_type", "off", "scnt")
+      val tots = subs.groupBy("event_type")
+        .agg(sum(col("scnt")).as("n"))
+      val wRn = Window.partitionBy("pid", "event_type")
         .orderBy(col("value"), col("event_id"))
-      val wAll = Window.partitionBy("event_type")
-      val ranked = ev
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
+      val wCnt = Window.partitionBy("pid", "event_type")
+      val ranked = parted
+        .join(broadcast(offs), Seq("pid", "event_type"))
+        .join(broadcast(tots), Seq("event_type"))
+        .withColumn("chk", assert_true(
+          count(lit(1)).over(wCnt) === col("scnt"),
+          lit("q_winsorize: range partitioning drifted between the " +
+            "subtotal pass and the rank pass")))
+        .filter(col("chk").isNull)
+        .withColumn("rn", col("off") + row_number().over(wRn))
       def h(p: Double): Column = lit(p) * (col("n") - 1) + 1.0
       def interp(p: Double, tag: String) = Seq(
         max(when(col("rn") === floor(h(p)), col("value"))).as(s"lo_$tag"),

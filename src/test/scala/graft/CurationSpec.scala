@@ -174,6 +174,18 @@ class CurationSpec extends AnyFunSuite {
     // clipping at p01/p99 must touch roughly the 2% tails, never the bulk
     assert(changed > 0 && changed <= rows.length / 10,
       s"$changed of ${rows.length} rows clipped")
+    // Round-7 shape: the rank window must run under a (pid, event_type)
+    // slice partition — a window by event_type alone over the raw values
+    // is the one-task-per-type sort that dies at 100 TB. The only
+    // type-alone window allowed is the slice-offset prefix sum over
+    // O(#slices x #types) metadata rows (ordered by pid, not value).
+    val plan = run("q_winsorize").queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert("\\], \\[event_type#\\d+\\], \\[value#".r.findFirstIn(plan).isEmpty,
+      s"found a per-type window over the full value set:\n$plan")
+    assert("\\[pid#\\d+, event_type#\\d+\\], \\[value#".r
+      .findFirstIn(plan).nonEmpty,
+      s"expected the rank window under (pid, event_type):\n$plan")
   }
 
   test("q_ks_drift: D in [0,1], halves partition the stream, ECDF windows chunked") {
