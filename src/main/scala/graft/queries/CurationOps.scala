@@ -410,6 +410,44 @@ object CurationOps {
     // keyed on shard; source spread via count(distinct). The h60-order
     // "shuffle" is exactly q_sample_hash's portable hash, so sampling,
     // splits, and shard layout all derive from ONE document identity.
+    // ── Shard EXPORT (round 7) — the sink side of q_shard_assign ─────
+    // q_shard_assign decides the manifest; this one WRITES the corpus as
+    // a shard-partitioned layout (content-addressed + atomically
+    // published like every physical copy, FixtureLayout), then reads the
+    // WRITTEN FILES back and emits the per-shard manifest from them. The
+    // oracle computes the same manifest from the live table, so the hash
+    // match proves every document landed in exactly one shard file and
+    // survived the write→read round trip — the export equivalent of the
+    // q_source_* ingest proofs. The pre-write repartition is keyed ON
+    // shard so each shard's rows arrive at one task and each shard dir
+    // gets ONE file (SourcesSpec pins 16 dirs, 1 data file each) — the
+    // dynamic-partition write otherwise sprays |tasks|x|shards| small
+    // files, the classic training-export killer. At 100 TB: same plan
+    // with repartition(shards*filesPerShard, shard, salt) plus
+    // maxRecordsPerFile to bound file sizes; consumers then read shard
+    // dirs independently with no re-bucketing shuffle at training time.
+    "q_export_shards" -> ((s, d) => {
+      val n = 16
+      val tag = FixtureLayout.contentTag(d, Seq("documents"))
+      val path = FixtureLayout.ensureDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_src_$tag/documents_shards") {
+        staging =>
+          Tables(s, d, "documents")
+            .withColumn("shard",
+              pmod(h60(col("doc_id").cast("string")), lit(n)))
+            .repartition(col("shard"))
+            .write.partitionBy("shard").parquet(staging)
+      }
+      s.read.parquet(path)
+        // partition-column inference reads shard back as int; the
+        // manifest column is long on both engines
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("shard")
+    }),
+
     "q_shard_assign" -> ((s, d) => {
       val n = 16
       val h = h60(col("doc_id").cast("string"))
@@ -640,6 +678,17 @@ object CurationOps {
          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |  min(${h60Sql("doc_id")}) AS h_min,
          |  max(${h60Sql("doc_id")}) AS h_max
+         |FROM documents
+         |GROUP BY shard
+         |ORDER BY shard""".stripMargin,
+
+    // The layout is physical; the oracle manifest comes from the live
+    // table — equality proves the written shards carry every row.
+    "q_export_shards" ->
+      s"""SELECT ${h60Sql("doc_id")} % 16 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
          |FROM documents
          |GROUP BY shard
          |ORDER BY shard""".stripMargin,

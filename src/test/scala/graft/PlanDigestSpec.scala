@@ -28,7 +28,7 @@ class PlanDigestSpec extends AnyFunSuite {
   private def scrub(plan: String): String = plan
     .replaceAll("@[0-9a-fA-F]+", "@X")
     .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda\\$X")
-    .replaceAll("graft_(bkt|mhidx|part|buckets)_[0-9a-f]+", "graft_$1_TAG")
+    .replaceAll("graft_(bkt|mhidx|part|buckets|src)_[0-9a-f]+", "graft_$1_TAG")
     .replaceAll("plan_id=\\d+", "plan_id=X")
     // canonicalization normalizes attribute exprIds but NOT subquery
     // ids, lambda-variable ids/names, or exprIds inside an

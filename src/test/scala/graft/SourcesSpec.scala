@@ -64,4 +64,72 @@ class SourcesSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.contains("o_orderstatus=F"))
   }
+
+  // ---- q_source_* contract keys (round 7): the format readers as
+  // first-class oracle-checked operators. Pins here cover what the
+  // DuckDB oracle cannot see: WHICH datasource the plan scanned and
+  // whether the ORC filter actually pushed down.
+
+  test("q_source_csv scans the csv datasource and matches parquet-direct") {
+    val df = SparkEntry.queries("q_source_csv")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan csv"), s"csv scan missing in:\n$plan")
+    // Same aggregate straight off the canonical parquet: equality proves
+    // the text round-trip (not just that the reader parsed something).
+    val direct = Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.queries.Det.dsum(col("o_totalprice")).as("sum_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_day"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+    assert(df.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
+  }
+
+  test("q_source_ndjson scans the json datasource and keeps microseconds") {
+    val df = SparkEntry.queries("q_source_ndjson")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan json"), s"json scan missing in:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // events.ts is micro-precision: the default text timestampFormat
+    // would truncate to millis and max_ts would end in "000" for every
+    // group only by a 1-in-1000 fluke per group; require at least one
+    // group whose max_ts carries live sub-millisecond digits.
+    val maxTs = rows.map(_.getAs[String]("max_ts"))
+    assert(maxTs.exists(t => !t.endsWith("000")),
+      s"all max_ts millisecond-truncated: ${maxTs.mkString(", ")}")
+  }
+
+  test("q_export_shards writes one file per shard dir and loses no rows") {
+    val df = SparkEntry.queries("q_export_shards")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+    // the published layout: one dir per shard, ONE data file in each —
+    // the keyed pre-write repartition is what prevents the
+    // |tasks|x|shards| small-file spray
+    val tag = graft.queries.FixtureLayout.contentTag(sf, Seq("documents"))
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_src_$tag/documents_shards")
+    val shardDirs = root.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 16, s"expected 16 shard dirs in $root")
+    shardDirs.foreach { sd =>
+      val dataFiles = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1,
+        s"${sd.getName}: ${dataFiles.length} data files (want 1)")
+    }
+  }
+
+  test("q_source_orc scans orc and pushes the ship-date filter down") {
+    val df = SparkEntry.queries("q_source_orc")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan orc"), s"orc scan missing in:\n$plan")
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("LessThan(l_shipdate"),
+      s"ship-date predicate not pushed into the orc scan:\n$plan")
+    assert(df.count() == 6)
+  }
 }
