@@ -496,7 +496,7 @@ object AnnOps {
     }),
   )
 
-  val q: Map[String, Q] = pairQ ++ sketchQ
+  lazy val q: Map[String, Q] = pairQ ++ sketchQ ++ semQ
 
   // ------------------------------------------------- sign-LSH parameters
 
@@ -815,6 +815,133 @@ object AnnOps {
     materializeAndFree(out, index)
   }
 
+  // ------------------------------------------------------------ SemDeDup
+
+  /** Cluster count for the semantic-dedup partition. At 100 TB, K scales
+    * with the corpus (K ~ n / target cluster size, SemDeDup's published
+    * setting is 50k clusters for 1e9+ docs) — 8 keeps the fixture's cells
+    * statistically meaningful (60+ vectors each). */
+  private val semK = 8
+
+  /** Semantic dedup over the embedding space (SemDeDup, Abbas et al.
+    * 2023, arXiv:2303.09540): k-means-partition the corpus, then search
+    * for near-duplicates only WITHIN each cluster — the trick that turns
+    * O(n^2) semantic dedup into K independent O((n/K)^2) problems, with
+    * the cluster assignment itself a stateless projection.
+    *
+    * This rebuild keeps every step engine-portable so the DuckDB twin
+    * can prove it end-to-end (unlike q_ann_ivf*, whose float seed
+    * centroids are not SQL-reproducible):
+    *  - seed centroids = one Lloyd-style mean step from a DETERMINISTIC
+    *    hash partition: bucket b = h60(vec_id) mod K, centroid = per-(b,
+    *    dim) mean of the 6dp-rounded components in EXACT decimal (integer
+    *    micro-units, half-up at 6dp — partition-order independent, and
+    *    bit-reproducible in SQL via HUGEINT arithmetic);
+    *  - centroids quantize to float32 before use (both engines cast the
+    *    same doubles, IEEE round-to-nearest) so the native DotProduct
+    *    kernel's array<float> contract holds without a precision fork;
+    *  - assignment = argmax over cells of round(dot(x, c)/|c|, 6), ties
+    *    to the lower cell id — the 6dp round absorbs double-sum
+    *    partial-order ulps exactly as in q_dedup_embedding's argmax;
+    *  - within-cell verify = the q_dedup_embedding packed-long argmax
+    *    ((6dp cosine, inverted mate id) in ONE long, so the per-vector
+    *    best mate survives a codegen'd two-phase max aggregate), over
+    *    pairs joined ONLY on the cell key against SMALLER vec_ids (the
+    *    candidate canonical each vector would defer to).
+    *
+    * Scale shape: two corpus scans (seed means, assignment — at 100 TB
+    * the mean trains on a hash-sample like trainCentroids), ONE shuffle
+    * keyed on cell for the pair join, and a bounded O(K x dims) driver
+    * collect for the centroids. Nothing all-pairs: per-cell pair volume
+    * is sum_c m_c^2, the SemDeDup contract; a skewed cell is bounded by
+    * raising K or sub-splitting on h60(vec_id) mod s within the cell
+    * (the q_join_salted shape) — at K ~ n/1000 each cell's join fits a
+    * single executor's hash table. */
+  private val semQ: Map[String, Q] = Map(
+    "q_semdedup" -> ((s, d) => {
+      import graft.functions.DotProduct
+      val h60 = (c: Column) =>
+        conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long")
+      // live corpus with norms precomputed once (zero-norm rows carry no
+      // direction — dropped on both engines, q_dedup_embedding's guard)
+      def emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0)
+      // seed centroids: exact-decimal mean per (hash bucket, dim).
+      // decimal(12,6) components sum exactly (decimal addition is
+      // associative — no partition-order drift), and the mean rounds
+      // half-up at 6dp in INTEGER micro-units: floor((2|S| + n)/(2n))
+      // with the sign reapplied, the same arithmetic the SQL twin runs
+      // in HUGEINT. O(K x dims) driver rows, never the corpus.
+      val sums = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .withColumn("b", pmod(h60(col("vec_id")), lit(semK)))
+        .withColumn("x6", round(col("v").cast("double"), 6)
+          .cast("decimal(12,6)"))
+        .groupBy("b", "i")
+        .agg(sum("x6").as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val centD: Map[Long, Array[Double]] = sums.groupBy(_.getLong(0))
+        .map { case (b, rows) =>
+          val arr = new Array[Double](64)
+          rows.foreach { r =>
+            val smMicro = BigInt(r.getDecimal(2).movePointRight(6)
+              .toBigIntegerExact)
+            val n = BigInt(r.getLong(3))
+            val q = if (smMicro.signum >= 0) (smMicro * 2 + n) / (n * 2)
+                    else -(((-smMicro) * 2 + n) / (n * 2))
+            arr(r.getInt(1)) = q.toDouble / 1e6
+          }
+          b -> arr
+        }
+      val present = centD.keys.toSeq.sorted
+      val centF: Map[Long, Seq[Float]] =
+        centD.map { case (b, a) => b -> a.map(_.toFloat).toSeq }
+      val cnrm: Map[Long, Double] = centF.map { case (b, f) =>
+        var acc = 0.0
+        f.foreach(x => acc += x.toDouble * x.toDouble)
+        b -> math.sqrt(acc)
+      }
+      // assignment: stateless argmax-of-K projection (score desc, cell
+      // asc via max of (score, -cell) structs); K DotProduct kernels
+      // against 64-float literals — no crossJoin, no Exchange.
+      val scored = present.map { b =>
+        struct(
+          round(DotProduct(s, col("embedding"),
+            typedLit[Seq[Float]](centF(b))) / lit(cnrm(b)), 6).as("sc"),
+          lit(-b).as("nb"))
+      }
+      val assigned = emb
+        .withColumn("best", array_max(array(scored: _*)))
+        .select(col("vec_id"), (-col("best.nb")).as("cell"),
+          col("embedding"), col("nrm"))
+      // within-cell best smaller-id mate via the packed-long max
+      val M = 1L << 33
+      val mates = assigned.select(col("vec_id").as("mid"), col("cell"),
+        col("embedding").as("memb"), col("nrm").as("mnrm"))
+      val best = assigned.join(mates, "cell")
+        .filter(col("vec_id") > col("mid"))
+        .select(col("vec_id"),
+          (round(DotProduct(s, col("embedding"), col("memb"))
+            / (col("nrm") * col("mnrm")) * 1e6, 0).cast("long") * M
+            + (lit(M - 1) - col("mid"))).as("packed"))
+        .groupBy("vec_id")
+        .agg(max("packed").as("packed"))
+      assigned.select("vec_id", "cell").join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("packed").isNotNull,
+            lit(M - 1) - col("packed").bitwiseAND(M - 1)).as("best_mate_id"),
+          when(col("packed").isNotNull,
+            shiftright(col("packed"), 33).cast("double") / 1e6)
+            .as("best_cos"),
+          coalesce(shiftright(col("packed"), 33) >= 400000L, lit(false))
+            .as("is_semdup"))
+        .orderBy("vec_id")
+    }),
+  )
+
   // ------------------------------------------------------------- oracles
 
   /** Ground-truth connected components via recursive transitive closure
@@ -1013,5 +1140,77 @@ object AnnOps {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id
         |  ORDER BY s.cos_sim DESC, s.nid ASC) = 1
         |ORDER BY n.vec_id""".stripMargin,
+
+    // Full SQL twin of the SemDeDup pipeline: the hash-bucket seed means
+    // in exact HUGEINT micro-unit arithmetic (identical half-up-at-6dp
+    // rounding to the Scala BigInt path), float32-cast centroids, the
+    // same 6dp-rounded argmax assignment, and the same within-cell
+    // best-smaller-mate selection.
+    "q_semdedup" ->
+      """WITH ce AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+        |           AS nrm
+        |  FROM ce GROUP BY vec_id),
+        |live AS (SELECT vec_id FROM norms WHERE nrm > 0),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 8 AS b
+        |  FROM live),
+        |x6 AS (
+        |  SELECT c.vec_id, c.i,
+        |         CAST(round(CAST(c.v AS DOUBLE), 6) AS DECIMAL(12,6)) AS x6
+        |  FROM ce c JOIN live USING (vec_id)),
+        |sums AS (
+        |  SELECT b, i, CAST(SUM(x6) * 1000000 AS HUGEINT) AS sm,
+        |         COUNT(*) AS n
+        |  FROM x6 JOIN bkt USING (vec_id) GROUP BY b, i),
+        |cent AS (
+        |  SELECT b, i,
+        |    CAST(CAST(CASE WHEN sm >= 0 THEN (2*sm + n) // (2*n)
+        |                   ELSE -((2*(-sm) + n) // (2*n)) END AS DOUBLE)
+        |         / 1000000.0 AS REAL) AS cvf
+        |  FROM sums),
+        |cn AS (
+        |  SELECT b, sqrt(SUM(CAST(cvf AS DOUBLE) * CAST(cvf AS DOUBLE)))
+        |           AS cnrm
+        |  FROM cent GROUP BY b),
+        |dots AS (
+        |  SELECT c.vec_id, ct.b AS cell,
+        |         SUM(CAST(c.v AS DOUBLE) * CAST(ct.cvf AS DOUBLE)) AS dot
+        |  FROM ce c JOIN live USING (vec_id) JOIN cent ct ON ct.i = c.i
+        |  GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT d.vec_id, d.cell
+        |  FROM (SELECT d0.vec_id, d0.cell,
+        |          ROW_NUMBER() OVER (PARTITION BY d0.vec_id
+        |            ORDER BY round(d0.dot / cn.cnrm, 6) DESC, d0.cell ASC)
+        |            AS rn
+        |        FROM dots d0 JOIN cn ON cn.b = d0.cell) d
+        |  WHERE d.rn = 1),
+        |pd AS (
+        |  SELECT a.vec_id AS vid, b.vec_id AS mid,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+        |  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id > b.vec_id
+        |  JOIN assign ca ON ca.vec_id = a.vec_id
+        |  JOIN assign cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.vid, p.mid,
+        |         round(p.dot / (na.nrm * nb.nrm), 6) AS cos6
+        |  FROM pd p
+        |  JOIN norms na ON na.vec_id = p.vid
+        |  JOIN norms nb ON nb.vec_id = p.mid)
+        |SELECT ca.vec_id, ca.cell, s.mid AS best_mate_id,
+        |       s.cos6 AS best_cos,
+        |       COALESCE(s.cos6 >= 0.4, FALSE) AS is_semdup
+        |FROM assign ca LEFT JOIN scored s ON s.vid = ca.vec_id
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY ca.vec_id
+        |  ORDER BY s.cos6 DESC, s.mid ASC) = 1
+        |ORDER BY ca.vec_id""".stripMargin,
   )
 }

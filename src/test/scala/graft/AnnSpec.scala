@@ -224,4 +224,43 @@ class AnnSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("q_semdedup: cluster containment, canonical-minimum, threshold contract") {
+    val rows = SparkEntry.queries("q_semdedup")(spark, sf).collect()
+    val nLive = graft.Tables(spark, sf, "embeddings").count()
+    assert(rows.length == nLive, "one verdict row per (nonzero) vector")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val (vid, mate) = (r.getLong(0), r.getLong(2))
+        // the best mate is a SMALLER id in the SAME cluster — the
+        // candidate canonical this vector would defer to
+        assert(mate < vid, s"mate $mate !< $vid")
+        assert(cellOf(mate) == r.getLong(1),
+          s"mate $mate of $vid crossed clusters")
+        // threshold contract: flagged iff best cosine >= 0.4
+        assert(r.getBoolean(4) == (r.getDouble(3) >= 0.4))
+      } else assert(!r.getBoolean(4), "dup verdict without a mate")
+    }
+    // each cluster's minimum id has no smaller mate — never flagged
+    val minPerCell = rows.groupBy(_.getLong(1))
+      .map { case (_, rs) => rs.map(_.getLong(0)).min }.toSet
+    rows.filter(r => minPerCell(r.getLong(0)))
+      .foreach(r => assert(r.isNullAt(2) && !r.getBoolean(4)))
+    // deterministic across runs (6dp-rounded argmaxes, derived buckets)
+    val again = SparkEntry.queries("q_semdedup")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q_semdedup plan: pair search joins on the cluster key only") {
+    // the SemDeDup contract: candidate pairs come from a cell equi-join
+    // (K independent within-cluster searches), never a corpus cross join
+    val plan = SparkEntry.queries("q_semdedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in plan:\n$plan")
+    assert(plan.contains("cell"), s"cell key missing from plan:\n$plan")
+  }
 }
