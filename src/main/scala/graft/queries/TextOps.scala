@@ -158,6 +158,73 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Interpolated bigram LM scoring (round 7) — the CCNet/KenLM-class
+    // quality signal one rung above q_unigram_logprob: per-doc average
+    // negative log-likelihood under a corpus-trained bigram model with
+    // unigram interpolation, p(w2|w1) = 0.7 c(w1,w2)/c(w1) + 0.3 c(w2)/N.
+    // High avg_nll = text the corpus's own language model finds
+    // surprising (boilerplate-free gibberish, OCR noise); low = rote
+    // repetition — the standard perplexity-window filter.
+    //
+    // Determinism: the probability is pure IEEE double arithmetic in the
+    // SAME expression shape on both engines (integer-ratio divisions,
+    // two multiplies, one add — each correctly-rounded, no sum-order
+    // freedom), and the one libm call (ln) pre-rounds at 12dp into exact
+    // decimal before the per-doc sum — q_unigram_logprob's hardened
+    // recipe, validated hash-identical at both scales.
+    //
+    // Scale shape: adjacency comes from a per-DOC window (group size =
+    // doc length, BOUNDED by construction — not the per-corpus-key class
+    // the r06 verdict killed); the model tables are two-phase aggs and
+    // the scoring joins key on (w1,w2)/w1/w2 — shuffles carry the bigram
+    // stream, nothing collects, the 1-row total broadcasts. At 100 TB
+    // the unigram/bigram model tables are vocabulary-sized; AQE
+    // broadcasts them when they fit, hash-joins otherwise.
+    "q_perplexity_bigram" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val big = toks
+        .withColumn("w1", lag("w", 1)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w1").isNotNull)
+        .select(col("doc_id"), col("w1"), col("w").as("w2"))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = toks.groupBy("w").agg(count(lit(1)).as("n1"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      // Terms ride as exact integer PICO-units (k = term * 1e12, a
+      // long: the 12dp decimal is integral there), and BOTH roundings —
+      // total at 6dp, the per-bigram average at 6dp — are half-up
+      // integer arithmetic: floor((2S + m) / 2m). The first cut rounded
+      // the double quotient total/n instead, and the sf0.1 gate caught
+      // 2/5000 cells sitting on a .5e-6 boundary where Spark (decimal
+      // repr, half-up) and DuckDB (binary value) disagree — the exact
+      // class the round-6 embedding-projection fix documents. (Terms
+      // are nonnegative — p <= 1 by construction — so the unsigned
+      // formula is safe.)
+      big.join(c2, Seq("w1", "w2"))
+        .join(c1.select(col("w").as("w1"), col("n1").as("n1w1")), "w1")
+        .join(c1.select(col("w").as("w2"), col("n1").as("n1w2")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (round(-log(lit(0.7)
+              * (col("n2").cast("double") / col("n1w1"))
+            + lit(0.3)
+              * (col("n1w2").cast("double") / col("n_total"))), 12)
+            .cast("decimal(20,12)")
+            * lit(1000000000000L).cast("decimal(13,0)"))
+            .cast("long").as("t12"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("t12")).as("s12"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (expr("(2*s12 + 1000000) div 2000000").cast("double") / 1e6)
+            .as("total_nll"),
+          (expr("(2*s12 + n_bigrams*1000000) div (2*n_bigrams*1000000)")
+            .cast("double") / 1e6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // phi-frequent heavy hitters (round 5): every token whose share of
     // total occurrences is >= 1%, with document frequency — the skew
     // diagnosis a curation pipeline runs before choosing stop-shingle
@@ -382,6 +449,45 @@ object TextOps {
         |  FROM terms GROUP BY doc_id)
         |SELECT doc_id, n_tok, total_surprise,
         |  round(total_surprise / n_tok, 6) AS avg_surprise
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Same expression shapes as the Spark side everywhere a double is
+    // produced: integer-ratio divisions, 0.7/0.3 interpolation, ln
+    // pre-rounded at 12dp into exact decimal before the per-doc sum.
+    "q_perplexity_bigram" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+        |         generate_subscripts(string_split(lower(text), ' '), 1)
+        |           AS pos
+        |  FROM documents),
+        |toks AS (SELECT * FROM t0 WHERE w <> ''),
+        |big AS (
+        |  SELECT doc_id,
+        |         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |         w AS w2
+        |  FROM toks QUALIFY w1 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w, count(*) AS n1 FROM toks GROUP BY w),
+        |t AS (SELECT count(*) AS n_total FROM toks),
+        |terms AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln(0.7 * (CAST(c2.n2 AS DOUBLE) / ca.n1)
+        |                 + 0.3 * (CAST(cb.n1 AS DOUBLE) / t.n_total)), 12)
+        |         AS DECIMAL(20,12)) AS term
+        |  FROM big b
+        |  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |  JOIN c1 ca ON ca.w = b.w1
+        |  JOIN c1 cb ON cb.w = b.w2
+        |  CROSS JOIN t),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    SUM(CAST(term * 1000000000000 AS HUGEINT)) AS s12
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST((2*s12 + 1000000) // 2000000 AS DOUBLE) / 1e6
+        |    AS total_nll,
+        |  CAST((2*s12 + n_bigrams*1000000) // (2*n_bigrams*1000000)
+        |       AS DOUBLE) / 1e6 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_heavy_hitters" ->

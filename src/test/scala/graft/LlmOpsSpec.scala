@@ -249,4 +249,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"512-row projection matrix must broadcast:\n$plan")
   }
+
+  test("q_perplexity_bigram: adjacency, positivity, unigram consistency") {
+    val rows = SparkEntry.queries("q_perplexity_bigram")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.nonEmpty)
+    // cross-operator exactness: a doc's bigram count is its token count
+    // minus one (both operators tokenize identically)
+    val nTok = SparkEntry.queries("q_unigram_logprob")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nTok.filter(_._2 >= 2).foreach { case (doc, n) =>
+      assert(rows(doc)._1 == n - 1,
+        s"doc $doc: ${rows(doc)._1} bigrams from $n tokens")
+    }
+    rows.values.foreach { case (n, total, avg) =>
+      // p(w2|w1) <= 1 by construction, so every nll term is nonnegative
+      assert(n > 0 && total >= 0.0 && avg >= 0.0)
+      // the 6dp-rounded average tracks total/n to rounding tolerance
+      assert(math.abs(avg - total / n) <= 1e-5 + total * 1e-9,
+        s"avg $avg vs total/n ${total / n}")
+    }
+    // deterministic: the model and the scores are pure corpus functions
+    val again = SparkEntry.queries("q_perplexity_bigram")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(again == SparkEntry.queries("q_perplexity_bigram")(spark, sf)
+      .collect().map(_.toString).toSeq)
+  }
 }
