@@ -857,12 +857,16 @@ object AnnOps {
     * raising K or sub-splitting on h60(vec_id) mod s within the cell
     * (the q_join_salted shape) — at K ~ n/1000 each cell's join fits a
     * single executor's hash table. */
-  private val semQ: Map[String, Q] = Map(
-    "q_semdedup" -> ((s, d) => {
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Shared by q_semdedup and q_knn_classify: the corpus with its
+    * hash-seeded Lloyd cell assignment — (vec_id, cell, embedding, nrm).
+    * See q_semdedup's Scaladoc for the full determinism contract; the
+    * SQL twin of this helper is `semAssignCtes`. */
+  private def semAssigned(s: SparkSession, d: String): DataFrame = {
       import graft.functions.DotProduct
-      val h60 = (c: Column) =>
-        conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long")
       // live corpus with norms precomputed once (zero-norm rows carry no
       // direction — dropped on both engines, q_dedup_embedding's guard)
       def emb = Tables(s, d, "embeddings")
@@ -913,10 +917,15 @@ object AnnOps {
             typedLit[Seq[Float]](centF(b))) / lit(cnrm(b)), 6).as("sc"),
           lit(-b).as("nb"))
       }
-      val assigned = emb
-        .withColumn("best", array_max(array(scored: _*)))
+      emb.withColumn("best", array_max(array(scored: _*)))
         .select(col("vec_id"), (-col("best.nb")).as("cell"),
           col("embedding"), col("nrm"))
+  }
+
+  private val semQ: Map[String, Q] = Map(
+    "q_semdedup" -> ((s, d) => {
+      import graft.functions.DotProduct
+      val assigned = semAssigned(s, d)
       // within-cell best smaller-id mate via the packed-long max
       val M = 1L << 33
       val mates = assigned.select(col("vec_id").as("mid"), col("cell"),
@@ -938,6 +947,61 @@ object AnnOps {
             .as("best_cos"),
           coalesce(shiftright(col("packed"), 33) >= 400000L, lit(false))
             .as("is_semdup"))
+        .orderBy("vec_id")
+    }),
+
+    // Embedding-space label classification (round 7) — the
+    // classify-then-filter curation stage (a trained quality/domain
+    // classifier scores every document; low scorers drop): here the
+    // classifier is k-NN over the labeled `embeddings` fixture with the
+    // q_train_val_split hash split (h60(vec_id) mod 100: < 90 train,
+    // >= 90 held-out test), majority vote of the top-5 cosine
+    // neighbors. The search reuses q_semdedup's cell partition, so
+    // candidate generation is a cell equi-join of the 10% test slice
+    // against same-cell train rows — never test x corpus. Ties are
+    // fully pinned: neighbor rank (6dp cosine desc, train id asc), vote
+    // (count desc, label asc). A test vector whose cell holds no train
+    // rows keeps a NULL prediction (correct = false) — both engines
+    // agree by the same left join.
+    //
+    // At 100 TB the same shape holds: the labeled train set is the
+    // SMALL side (human/model labels are expensive), pre-assigned and
+    // persisted like the minhash index; each scoring pass pays one
+    // cell-keyed join of the new slice. AnnSpec pins split
+    // disjointness, the vote arithmetic, and the equi-join-only plan.
+    "q_knn_classify" -> ((s, d) => {
+      import graft.functions.DotProduct
+      val assigned = semAssigned(s, d)
+        .join(Tables(s, d, "embeddings").select("vec_id", "label"),
+          "vec_id")
+      val isTest = pmod(h60(col("vec_id")), lit(100)) >= 90
+      val train = assigned.filter(!isTest)
+        .select(col("vec_id").as("tid"), col("cell"),
+          col("embedding").as("temb"), col("nrm").as("tnrm"),
+          col("label").as("tlabel"))
+      val test = assigned.filter(isTest)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos6").desc, col("tid").asc)
+      val knn = test.join(train, "cell")
+        .select(col("vec_id"), col("tlabel"),
+          round(DotProduct(s, col("embedding"), col("temb"))
+            / (col("nrm") * col("tnrm")), 6).as("cos6"), col("tid"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      val wv = Window.partitionBy("vec_id")
+        .orderBy(col("n_votes").desc, col("tlabel").asc)
+      val pred = knn.groupBy("vec_id", "tlabel")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("vec_id"), col("tlabel").as("pred_label"),
+          col("n_votes"))
+      test.select(col("vec_id"), col("label").as("true_label"))
+        .join(pred, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("true_label"), col("pred_label"),
+          col("n_votes"),
+          coalesce(col("pred_label") === col("true_label"), lit(false))
+            .as("correct"))
         .orderBy("vec_id")
     }),
   )
@@ -978,6 +1042,57 @@ object AnnOps {
       |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
       |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
       |        FROM reach GROUP BY id)""".stripMargin
+
+  /** SQL twin of `semAssigned` — the shared cell-assignment CTE chain
+    * (ce/norms/live through assign), embedded by the q_semdedup and
+    * q_knn_classify oracles like `clusterCtes` is for the cluster
+    * family. */
+  private val semAssignCtes =
+    """ce AS (
+      |  SELECT vec_id, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+      |           AS nrm
+      |  FROM ce GROUP BY vec_id),
+      |live AS (SELECT vec_id FROM norms WHERE nrm > 0),
+      |bkt AS (
+      |  SELECT vec_id,
+      |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+      |         AS BIGINT) % 8 AS b
+      |  FROM live),
+      |x6 AS (
+      |  SELECT c.vec_id, c.i,
+      |         CAST(round(CAST(c.v AS DOUBLE), 6) AS DECIMAL(12,6)) AS x6
+      |  FROM ce c JOIN live USING (vec_id)),
+      |sums AS (
+      |  SELECT b, i, CAST(SUM(x6) * 1000000 AS HUGEINT) AS sm,
+      |         COUNT(*) AS n
+      |  FROM x6 JOIN bkt USING (vec_id) GROUP BY b, i),
+      |cent AS (
+      |  SELECT b, i,
+      |    CAST(CAST(CASE WHEN sm >= 0 THEN (2*sm + n) // (2*n)
+      |                   ELSE -((2*(-sm) + n) // (2*n)) END AS DOUBLE)
+      |         / 1000000.0 AS REAL) AS cvf
+      |  FROM sums),
+      |cn AS (
+      |  SELECT b, sqrt(SUM(CAST(cvf AS DOUBLE) * CAST(cvf AS DOUBLE)))
+      |           AS cnrm
+      |  FROM cent GROUP BY b),
+      |dots AS (
+      |  SELECT c.vec_id, ct.b AS cell,
+      |         SUM(CAST(c.v AS DOUBLE) * CAST(ct.cvf AS DOUBLE)) AS dot
+      |  FROM ce c JOIN live USING (vec_id) JOIN cent ct ON ct.i = c.i
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT d.vec_id, d.cell
+      |  FROM (SELECT d0.vec_id, d0.cell,
+      |          ROW_NUMBER() OVER (PARTITION BY d0.vec_id
+      |            ORDER BY round(d0.dot / cn.cnrm, 6) DESC, d0.cell ASC)
+      |            AS rn
+      |        FROM dots d0 JOIN cn ON cn.b = d0.cell) d
+      |  WHERE d.rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Shares the exact ground truth: LSH recall at the fixture's J-margin
@@ -1147,51 +1262,7 @@ object AnnOps {
     // same 6dp-rounded argmax assignment, and the same within-cell
     // best-smaller-mate selection.
     "q_semdedup" ->
-      """WITH ce AS (
-        |  SELECT vec_id, unnest(embedding) AS v,
-        |         generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |norms AS (
-        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
-        |           AS nrm
-        |  FROM ce GROUP BY vec_id),
-        |live AS (SELECT vec_id FROM norms WHERE nrm > 0),
-        |bkt AS (
-        |  SELECT vec_id,
-        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
-        |         AS BIGINT) % 8 AS b
-        |  FROM live),
-        |x6 AS (
-        |  SELECT c.vec_id, c.i,
-        |         CAST(round(CAST(c.v AS DOUBLE), 6) AS DECIMAL(12,6)) AS x6
-        |  FROM ce c JOIN live USING (vec_id)),
-        |sums AS (
-        |  SELECT b, i, CAST(SUM(x6) * 1000000 AS HUGEINT) AS sm,
-        |         COUNT(*) AS n
-        |  FROM x6 JOIN bkt USING (vec_id) GROUP BY b, i),
-        |cent AS (
-        |  SELECT b, i,
-        |    CAST(CAST(CASE WHEN sm >= 0 THEN (2*sm + n) // (2*n)
-        |                   ELSE -((2*(-sm) + n) // (2*n)) END AS DOUBLE)
-        |         / 1000000.0 AS REAL) AS cvf
-        |  FROM sums),
-        |cn AS (
-        |  SELECT b, sqrt(SUM(CAST(cvf AS DOUBLE) * CAST(cvf AS DOUBLE)))
-        |           AS cnrm
-        |  FROM cent GROUP BY b),
-        |dots AS (
-        |  SELECT c.vec_id, ct.b AS cell,
-        |         SUM(CAST(c.v AS DOUBLE) * CAST(ct.cvf AS DOUBLE)) AS dot
-        |  FROM ce c JOIN live USING (vec_id) JOIN cent ct ON ct.i = c.i
-        |  GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT d.vec_id, d.cell
-        |  FROM (SELECT d0.vec_id, d0.cell,
-        |          ROW_NUMBER() OVER (PARTITION BY d0.vec_id
-        |            ORDER BY round(d0.dot / cn.cnrm, 6) DESC, d0.cell ASC)
-        |            AS rn
-        |        FROM dots d0 JOIN cn ON cn.b = d0.cell) d
-        |  WHERE d.rn = 1),
+      s"""WITH $semAssignCtes,
         |pd AS (
         |  SELECT a.vec_id AS vid, b.vec_id AS mid,
         |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
@@ -1212,5 +1283,46 @@ object AnnOps {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY ca.vec_id
         |  ORDER BY s.cos6 DESC, s.mid ASC) = 1
         |ORDER BY ca.vec_id""".stripMargin,
+
+    // k-NN classification twin: identical cell assignment, identical
+    // h60-mod-100 split, identical (cos6 desc, id asc) neighbor rank
+    // and (votes desc, label asc) majority tie-break.
+    "q_knn_classify" ->
+      s"""WITH $semAssignCtes,
+        |lbl AS (
+        |  SELECT a.vec_id, a.cell, e.label,
+        |    CAST(('0x' || substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 100 >= 90 AS is_test
+        |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+        |pd AS (
+        |  SELECT t.vec_id, tr.vec_id AS tid, tr.label AS tlabel,
+        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+        |  FROM lbl t
+        |  JOIN lbl tr ON tr.cell = t.cell AND NOT tr.is_test
+        |  JOIN ce a ON a.vec_id = t.vec_id
+        |  JOIN ce b ON b.vec_id = tr.vec_id AND b.i = a.i
+        |  WHERE t.is_test
+        |  GROUP BY 1, 2, 3),
+        |knn AS (
+        |  SELECT p.vec_id, p.tlabel
+        |  FROM (SELECT p0.vec_id, p0.tlabel,
+        |          ROW_NUMBER() OVER (PARTITION BY p0.vec_id
+        |            ORDER BY round(p0.dot / (na.nrm * nb.nrm), 6) DESC,
+        |                     p0.tid ASC) AS rn
+        |        FROM pd p0
+        |        JOIN norms na ON na.vec_id = p0.vec_id
+        |        JOIN norms nb ON nb.vec_id = p0.tid) p
+        |  WHERE p.rn <= 5),
+        |pred AS (
+        |  SELECT vec_id, tlabel AS pred_label,
+        |         CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM knn GROUP BY vec_id, tlabel
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY count(*) DESC, tlabel ASC) = 1)
+        |SELECT t.vec_id, t.label AS true_label, p.pred_label, p.n_votes,
+        |       COALESCE(p.pred_label = t.label, FALSE) AS correct
+        |FROM lbl t LEFT JOIN pred p USING (vec_id)
+        |WHERE t.is_test
+        |ORDER BY t.vec_id""".stripMargin,
   )
 }

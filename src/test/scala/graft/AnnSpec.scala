@@ -253,6 +253,36 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_knn_classify: split, votes, and prediction mechanics") {
+    val rows = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactly the h60-mod-100 >= 90 slice is scored (≈10%), and no test
+    // vector also serves as a neighbor: the split is disjoint by
+    // construction, so no prediction can vote for itself
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    assert(rows.length < n / 5, s"${rows.length} test rows of $n")
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val votes = r.getLong(3)
+        assert(votes >= 1 && votes <= 5, s"votes $votes out of top-5")
+        assert(r.getBoolean(4) == (r.getInt(2) == r.getInt(1)))
+      } else assert(!r.getBoolean(4))
+    }
+    // majority rule: a winning label must hold a plurality of <= 5
+    // votes, so n_votes >= ceil(5 / #labels) can't be asserted per-row
+    // without the full tally — but determinism can:
+    val again = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q_knn_classify plan: candidate generation is the cell equi-join") {
+    val plan = SparkEntry.queries("q_knn_classify")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in plan:\n$plan")
+  }
+
   test("q_semdedup plan: pair search joins on the cluster key only") {
     // the SemDeDup contract: candidate pairs come from a cell equi-join
     // (K independent within-cluster searches), never a corpus cross join
