@@ -225,6 +225,43 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // PMI collocation mining (round 7) — the multi-word-expression /
+    // stop-phrase discovery stage: pointwise mutual information
+    // ln(p(w1,w2) / (p(w1) p(w2))) over corpus-adjacent bigrams with a
+    // min-support floor (n2 >= 5, the standard small-count PMI guard).
+    // High-PMI pairs are collocations ("los angeles"); near-zero pairs
+    // are chance adjacency — the table feeds tokenizer merges and
+    // boilerplate phrase lists. Same tokenization/adjacency as
+    // q_perplexity_bigram; the PMI argument is computed as
+    // (n2/c(w1)) * (N/c(w2)) — divisions FIRST, so the arithmetic
+    // stays in range at any corpus size (count products overflow a
+    // long at ~1e9-token corpora) and the expression shape is
+    // identical on both engines. Post-floor the bigram table is tiny;
+    // the joins key on words, two-phase aggs underneath — scale-sane.
+    "q_pmi_collocations" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .filter(col("w") =!= "")
+      val big = toks
+        .withColumn("w1", lag("w", 1)
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w1").isNotNull)
+        .select(col("w1"), col("w").as("w2"))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        .filter(col("n2") >= 5)
+      val c1 = toks.groupBy("w").agg(count(lit(1)).as("n1"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      c2.join(c1.select(col("w").as("w1"), col("n1").as("n1w1")), "w1")
+        .join(c1.select(col("w").as("w2"), col("n1").as("n1w2")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n2"),
+          round(log((col("n2").cast("double") / col("n1w1"))
+            * (col("n_total").cast("double") / col("n1w2"))), 6)
+            .as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
     // phi-frequent heavy hitters (round 5): every token whose share of
     // total occurrences is >= 1%, with document frequency — the skew
     // diagnosis a curation pipeline runs before choosing stop-shingle
@@ -489,6 +526,30 @@ object TextOps {
         |  CAST((2*s12 + n_bigrams*1000000) // (2*n_bigrams*1000000)
         |       AS DOUBLE) / 1e6 AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_pmi_collocations" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+        |         generate_subscripts(string_split(lower(text), ' '), 1)
+        |           AS pos
+        |  FROM documents),
+        |toks AS (SELECT * FROM t0 WHERE w <> ''),
+        |big AS (
+        |  SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |         w AS w2
+        |  FROM toks QUALIFY w1 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM big
+        |       GROUP BY w1, w2 HAVING count(*) >= 5),
+        |c1 AS (SELECT w, count(*) AS n1 FROM toks GROUP BY w),
+        |t AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT c2.w1, c2.w2, CAST(c2.n2 AS BIGINT) AS n2,
+        |  round(ln((CAST(c2.n2 AS DOUBLE) / ca.n1)
+        |          * (CAST(t.n_total AS DOUBLE) / cb.n1)), 6) AS pmi
+        |FROM c2
+        |JOIN c1 ca ON ca.w = c2.w1
+        |JOIN c1 cb ON cb.w = c2.w2
+        |CROSS JOIN t
+        |ORDER BY c2.w1, c2.w2""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH toks AS (

@@ -276,4 +276,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == SparkEntry.queries("q_perplexity_bigram")(spark, sf)
       .collect().map(_.toString).toSeq)
   }
+
+  test("q_pmi_collocations: support floor, PMI bound, determinism") {
+    val rows = SparkEntry.queries("q_pmi_collocations")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // total corpus tokens, via the already-proven unigram operator
+    val n = SparkEntry.queries("q_unigram_logprob")(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n2, pmi) = (r.getLong(2), r.getDouble(3))
+      assert(n2 >= 5, s"support floor violated: $n2")
+      // pmi = ln(n2 N / (c1 c2)) with c1, c2 >= n2, so pmi <= ln(N/n2)
+      assert(pmi <= math.log(n.toDouble / n2) + 1e-6,
+        s"pmi $pmi above the ln(N/n2) ceiling for n2=$n2")
+    }
+    val again = SparkEntry.queries("q_pmi_collocations")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(rows.map(_.toString).toSeq == again)
+  }
 }
