@@ -236,7 +236,8 @@ object SamplingOps {
       s"""SELECT CASE WHEN ${h60Sql("doc_id")} % 100 < 90 THEN 'train'
          |            WHEN ${h60Sql("doc_id")} % 100 < 95 THEN 'val'
          |            ELSE 'test' END AS split,
-         |       source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+         |       source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents
          |GROUP BY 1, 2
          |ORDER BY split, source""".stripMargin,

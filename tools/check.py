@@ -9,6 +9,7 @@ same sf tables, sorts columns by name, and compares shape + values exactly.
 """
 import sys, json, glob, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 import numpy as np
@@ -50,6 +51,32 @@ def cells_equal(a, b):
     except (TypeError, ValueError):
         pass
     return a == b
+
+def type_family(t):
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    return "other"
+
+def int_family_issues(spark_schema, duck_schema):
+    """Type-strict gate on integer-family columns (round-8, per r07 verdict):
+    the driver's hash gate is type-sensitive, so a Spark BIGINT vs DuckDB
+    HUGEINT/DOUBLE column (e.g. a bare SUM(integer) in the oracle) must FAIL
+    here even though the values match cell-for-cell."""
+    issues = []
+    sm = {f.name: f.type for f in spark_schema}
+    dm = {f.name: f.type for f in duck_schema}
+    for c in sorted(set(sm) & set(dm)):
+        fs, fd = type_family(sm[c]), type_family(dm[c])
+        if "int" in (fs, fd) and fs != fd:
+            issues.append(
+                f"col {c}: integer-family type mismatch spark={sm[c]} "
+                f"duck={dm[c]} (driver hash gate is type-sensitive; "
+                f"CAST the oracle aggregate)")
+    return issues
 
 def compare(name, spark_df, duck_df):
     issues = []
@@ -95,14 +122,17 @@ def main():
             print(f"FAIL {name}: no spark output at {out}/{name}")
             n_bad += 1
             continue
-        spark_df = pq.read_table(files).to_pandas()
+        spark_tbl = pq.read_table(files)
+        spark_df = spark_tbl.to_pandas()
         try:
+            duck_schema = con.sql(sql).arrow().schema
             duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_bad += 1
             continue
-        issues = compare(name, spark_df, duck_df)
+        issues = int_family_issues(spark_tbl.schema, duck_schema)
+        issues += compare(name, spark_df, duck_df)
         if issues:
             print(f"FAIL {name}:")
             for i in issues:
