@@ -47,6 +47,23 @@ trait PqCodecBase { self: QuaternaryExpression =>
     }
   }
   @transient protected lazy val subDim: Int = books(0)(0).length
+
+  /** Cheap per-row geometry guards (round-8 ADVICE): a dimension or
+    * codebook mismatch must surface as a descriptive error naming the
+    * expected m x subDim geometry, not an executor
+    * ArrayIndexOutOfBoundsException (or a silent truncation when the
+    * vector is over-long). O(1) per row. */
+  protected def checkedCell(cell: Int, fn: String): Array[Double] = {
+    if (cell < 0 || cell >= coarse.length) throw new IllegalArgumentException(
+      s"$fn: cell id $cell out of range [0, ${coarse.length}) — wrong " +
+        "coarse centroid table for this coded corpus?")
+    val cent = coarse(cell)
+    if (cent.length != books.length * subDim)
+      throw new IllegalArgumentException(
+        s"$fn: coarse centroid dim ${cent.length} != m*subDim = " +
+          s"${books.length}*$subDim — centroids and codebooks disagree")
+    cent
+  }
 }
 
 /** pq_encode(vec, cell, coarse, books) → array<int> of m codes: per
@@ -76,8 +93,11 @@ case class PqEncode(first: Expression, second: Expression,
 
   override def nullSafeEval(v: Any, cellAny: Any, c3: Any, c4: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
-    val cent = coarse(cellAny.asInstanceOf[Int])
+    val cent = checkedCell(cellAny.asInstanceOf[Int], "pq_encode")
     val m = books.length
+    if (vec.numElements() != m * subDim) throw new IllegalArgumentException(
+      s"pq_encode: vector length ${vec.numElements()} != m*subDim = " +
+        s"$m*$subDim = ${m * subDim}")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -145,12 +165,20 @@ case class PqDecode(first: Expression, second: Expression,
   override def nullSafeEval(codesAny: Any, cellAny: Any, c3: Any,
     c4: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
-    val cent = coarse(cellAny.asInstanceOf[Int])
+    val cent = checkedCell(cellAny.asInstanceOf[Int], "pq_decode")
     val m = books.length
+    if (codes.numElements() != m) throw new IllegalArgumentException(
+      s"pq_decode: ${codes.numElements()} codes for m=$m subspaces — " +
+        "codes were produced by a different codebook geometry")
     val out = new Array[Float](m * subDim)
     var s = 0
     while (s < m) {
-      val w = books(s)(codes.getInt(s))
+      val code = codes.getInt(s)
+      if (code < 0 || code >= books(s).length)
+        throw new IllegalArgumentException(
+          s"pq_decode: code $code out of range [0, ${books(s).length}) " +
+            s"in subspace $s")
+      val w = books(s)(code)
       val base = s * subDim
       var j = 0
       while (j < subDim) {
@@ -170,12 +198,12 @@ case class PqDecode(first: Expression, second: Expression,
 }
 
 object PqCodec {
-  private def register(spark: SparkSession, name: String,
+  private def register(spark: SparkSession, name: String, clazz: Class[_],
     build: Seq[Expression] => Expression): Unit = {
     val ident = FunctionIdentifier(name)
     if (!spark.sessionState.functionRegistry.functionExists(ident)) {
       spark.sessionState.functionRegistry.registerFunction(
-        ident, new ExpressionInfo(classOf[PqEncode].getName, name),
+        ident, new ExpressionInfo(clazz.getName, name),
         (exprs: Seq[Expression]) => {
           if (exprs.length != 4) throw new IllegalArgumentException(
             s"$name requires exactly 4 arguments, got ${exprs.length}")
@@ -186,14 +214,14 @@ object PqCodec {
 
   def encode(spark: SparkSession, vec: Column, cell: Column,
     coarse: Column, books: Column): Column = {
-    register(spark, "pq_encode",
+    register(spark, "pq_encode", classOf[PqEncode],
       e => PqEncode(e.head, e(1), e(2), e(3)))
     call_function("pq_encode", vec, cell, coarse, books)
   }
 
   def decode(spark: SparkSession, codes: Column, cell: Column,
     coarse: Column, books: Column): Column = {
-    register(spark, "pq_decode",
+    register(spark, "pq_decode", classOf[PqDecode],
       e => PqDecode(e.head, e(1), e(2), e(3)))
     call_function("pq_decode", codes, cell, coarse, books)
   }

@@ -31,20 +31,53 @@ import org.apache.spark.sql.functions.col
   */
 object FixtureLayout {
 
-  /** Content-derived cache tag for `tables` under fixture dir `d`. */
+  /** Content-derived cache tag for `tables` under fixture dir `d`.
+    *
+    * Round-8 ADVICE hardening, two closed holes:
+    *   - a named table that does not exist on disk now FAILS FAST instead
+    *     of silently contributing nothing (which yielded a stable
+    *     path-only tag that would keep serving whatever was cached);
+    *   - besides (name, size, mtime), the digest samples the first and
+    *     last 4 KiB of each leaf file, so an in-place regeneration that
+    *     preserves size within the filesystem's mtime granularity still
+    *     changes the tag (parquet footers carry row-group stats — any
+    *     data change perturbs the tail sample).
+    * Sampling keeps tagging O(files), not O(bytes): at 100 TB the
+    * analogue is a catalog snapshot id, not a full-content hash. */
   def contentTag(d: String, tables: Seq[String]): String = {
     val md = MessageDigest.getInstance("MD5")
     md.update(d.getBytes("UTF-8"))
     tables.foreach { t =>
       val f = new File(s"$d/$t.parquet")
+      if (!f.exists()) throw new IllegalArgumentException(
+        s"FixtureLayout.contentTag: fixture table '$t' not found at " +
+          s"${f.getAbsolutePath}")
       val leaves: Seq[File] =
         if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
       leaves.filter(_.isFile).foreach { p =>
         md.update(s"${p.getName}:${p.length}:${p.lastModified}"
           .getBytes("UTF-8"))
+        md.update(edgeSample(p))
       }
     }
     md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** First + last 4 KiB of a file (whole file when smaller than 8 KiB). */
+  private def edgeSample(p: File): Array[Byte] = {
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      val n = raf.length()
+      val head = new Array[Byte](math.min(4096L, n).toInt)
+      raf.readFully(head)
+      if (n <= 8192L) head
+      else {
+        val tail = new Array[Byte](4096)
+        raf.seek(n - 4096L)
+        raf.readFully(tail)
+        head ++ tail
+      }
+    } finally raf.close()
   }
 
   private def deleteRec(f: File): Unit = {

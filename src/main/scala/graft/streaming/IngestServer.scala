@@ -156,15 +156,38 @@ final class IngestServer(bindAddr: String, landingDir: String,
   // R14, faithful path: the reference mounts pprof at /debug/pprof
   // (server.go:60-64). CPU profile = stack sampling in collapsed-stack
   // form; goroutine dump = JVM thread dump. See Profiler for contract.
+  //
+  // Round-8 ADVICE hardening: these endpoints enforce the SAME sharedKey
+  // gate as ingest (a full-JVM stack sampler and thread dumps are more
+  // sensitive than an upload path, not less), and the profiler takes a
+  // single-permit semaphore — a 30s x 250Hz sampler is a CPU
+  // amplification primitive if N can run concurrently, so the second
+  // concurrent caller gets 429 instead of a thread.
+  private def pprofAuthorized(ex: HttpExchange): Boolean = {
+    val key = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").collectFirst {
+        case kv if kv.startsWith("sharedKey=") =>
+          kv.substring("sharedKey=".length)
+      }.getOrElse("")
+    sharedKeys.isEmpty || sharedKeys.contains(key)
+  }
+  private val profilePermit = new java.util.concurrent.Semaphore(1)
   server.createContext("/debug/pprof/profile", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
         if (ex.getRequestMethod != "GET") reply(ex, 405, "GET only")
-        else {
-          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-          val secs = Profiler.intParam(q, "seconds", 2)
-          val hz = Profiler.intParam(q, "hz", 100)
-          reply(ex, 200, Profiler.collapsedCpuProfile(secs, hz))
+        else if (!pprofAuthorized(ex)) {
+          rejected.incrementAndGet()
+          reply(ex, 401, "invalid sharedKey")
+        } else if (!profilePermit.tryAcquire()) {
+          reply(ex, 429, "a profile is already running")
+        } else {
+          try {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val secs = Profiler.intParam(q, "seconds", 2)
+            val hz = Profiler.intParam(q, "hz", 100)
+            reply(ex, 200, Profiler.collapsedCpuProfile(secs, hz))
+          } finally profilePermit.release()
         }
       } catch {
         case e: Exception => reply(ex, 500, s"profile failure: ${e.getMessage}")
@@ -174,7 +197,10 @@ final class IngestServer(bindAddr: String, landingDir: String,
     override def handle(ex: HttpExchange): Unit =
       try {
         if (ex.getRequestMethod != "GET") reply(ex, 405, "GET only")
-        else reply(ex, 200, Profiler.threadDump())
+        else if (!pprofAuthorized(ex)) {
+          rejected.incrementAndGet()
+          reply(ex, 401, "invalid sharedKey")
+        } else reply(ex, 200, Profiler.threadDump())
       } catch {
         case e: Exception => reply(ex, 500, s"dump failure: ${e.getMessage}")
       } finally ex.close()

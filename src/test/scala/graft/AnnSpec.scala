@@ -91,6 +91,54 @@ class AnnSpec extends AnyFunSuite {
       c.forall(k => k >= 0 && k < AnnOps.pqKs)))
   }
 
+  test("PQ codec: geometry mismatches fail with descriptive errors, not AIOOBE") {
+    // Round-8 ADVICE: a wrong-dimension vector / foreign cell id / alien
+    // code must name the expected m x subDim geometry instead of
+    // surfacing as an executor ArrayIndexOutOfBoundsException (or worse,
+    // silently truncating an over-long vector).
+    import org.apache.spark.sql.functions._
+    val books = AnnOps.trainPqBooks(spark, sf, 0)
+    val coarse = AnnOps.trainCentroids(spark, sf, 0)
+    val dim = coarse.head.length
+    def messages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    def encodeOf(vec: Seq[Float], cell: Int): Unit = {
+      import spark.implicits._
+      Seq(vec).toDF("v")
+        .select(graft.functions.PqCodec.encode(spark, col("v"), lit(cell),
+          typedLit[Seq[Seq[Double]]](coarse),
+          typedLit[Seq[Seq[Seq[Double]]]](books)))
+        .collect(); ()
+    }
+    val short = intercept[Exception](encodeOf(Seq.fill(dim - 1)(0.1f), 0))
+    assert(messages(short).contains("m*subDim"),
+      s"short vector must name the geometry: ${messages(short).take(300)}")
+    val over = intercept[Exception](encodeOf(Seq.fill(dim + 3)(0.1f), 0))
+    assert(messages(over).contains("m*subDim"),
+      "over-long vector must error, not silently truncate")
+    val badCell = intercept[Exception](encodeOf(Seq.fill(dim)(0.1f), 9999))
+    assert(messages(badCell).contains("out of range"),
+      s"foreign cell id must be named: ${messages(badCell).take(300)}")
+    // decode: wrong code count and out-of-range code
+    def decodeOf(codes: Seq[Int]): Unit = {
+      import spark.implicits._
+      Seq(codes).toDF("c")
+        .select(graft.functions.PqCodec.decode(spark, col("c"), lit(0),
+          typedLit[Seq[Seq[Double]]](coarse),
+          typedLit[Seq[Seq[Seq[Double]]]](books)))
+        .collect(); ()
+    }
+    val fewCodes = intercept[Exception](decodeOf(Seq(0)))
+    assert(messages(fewCodes).contains("subspaces"))
+    val alienCode = intercept[Exception](
+      decodeOf(Seq.fill(AnnOps.pqM)(AnnOps.pqKs + 7)))
+    assert(messages(alienCode).contains("out of range"))
+  }
+
   test("q_ann_ivfpq at shipped settings: deterministic, high shortlist recall") {
     // vs exact search over the SAME visited cells: any difference is the
     // ADC shortlist alone, so this isolates what PQ compression costs

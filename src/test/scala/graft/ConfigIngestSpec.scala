@@ -277,6 +277,38 @@ class ConfigIngestSpec extends AnyFunSuite {
     } finally { stop.set(true); srv.close() }
   }
 
+  test("pprof endpoints enforce the sharedKey gate and a single profile permit") {
+    // Round-8 ADVICE: profiling is MORE sensitive than ingest, so the
+    // same auth gate applies, and concurrent profile runs are capped at
+    // one (a 30s x 250Hz sampler is a CPU amplification primitive).
+    val srv = new IngestServer(":0", tmp("pprof-auth"), Set("k1"))
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.port}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      val before = srv.rejectedCount
+      assert(get("/debug/pprof/goroutine").statusCode() == 401)
+      assert(get("/debug/pprof/profile?seconds=1").statusCode() == 401)
+      assert(get("/debug/pprof/profile?seconds=1&sharedKey=wrong").statusCode() == 401)
+      assert(srv.rejectedCount == before + 3,
+        "unauthenticated pprof hits must count as rejections")
+      assert(get("/debug/pprof/goroutine?sharedKey=k1").statusCode() == 200)
+
+      // single permit: while one profile samples, a second gets 429 and
+      // the first still completes
+      val inflight = java.util.concurrent.CompletableFuture.supplyAsync(
+        () => get("/debug/pprof/profile?seconds=2&hz=20&sharedKey=k1"))
+      Thread.sleep(400) // first profile is now mid-sample
+      assert(get("/debug/pprof/profile?seconds=1&sharedKey=k1").statusCode() == 429)
+      assert(inflight.get().statusCode() == 200)
+      // permit released after completion: a fresh profile succeeds
+      assert(get("/debug/pprof/profile?seconds=1&hz=50&sharedKey=k1").statusCode() == 200)
+    } finally srv.close()
+  }
+
   test("concurrent POSTs land atomically: N complete files, exact counters") {
     val landing = tmp("http-concurrent")
     val srv = new IngestServer(":0", landing, Set("k1"))

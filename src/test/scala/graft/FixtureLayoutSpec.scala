@@ -40,6 +40,46 @@ class FixtureLayoutSpec extends AnyFunSuite {
     } finally deleteRec(dir)
   }
 
+  test("contentTag samples content: same-size same-mtime byte flip changes tag") {
+    // Round-8 ADVICE: (name, size, mtime) alone misses an in-place
+    // regeneration within the filesystem's mtime granularity. The tag now
+    // samples first+last 4KiB, so a byte flip with identical size AND
+    // mtime must still re-address the cache.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tag8").toFile
+    try {
+      val f = new File(dir, "events.parquet")
+      java.nio.file.Files.write(f.toPath, "payload-AAAA".getBytes)
+      assert(f.setLastModified(1000000000000L))
+      val t1 = FixtureLayout.contentTag(dir.getAbsolutePath, Seq("events"))
+      java.nio.file.Files.write(f.toPath, "payload-BBBB".getBytes)
+      assert(f.setLastModified(1000000000000L)) // same size, same mtime
+      val t2 = FixtureLayout.contentTag(dir.getAbsolutePath, Seq("events"))
+      assert(t2 != t1, "byte flip at same size+mtime must change the tag")
+      // a file larger than the 8KiB sample window: flip a TAIL byte
+      // (parquet puts row-group stats in the footer, so real data changes
+      // perturb the tail)
+      val big = ("x" * 20000).getBytes
+      java.nio.file.Files.write(f.toPath, big)
+      assert(f.setLastModified(1000000000000L))
+      val t3 = FixtureLayout.contentTag(dir.getAbsolutePath, Seq("events"))
+      big(big.length - 10) = 'y'
+      java.nio.file.Files.write(f.toPath, big)
+      assert(f.setLastModified(1000000000000L))
+      val t4 = FixtureLayout.contentTag(dir.getAbsolutePath, Seq("events"))
+      assert(t4 != t3, "tail byte flip in a large file must change the tag")
+    } finally deleteRec(dir)
+  }
+
+  test("contentTag fails fast on a missing fixture table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tag9").toFile
+    try {
+      val e = intercept[IllegalArgumentException] {
+        FixtureLayout.contentTag(dir.getAbsolutePath, Seq("no_such_table"))
+      }
+      assert(e.getMessage.contains("no_such_table"))
+    } finally deleteRec(dir)
+  }
+
   test("ensureDir: concurrent publishers all succeed, no staging debris") {
     val base = java.nio.file.Files.createTempDirectory("graft_pub").toFile
     try {
