@@ -416,6 +416,13 @@ object AnnOps {
       ivfPqKnn(s, d, nprobe = 2, shortlist = 64,
         books = trainPqBooks(s, d, iters = 2))),
 
+    // ANN search against the PERSISTED IVF+PQ index (round 8): the new
+    // drop (vec_id % 10 = 3) probes the stored coded corpus; codebooks
+    // are read, never retrained. No oracle (approximate); AnnSpec pins
+    // the brute-force degradation, stored-model stability, and plan shape.
+    "q_ann_search_incremental" -> ((s, d) =>
+      ivfPqSearchStored(s, d, nprobe = 2, shortlist = 64)),
+
     // Sign-LSH (random-hyperplane) embedding near-dup — the 100-TB shape
     // for q_dedup_embedding, which broadcasts the corpus (round-3 verdict
     // #2). Contract: for each vector, its best bucket-mate within Hamming
@@ -583,9 +590,15 @@ object AnnOps {
     * hash-sample (q_sample_hash's shape) — the update agg is the only
     * corpus-sized stage and it map-side combines. */
   def trainCentroids(s: SparkSession, d: String,
+    iters: Int): Seq[Seq[Double]] =
+    trainCentroidsOn(s, Tables(s, d, "embeddings"), iters)
+
+  /** trainCentroids over an arbitrary vector frame — the corpus-side
+    * restriction the persisted-index path needs (train on the existing
+    * corpus only, never the incoming drop). */
+  def trainCentroidsOn(s: SparkSession, emb: DataFrame,
     iters: Int): Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)
-    val emb = Tables(s, d, "embeddings")
     (0 until iters).foreach { _ =>
       // Exact-decimal element sums: each float rounds to the same
       // decimal(30,10) no matter the partition, and decimal addition is
@@ -677,9 +690,14 @@ object AnnOps {
     * codeword keeps its previous value. At 100 TB training runs on a
     * hash-sample; the update agg map-side combines. */
   def trainPqBooks(s: SparkSession, d: String, iters: Int,
+    cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)): Seq[Seq[Seq[Double]]] =
+    trainPqBooksOn(s, Tables(s, d, "embeddings"), iters, cents)
+
+  /** trainPqBooks over an arbitrary vector frame (see trainCentroidsOn). */
+  def trainPqBooksOn(s: SparkSession, embRaw: DataFrame, iters: Int,
     cents: Seq[Seq[Double]] = centroidW.map(_.toSeq)): Seq[Seq[Seq[Double]]] = {
     val coarseLit = typedLit[Seq[Seq[Double]]](cents)
-    val emb = assignCells(s, Tables(s, d, "embeddings"), "embedding", 1, cents)
+    val emb = assignCells(s, embRaw, "embedding", 1, cents)
     // Seed each codeword ON a data point (the standard Lloyd init):
     // hash-range seeds sit far from the residual distribution, so
     // assignment collapses onto the few nearest seeds and unused
@@ -813,6 +831,113 @@ object AnnOps {
     // tiny end product (probes x 5 rows): materialize it and release the
     // index cache instead of leaking it into the session
     materializeAndFree(out, index)
+  }
+
+  // ------------------------------ persisted IVF-PQ index (round 8)
+
+  /** The new-drop predicate, mirroring q_dedup_incremental's contract on
+    * the document side: ~10% of vectors are the incoming drop; the
+    * persisted index covers the other 90%. */
+  private def annIsNew = col("vec_id") % 10 === 3
+
+  /** Build-once content-addressed IVF+PQ MODEL (coarse centroids +
+    * residual codebooks), trained ONLY on the existing corpus and
+    * published atomically via FixtureLayout (regenerated fixture ⇒ new
+    * tag ⇒ fresh model; concurrent creators race safely). Every later
+    * session/drop LOADS the model — O(cells x dim + m x ks x subDim)
+    * rows, 1.5k doubles here — and retrains NOTHING. Returns
+    * (centroids, books, base path). */
+  private def ensureAnnModel(s: SparkSession,
+    d: String): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], String, String) = {
+    val tag = FixtureLayout.contentTag(d, Seq("embeddings"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_$tag"
+    FixtureLayout.ensureDir(s"$base/model") { staging =>
+      val corpus = Tables(s, d, "embeddings").filter(!annIsNew)
+      val cents = trainCentroidsOn(s, corpus, 2)
+      val books = trainPqBooksOn(s, corpus, 2, cents)
+      import s.implicits._
+      cents.zipWithIndex.flatMap { case (cw, c) =>
+        cw.zipWithIndex.map { case (w, j) => (c, j, w) } }
+        .toDF("cell", "pos", "w")
+        .coalesce(1).write.parquet(s"$staging/centroids")
+      books.zipWithIndex.flatMap { case (bk, sub) =>
+        bk.zipWithIndex.flatMap { case (cw, k) =>
+          cw.zipWithIndex.map { case (w, j) => (sub, k, j, w) } } }
+        .toDF("sub", "code", "pos", "w")
+        .coalesce(1).write.parquet(s"$staging/books")
+    }
+    val cents = s.read.parquet(s"$base/model/centroids").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+    val books = s.read.parquet(s"$base/model/books").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq))
+    (cents, books, base, tag)
+  }
+
+  /** q_ann_search_incremental: ANN search against the STORED index with
+    * zero retraining — the production amortization the per-run-trained
+    * q_ann_ivfpq lacks. First touch of a fixture trains the model on the
+    * corpus side and publishes (1) the model parquet and (2) the coded
+    * corpus (vec_id, cell, codes, vec_norm — m bytes + cell + one float
+    * per vector) as a cell-bucketed table; every subsequent session and
+    * every new probe drop pays only
+    *   O(model) to load centroids+codebooks (1.5k doubles),
+    *   O(drop)  to cell-assign the probes (stateless projection),
+    *   the ADC equi-join against the PRE-BUCKETED coded table (arrives
+    *     hashed on `cell`, no corpus-side exchange),
+    *   exact rerank joining raw vectors for the top-`shortlist` only.
+    * The corpus is re-encoded ZERO times (AnnSpec pins: model files'
+    * mtimes stable across runs, every embeddings scan carries a %-10
+    * drop/corpus filter, coded side served by the stored table). At
+    * 100 TB this is the FAISS-on-a-lake shape: the coded index is the
+    * standard amortized artifact, rebuilt only when the corpus snapshot
+    * changes (content tag), never per query. */
+  def ivfPqSearchStored(s: SparkSession, d: String, nprobe: Int,
+    shortlist: Int): DataFrame = {
+    val (cents, books, base, tag) = ensureAnnModel(s, d)
+    val coarseLit = typedLit[Seq[Seq[Double]]](cents)
+    val booksLit = typedLit[Seq[Seq[Seq[Double]]]](books)
+    val emb = Tables(s, d, "embeddings")
+    val idx = FixtureLayout.ensureBucketedTable(s,
+      s"graft_annidx_${tag}_coded", s"$base/coded", "cell", 8) {
+      assignCells(s, emb.filter(!annIsNew), "embedding", 1, cents)
+        .select(col("vec_id"), col("cell"),
+          graft.functions.PqCodec.encode(s, col("embedding"), col("cell"),
+            coarseLit, booksLit).as("codes"),
+          sqrt(graft.functions.DotProduct(s, col("embedding"),
+            col("embedding"))).as("vec_norm"))
+    }
+    // the incoming drop IS the probe set (bounded here for a stable
+    // fixture result; production passes its whole drop)
+    val probes = assignCells(s,
+      emb.filter(annIsNew && col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe")),
+      "probe", nprobe, cents)
+    val wAdc = Window.partitionBy("probe_id")
+      .orderBy(col("adc_sim").desc, col("vec_id").asc)
+    val short = idx.join(probes, "cell")
+      .select(col("probe_id"), col("vec_id"), col("cell"), col("probe"),
+        (graft.functions.DotProduct(s, col("probe"),
+          graft.functions.PqCodec.decode(s, col("codes"), col("cell"),
+            coarseLit, booksLit)) /
+          (sqrt(graft.functions.DotProduct(s, col("probe"), col("probe"))) *
+            col("vec_norm"))).as("adc_sim"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+    val wExact = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    short
+      .join(emb.filter(!annIsNew).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        round(graft.functions.CosineSim(s, col("embedding"), col("probe")), 6)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= 5)
+      .select("probe_id", "vec_id", "cell", "cos_sim")
+      .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
   }
 
   // ------------------------------------------------------------ SemDeDup
@@ -1198,6 +1323,8 @@ object AnnOps {
         |WHERE list_sum([abs(ba[i+1] - bb[i+1]) for i in range(48)]) <= 3
         |ORDER BY d1, d2""".stripMargin,
     // q_ann_ivf: no oracle (approximate); contract in AnnSpec.
+    // q_ann_search_incremental: no oracle (approximate); AnnSpec pins
+    // brute-force degradation + stored-model stability.
 
     // Full SQL twin of the sign-LSH dedup: identical md5-derived planes,
     // identical left-fold dot (list_reduce is a seedless left fold, the

@@ -167,6 +167,78 @@ class AnnSpec extends AnyFunSuite {
       s"too many hash exchanges ($exchanges) in:\n$plan")
   }
 
+  test("q_ann_search_incremental: full probes + full shortlist equals exact drop-vs-corpus search") {
+    // holds for ANY stored model: with every cell visited and nothing
+    // cut by the ADC shortlist, the exact rerank IS brute force of the
+    // drop probes against the stored corpus
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val full = AnnOps.ivfPqSearchStored(spark, sf,
+      nprobe = AnnOps.numCells, shortlist = Int.MaxValue)
+      .select("probe_id", "vec_id", "cos_sim").collect()
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") % 10 === 3 && col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 3)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val brute = corpus.crossJoin(probes)
+      .select(col("probe_id"), col("vec_id"),
+        round(graft.functions.CosineSim(spark, col("embedding"),
+          col("probe")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("probe_id", "vec_id", "cos_sim")
+      .orderBy(col("probe_id").asc, col("cos_sim").desc, col("vec_id").asc)
+      .collect()
+    assert(full.nonEmpty)
+    assert(full.map(_.toString).toSeq == brute.map(_.toString).toSeq)
+  }
+
+  test("q_ann_search_incremental: stored model is read, never retrained") {
+    // Warm the index, snapshot every persisted file's mtime, run the
+    // search twice more: results identical, not one stored byte touched
+    // — i.e. zero retraining and zero re-encoding on the query path.
+    val r1 = SparkEntry.queries("q_ann_search_incremental")(spark, sf)
+      .collect()
+    assert(r1.nonEmpty)
+    val tag = graft.queries.FixtureLayout.contentTag(sf, Seq("embeddings"))
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_annidx_$tag")
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    assert(before.keys.exists(_.contains("/model/centroids")))
+    assert(before.keys.exists(_.contains("/model/books")))
+    assert(before.keys.exists(_.contains("/coded")))
+    val r2 = SparkEntry.queries("q_ann_search_incremental")(spark, sf)
+      .collect()
+    assert(r2.map(_.toString).toSeq == r1.map(_.toString).toSeq,
+      "stored-index search must be deterministic")
+    assert(snapshot() == before,
+      "a query run must not rewrite any stored index file")
+
+    // plan shape: coded corpus served by the stored bucketed table, and
+    // every raw embeddings scan carries a %-10 drop/corpus filter
+    spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    try {
+      val plan = SparkEntry.queries("q_ann_search_incremental")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft_annidx_"),
+        s"stored coded table missing from the plan:\n$plan")
+      val embScans = plan.linesIterator
+        .filter(_.contains("embeddings.parquet")).toSeq
+      assert(embScans.nonEmpty, "probe side must scan embeddings")
+      embScans.foreach(l => assert(l.contains("% 10)"),
+        s"embeddings scan without a drop/corpus filter (re-encoding?):\n$l"))
+    } finally {
+      spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("minhash candidates achieve full recall on planted near-dups") {
     val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
