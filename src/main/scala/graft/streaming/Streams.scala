@@ -537,6 +537,88 @@ object Streams {
       .dropDuplicatesWithinWatermark(Seq("digest"))
       .select("doc_id", "digest", "lang", "source")
 
+  /** One near-dup flag event from s_neardup_within_watermark: `vec_id`
+    * collided with earlier-arrived `mate_id` (Hamming `hamming` <= 11 over
+    * the 48-bit sign-LSH signature) in band bucket `band`. */
+  case class NearDupFlag(vec_id: Long, band: Int, mate_id: Long,
+    hamming: Int)
+
+  /** s_neardup_within_watermark (round 8): s_dedup_within_watermark
+    * lifted from EXACT content identity to NEAR-duplicate identity — the
+    * at-ingest analogue of q_dedup_embedding_lsh. Each arriving vector is
+    * signed with the SAME 48-bit sign-LSH signature the batch operator
+    * uses (AnnOps.rpSig, so stream and batch agree on what "near" means),
+    * exploded into the same 12 4-bit band buckets, and checked against
+    * per-bucket keyed state of the vectors seen inside the watermark
+    * horizon: any stored mate within Hamming <= rpHamMax emits a
+    * NearDupFlag (best mate per bucket: min Hamming, then min id).
+    * Pigeonhole (AnnOps.rpHamMax = chunks-1) guarantees every such pair
+    * shares a bucket, so the flag stream is a SUPERSET of the batch
+    * LSH-banded verdicts restricted to later arrivals — a vector with no
+    * flags is first-of-its-kind and survives; redelivered copies
+    * (same id or Hamming 0) are flagged and swallowed downstream, and
+    * are NOT re-added to state, so a redelivery storm cannot grow it.
+    *
+    * Scale shape: state is keyed by (band, bucket-value) — 12 x 16
+    * key-groups spread across the cluster, each holding only the horizon's
+    * vectors that hash there, evicted by event-time timeout as the
+    * watermark passes (bounded, RocksDB-spillable exactly like
+    * s_dedup_ids). The per-arrival candidate check is a scan of one
+    * bucket's horizon entries (the streaming mirror of the batch (chunk,
+    * value) equi-join), never vector-vs-corpus. Cross-horizon near-dups
+    * remain the batch pass's job (q_dedup_embedding_lsh / q_semdedup). */
+  def nearDupWithinWatermark(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val chunks = graft.queries.AnnOps.rpChunks
+    val hamMax = graft.queries.AnnOps.rpHamMax
+    val horizonMs = 10L * 60 * 1000
+    val banded = vecs
+      .withColumn("bits", graft.queries.AnnOps.rpSig(s, "embedding"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("vec_id"), col("ts"), col("bits"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("bits"), c * 4).bitwiseAND(15L)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+      .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+    banded.groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDupFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          if (!rows.hasNext) { state.remove(); Iterator.empty } // timeout
+          else {
+            val band = key._1
+            // entries: (vec_id, bits, event-time millis) inside horizon
+            var entries = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupFlag]
+            rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach {
+              case (vid, ts, bits, _, _) =>
+                val mates = entries.filter(e =>
+                  java.lang.Long.bitCount(e._2 ^ bits) <= hamMax)
+                if (mates.nonEmpty) {
+                  val best = mates.minBy(e =>
+                    (java.lang.Long.bitCount(e._2 ^ bits), e._1))
+                  out += NearDupFlag(vid, band, best._1,
+                    java.lang.Long.bitCount(best._2 ^ bits))
+                }
+                // redeliveries (same id + identical signature) never grow
+                // the state
+                if (!entries.exists(e => e._1 == vid && e._2 == bits))
+                  entries = (vid, bits, ts.getTime) :: entries
+            }
+            val wm = state.getCurrentWatermarkMs()
+            entries = entries.filter(_._3 + horizonMs >= wm)
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(entries)
+              state.setTimeoutTimestamp(entries.map(_._3).max + horizonMs)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Schema for document streams (mirrors testdata documents.parquet). */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -649,6 +649,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() < raw, "no duplicates were dropped")
   }
 
+  test("s_neardup_within_watermark: flags contain batch LSH verdicts; redeliveries swallowed") {
+    // Stage the embeddings fixture as a stream: ts = base + vec_id
+    // seconds (arrival order = id order), plus REDELIVERED copies of the
+    // first vectors 60s later.
+    val dir = tmp("emb-neardup")
+    val emb = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    emb.withColumn("ts", expr("timestamp_seconds(1700000000 + vec_id)"))
+      .write.mode("overwrite").parquet(dir)
+    emb.filter(col("vec_id") < 10)
+      .withColumn("ts", expr("timestamp_seconds(1700000060 + vec_id)"))
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    runToMemory(Streams.nearDupWithinWatermark(
+      spark.readStream.schema(schema).parquet(dir)), "t_neardup", "append")
+    val flags = spark.table("t_neardup").collect()
+    assert(flags.nonEmpty)
+    val flagged = flags.map(_.getLong(0)).toSet
+    flags.foreach { r =>
+      assert(r.getInt(3) <= graft.queries.AnnOps.rpHamMax,
+        s"flag beyond the declared Hamming radius: $r")
+    }
+    // batch containment: for every batch near-dup verdict, the LATER
+    // member of the (vec, best-mate) pair must be stream-flagged —
+    // pigeonhole guarantees they share a band bucket, and the earlier
+    // member was in state when the later one arrived
+    val batch = SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf)
+      .collect().filter(r => !r.isNullAt(1) && r.getBoolean(4))
+    assert(batch.nonEmpty, "fixture has no batch near-dup verdicts to pin")
+    batch.foreach { r =>
+      val later = math.max(r.getLong(0), r.getLong(1))
+      assert(flagged.contains(later),
+        s"batch near-dup pair (${r.getLong(0)}, ${r.getLong(1)}): " +
+          s"later member $later not flagged by the stream")
+    }
+    // every redelivered copy is flagged at Hamming 0 (identical
+    // signature) — the downstream keep-if-unflagged filter swallows it
+    val redelivered = emb.filter(col("vec_id") < 10)
+      .collect().map(_.getLong(0)).toSet
+    redelivered.foreach { vid =>
+      assert(flags.exists(r => r.getLong(0) == vid && r.getInt(3) == 0),
+        s"redelivered vector $vid was not flagged as an exact signature dup")
+    }
+    // determinism: a second identical run produces the identical flag set
+    runToMemory(Streams.nearDupWithinWatermark(
+      spark.readStream.schema(schema).parquet(dir)), "t_neardup2", "append")
+    assert(sortedRows(spark.table("t_neardup2")) ==
+      sortedRows(spark.table("t_neardup")))
+  }
+
   // ---------------------------------------------------------- lifecycle
 
   test("s_console_dump: --dumpOnly mode logs instead of publishing") {
