@@ -233,7 +233,141 @@ object LlmOps {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
+
+    // Corpus-trained BPE tokenizer (round 8): real greedy byte-pair
+    // merges replace q_token_count's "BPE-ish regex pieces" stand-in.
+    // Training runs bpeK merge rounds as iterative pair-count aggregates
+    // over the WORD-FREQUENCY table (the q_dedup_cluster fixpoint shape:
+    // each round one two-phase agg + a 1-row argmax collect, vocab
+    // localCheckpoint'ed so the plan never grows); per-doc token counts
+    // under the learned vocab are then one word equi-join — the trained
+    // vocab's symbolization IS the tokenizer output for every corpus
+    // word, so no re-tokenization pass is needed. Deterministic by
+    // construction (exact integer pair counts, argmax tie-broken on the
+    // pair string under binary collation both engines) and fully
+    // SQL-expressible: the oracle replays the identical k rounds as a
+    // generated CTE chain. Scale shape: the corpus is touched exactly
+    // twice (word-count agg, final word join); all k training rounds run
+    // on the O(distinct words) vocab table — at 100 TB that is the
+    // standard wordcount-then-train split, with the argmax collect O(1)
+    // per round, never O(data).
+    "q_bpe_tokenize" -> ((s, d) => {
+      val vocab = bpeVocab(s, d, bpeK)._1
+      val pieces = vocab.select(col("word"),
+        size(split(trim(col("sym")), "  ")).as("n_pieces"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens_ws"),
+          sum("n_pieces").as("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
   )
+
+  // ------------------------------------------------------- BPE training
+
+  /** Merge rounds for q_bpe_tokenize — enough to form real multi-char
+    * pieces on the fixture while keeping the oracle's generated CTE
+    * chain readable. */
+  private[graft] val bpeK = 16
+
+  /** Greedy BPE training over the corpus word-frequency table. Each
+    * word's working symbolization is a STRING: symbols separated by TWO
+    * spaces, one space at each edge (" h  e  y "). Applying merge (a,b)
+    * is then `replace(sym, ' a  b ', ' ab ')` — non-overlapping
+    * left-to-right, exactly greedy BPE application, and consecutive
+    * matches keep the invariant because each match consumes one edge
+    * space of its neighbor's separator. Both engines' `replace` share
+    * these semantics, which is what makes the DuckDB twin exact.
+    * Returns (vocab frame (word, wfreq, sym-after-k-merges), merges in
+    * order). */
+  private[graft] def bpeVocab(s: org.apache.spark.sql.SparkSession,
+    d: String, k: Int): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    var vocab = Tables(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+      .withColumn("sym", concat(lit(" "),
+        concat_ws("  ", expr("filter(split(word, ''), x -> x <> '')")),
+        lit(" ")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[String]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val best = vocab
+        .withColumn("sy", split(trim(col("sym")), "  "))
+        .filter(size(col("sy")) >= 2)
+        .select(col("wfreq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> concat(element_at(sy, i), '  ', element_at(sy, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wfreq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        merges += pair
+        vocab = vocab.withColumn("sym",
+          replace(col("sym"), lit(s" $pair "),
+            lit(" " + pair.replace("  ", "") + " ")))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    (vocab, merges.toSeq)
+  }
+
+  /** The learned merge table alone (for specs / external use). */
+  private[graft] def trainBpeMerges(s: org.apache.spark.sql.SparkSession,
+    d: String, k: Int = bpeK): Seq[String] = bpeVocab(s, d, k)._2
+
+  /** DuckDB twin of q_bpe_tokenize: the IDENTICAL k greedy merge rounds
+    * as a generated CTE chain — pair counts from the double-space
+    * symbolization, argmax tie-broken on the pair string, merge applied
+    * with the same `replace` semantics — then the same per-doc word join. */
+  private def bpeOracle(k: Int): String = {
+    // Every v$r is referenced twice (pair counts + merge application):
+    // without MATERIALIZED the inlined chain re-derives v$r from scratch
+    // on each reference — 2^k documents scans by round k.
+    val rounds = (0 until k).map { r =>
+      s"""p$r AS (
+         |  SELECT unnest([array_to_string(sy[i+1:i+2], '  ')
+         |                 for i in range(len(sy) - 1)]) AS pair, wfreq
+         |  FROM (SELECT wfreq, string_split(trim(sym), '  ') AS sy FROM v$r)),
+         |b$r AS (
+         |  SELECT pair FROM p$r GROUP BY pair
+         |  ORDER BY SUM(wfreq) DESC, pair ASC LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT word, wfreq,
+         |    replace(sym, ' ' || b$r.pair || ' ',
+         |            ' ' || replace(b$r.pair, '  ', '') || ' ') AS sym
+         |  FROM v$r, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT word, COUNT(*) AS wfreq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, wfreq,
+       |    ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym
+       |  FROM w),
+       |$rounds
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_ws,
+       |  CAST(SUM(len(string_split(trim(v.sym), '  '))) AS BIGINT)
+       |    AS n_tokens_bpe
+       |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+       |      FROM documents) d
+       |JOIN v$k v USING (word)
+       |WHERE d.word <> ''
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DuckDB twin of the position-aligned double dot product. */
   private def dotSql(where: String): String =
@@ -242,6 +376,8 @@ object LlmOps {
        |FROM embeddings $where""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_tokenize" -> bpeOracle(bpeK),
+
     "q_embedding_project" ->
       """WITH r AS (
         |  SELECT t1.i, t2.j,

@@ -295,4 +295,41 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(rows.map(_.toString).toSeq == again)
   }
+
+  test("q_bpe_tokenize: merge-order determinism, piece-count invariants") {
+    import graft.queries.LlmOps
+    // two training runs must produce the SAME ordered merge list (exact
+    // integer pair counts, pair-string tie-break — nothing float, nothing
+    // partition-order dependent)
+    val m1 = LlmOps.trainBpeMerges(spark, sf)
+    val m2 = LlmOps.trainBpeMerges(spark, sf)
+    assert(m1 == m2, "two BPE training runs diverged")
+    assert(m1.nonEmpty && m1.size == m1.distinct.size,
+      s"merges must be non-empty and never repeat: $m1")
+    // every merge is two symbols; later merges may build on earlier ones
+    m1.foreach(p => assert(p.split("  ").length == 2, s"malformed pair: $p"))
+
+    val rows = SparkEntry.queries("q_bpe_tokenize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // BPE can only merge within words: whitespace tokens <= bpe pieces
+    // per doc, never inverted
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: ws tokens ${r.getLong(1)} > " +
+          s"bpe pieces ${r.getLong(2)}")
+    }
+    // and the merges actually fired: total pieces strictly below the
+    // zero-merge (per-character) baseline
+    import org.apache.spark.sql.functions._
+    val charBaseline = graft.Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .agg(sum(length(col("word")))).collect()(0).getLong(0)
+    val totalBpe = rows.map(_.getLong(2)).sum
+    assert(totalBpe < charBaseline,
+      s"no merge reduced the corpus: $totalBpe vs char baseline $charBaseline")
+    // determinism of the full operator
+    val again = SparkEntry.queries("q_bpe_tokenize")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
