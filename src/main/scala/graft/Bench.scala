@@ -27,6 +27,8 @@ object Bench {
     // cpus must be known BEFORE the session exists (master URL), so it
     // stays env-only; everything post-session reads GraftConfig (R15).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +79,12 @@ object Bench {
         None
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal (0.1 ms) precision: sub-0.1ms digits are pure noise and
+    // the driver keeps only a bounded stdout tail — a shorter line is a
+    // line that survives intact.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -85,7 +92,20 @@ object Bench {
     // are different statistics — emit which one produced these numbers
     // so cross-round comparisons can never silently mix them.
     val stat = if (iters < 3) "min" else "median"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"stat":"$stat","sf":"$sfDir"}""")
+    // Host-load telemetry (round-7 advice #8): the driver host has smeared
+    // identical binaries by 4-7x between rounds; loadavg at both ends lets
+    // a reader adjudicate "regression vs noisy host" without a judge.
+    val loadEnd = osBean.getSystemLoadAverage
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus,"sf":"$sfDir"}"""
+    // Durable artifact (round-9 ADVICE): BENCH_r09's stdout tail arrived
+    // front-truncated, losing half the timing map. The file is the record;
+    // stdout is a convenience copy.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    // last stdout write of the process, so a bounded tail capture keeps it
+    println(json)
   }
 }

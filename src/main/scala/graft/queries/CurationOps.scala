@@ -429,7 +429,7 @@ object CurationOps {
     "q_export_shards" -> ((s, d) => {
       val n = 16
       val tag = FixtureLayout.contentTag(d, Seq("documents"))
-      val path = FixtureLayout.ensureDir(
+      val dest = FixtureLayout.ensureManifested(
         s"${System.getProperty("java.io.tmpdir")}/graft_src_$tag/documents_shards") {
         staging =>
           Tables(s, d, "documents")
@@ -438,7 +438,11 @@ object CurationOps {
             .repartition(col("shard"))
             .write.partitionBy("shard").parquet(staging)
       }
-      s.read.parquet(path)
+      // Readers trust the manifest, not a directory listing: only files
+      // the commit point published are visible (exactly-once read side).
+      val (vroot, files) = FixtureLayout.manifestedFiles(dest)
+      val data = files.filter(_.endsWith(".parquet"))
+      s.read.option("basePath", vroot).parquet(data: _*)
         // partition-column inference reads shard back as int; the
         // manifest column is long on both engines
         .groupBy(col("shard").cast("long").as("shard"))

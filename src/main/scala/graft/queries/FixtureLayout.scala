@@ -110,6 +110,90 @@ object FixtureLayout {
     dest
   }
 
+  // ── Exactly-once multi-file export (manifest commit) ────────────────
+  //
+  // ensureDir makes a whole DIRECTORY appear atomically, which is enough
+  // for a content-addressed cache but models nothing about a writer that
+  // dies between shard files of a LIVE export target. The manifest
+  // protocol closes that (round-7 advice #7): write every shard under a
+  // fresh version dir, fsync the data files, then atomically swing a
+  // single MANIFEST pointer-file that enumerates (path, size). Readers
+  // resolve files through the manifest ONLY, so a mid-export crash leaves
+  // either no manifest (export invisible) or the previous manifest (old
+  // consistent view) — never a torn mix of old and new shards. This is
+  // the reference's 201-only-after-durable contract (cdc-pubsub
+  // publisher.go:167-175 acks only after PubSub confirms the write)
+  // extended to multi-file output. At 100 TB the analogue is an Iceberg/
+  // Delta snapshot commit: data files first, one atomic metadata swap
+  // last, readers pinned to a snapshot.
+
+  private def listRec(f: File): Seq[File] =
+    if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(listRec)
+    else Seq(f)
+
+  private def fsync(f: File): Unit = {
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
+  }
+
+  /** Publish one export version under `dest` and commit it by atomically
+    * replacing `dest/MANIFEST`. Crash-safe at every prefix: the version
+    * dir is invisible to readers until the manifest swap, which is a
+    * single POSIX rename. Returns `dest`. */
+  def publishManifested(dest: String)(write: String => Unit): String = {
+    val destDir = new File(dest)
+    destDir.mkdirs()
+    val vid = "v-" + java.util.UUID.randomUUID().toString.take(8)
+    val vdir = new File(destDir, vid)
+    write(vdir.getAbsolutePath) // a crash here leaves MANIFEST untouched
+    val files = listRec(vdir).filter(_.isFile)
+    files.foreach(fsync) // durable BEFORE the commit point, like the 201
+    val root = vdir.toPath
+    val body = files.map { f =>
+      s"$vid/${root.relativize(f.toPath)}\t${f.length}"
+    }.mkString("", "\n", "\n")
+    val tmp = new File(destDir, s"MANIFEST.tmp.$vid")
+    Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    fsync(tmp)
+    Files.move(tmp.toPath, new File(destDir, "MANIFEST").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    dest
+  }
+
+  /** Idempotent wrapper: publish only if no manifest is committed yet.
+    * Two racing writers both produce byte-equivalent versions (same
+    * source content, deterministic layout); whichever MANIFEST swap lands
+    * last wins and both are valid. */
+  def ensureManifested(dest: String)(write: String => Unit): String = {
+    if (!new File(dest, "MANIFEST").isFile) publishManifested(dest)(write)
+    dest
+  }
+
+  /** The read side of the contract: resolve the committed file set from
+    * the manifest alone — never by listing the directory, which may hold
+    * uncommitted versions — and fail loudly if a manifested file is
+    * missing or truncated (a reader must not silently read a corrupt
+    * export). Returns (versionRoot, absolute data-file paths). */
+  def manifestedFiles(dest: String): (String, Seq[String]) = {
+    val mf = new File(dest, "MANIFEST")
+    if (!mf.isFile) throw new IllegalStateException(
+      s"no committed manifest at $dest — export was never published " +
+        "(or crashed before its commit point)")
+    val entries = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(rel, len) = l.split("\t"); (rel, len.toLong)
+      }.toSeq
+    entries.foreach { case (rel, len) =>
+      val f = new File(dest, rel)
+      if (!f.isFile || f.length != len) throw new IllegalStateException(
+        s"manifested file $rel (${len}B) missing or truncated at $dest — " +
+          "export integrity violated")
+    }
+    val vid = entries.head._1.takeWhile(_ != '/')
+    (s"$dest/$vid", entries.map { case (rel, _) => s"$dest/$rel" })
+  }
+
   /** Bucketed-table publish: materialize `build` bucketed+sorted on
     * `key` at `path` and register it as `tbl` in this session's catalog.
     * Idempotent and race-safe at every layer: catalog hit → reuse;

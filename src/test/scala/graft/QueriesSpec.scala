@@ -58,7 +58,8 @@ class QueriesSpec extends AnyFunSuite {
       "q_frame_dedup",          // binary decode — planted-dup MultiModalSpec
       "q_audio_dedup",          // binary decode — planted-segment MultiModalSpec
       "q_heavy_hitters_cms",    // count-min sketch — bounds in LlmOpsSpec
-      "q_heavy_hitters_mg")     // Misra-Gries summary — bounds in LlmOpsSpec
+      "q_heavy_hitters_mg",     // Misra-Gries summary — bounds in LlmOpsSpec
+      "q_ann_search_incremental") // approximate ANN over persisted index — AnnSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == noOracleAllowed,
       s"unexpected no-oracle queries: ${actual -- noOracleAllowed}; " +

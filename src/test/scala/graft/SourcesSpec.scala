@@ -107,20 +107,86 @@ class SourcesSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
       Tables(spark, sf, "documents").count())
-    // the published layout: one dir per shard, ONE data file in each —
-    // the keyed pre-write repartition is what prevents the
+    // the published layout: one dir per shard under the COMMITTED version
+    // (resolved via the manifest, like any reader), ONE data file in
+    // each — the keyed pre-write repartition is what prevents the
     // |tasks|x|shards| small-file spray
     val tag = graft.queries.FixtureLayout.contentTag(sf, Seq("documents"))
-    val root = new java.io.File(
+    val (vroot, files) = graft.queries.FixtureLayout.manifestedFiles(
       s"${System.getProperty("java.io.tmpdir")}/graft_src_$tag/documents_shards")
-    val shardDirs = root.listFiles().filter(_.isDirectory)
-      .filter(_.getName.startsWith("shard="))
-    assert(shardDirs.length == 16, s"expected 16 shard dirs in $root")
+    val shardDirs = new java.io.File(vroot).listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 16, s"expected 16 shard dirs in $vroot")
     shardDirs.foreach { sd =>
       val dataFiles = sd.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(dataFiles.length == 1,
         s"${sd.getName}: ${dataFiles.length} data files (want 1)")
     }
+    // every manifested file exists with its recorded size (validated by
+    // manifestedFiles) and every data file read came from the manifest
+    assert(files.forall(_.startsWith(vroot)))
+  }
+
+  test("export manifest commit: a writer crash mid-export is invisible") {
+    import graft.queries.FixtureLayout
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString + "/exp"
+    // first export commits fine: two "shard" files
+    FixtureLayout.publishManifested(dest) { staging =>
+      val d = new java.io.File(staging); d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$staging/a.parquet"), "A1".getBytes)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$staging/b.parquet"), "B1".getBytes)
+    }
+    val (v1, files1) = FixtureLayout.manifestedFiles(dest)
+    assert(files1.size == 2)
+    // second export dies between shard files — BEFORE the commit point
+    intercept[RuntimeException] {
+      FixtureLayout.publishManifested(dest) { staging =>
+        val d = new java.io.File(staging); d.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$staging/a.parquet"), "A2-new".getBytes)
+        throw new RuntimeException("writer killed mid-export")
+      }
+    }
+    // readers still see the OLD consistent view: same version, same
+    // files, the half-written version dir is unreferenced garbage
+    val (v2, files2) = FixtureLayout.manifestedFiles(dest)
+    assert(v2 == v1 && files2 == files1,
+      s"crashed export leaked into the committed view: $v1 -> $v2")
+    // and a successful re-publish swaps the pointer atomically
+    FixtureLayout.publishManifested(dest) { staging =>
+      val d = new java.io.File(staging); d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$staging/a.parquet"), "A3".getBytes)
+    }
+    val (v3, files3) = FixtureLayout.manifestedFiles(dest)
+    assert(v3 != v1 && files3.size == 1)
+  }
+
+  test("export manifest read side fails loudly on truncated files") {
+    import graft.queries.FixtureLayout
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString + "/exp"
+    FixtureLayout.publishManifested(dest) { staging =>
+      val d = new java.io.File(staging); d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$staging/a.parquet"), "AAAA".getBytes)
+    }
+    val (vroot, files) = FixtureLayout.manifestedFiles(dest)
+    // truncate the manifested file behind the manifest's back
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(files.head), "A".getBytes)
+    val e = intercept[IllegalStateException] {
+      FixtureLayout.manifestedFiles(dest)
+    }
+    assert(e.getMessage.contains("truncated"))
+    // an unpublished dest (no manifest) is loud too, not an empty read
+    val e2 = intercept[IllegalStateException] {
+      FixtureLayout.manifestedFiles(dest + "-never-published")
+    }
+    assert(e2.getMessage.contains("no committed manifest"))
   }
 
   test("q_source_orc scans orc and pushes the ship-date filter down") {
