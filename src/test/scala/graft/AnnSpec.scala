@@ -413,4 +413,85 @@ class AnnSpec extends AnyFunSuite {
       s"all-pairs shape in plan:\n$plan")
     assert(plan.contains("cell"), s"cell key missing from plan:\n$plan")
   }
+
+  // ── Index invalidation under in-place fixture regeneration ──────────
+  // The round-9 event in miniature: the same fixture PATH starts serving
+  // different bytes. The content tag must change and the persisted index
+  // must be REBUILT from the new corpus — never silently reused. Proof:
+  // results on the regenerated fixture equal results computed in a
+  // pristine directory (same content, no index history).
+
+  private def canonRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("in-place documents regeneration rebuilds the minhash index") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.queries.FixtureLayout
+    val fix = Files.createTempDirectory("graft-regen-docs").toString
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$fix/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val tag1 = FixtureLayout.contentTag(fix, Seq("documents"))
+    // first touch builds the index for tag1
+    SparkEntry.queries("q_dedup_incremental")(spark, fix).count()
+    // regenerate IN PLACE: drop a third of the corpus, same path
+    val v2 = spark.read.parquet(s"$fix/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
+    val v2dir = Files.createTempDirectory("graft-regen-docs-v2").toString
+    v2.coalesce(1).write.parquet(s"$v2dir/documents.parquet")
+    new java.io.File(s"$fix/documents.parquet").delete()
+    copyDir(s"$v2dir/documents.parquet", s"$fix/documents.parquet")
+    val tag2 = FixtureLayout.contentTag(fix, Seq("documents"))
+    assert(tag2 != tag1, "content tag did not change on regeneration")
+    // pristine dir with identical v2 bytes — the no-history ground truth
+    val pristine = Files.createTempDirectory("graft-regen-docs-p").toString
+    copyDir(s"$v2dir/documents.parquet", s"$pristine/documents.parquet")
+    val onRegen =
+      canonRows(SparkEntry.queries("q_dedup_incremental")(spark, fix))
+    val onPristine =
+      canonRows(SparkEntry.queries("q_dedup_incremental")(spark, pristine))
+    assert(onRegen == onPristine,
+      "stale index silently reused after in-place regeneration")
+  }
+
+  test("in-place embeddings regeneration rebuilds the stored ANN model") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.queries.FixtureLayout
+    val fix = Files.createTempDirectory("graft-regen-emb").toString
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      Paths.get(s"$fix/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val tag1 = FixtureLayout.contentTag(fix, Seq("embeddings"))
+    SparkEntry.queries("q_ann_search_incremental")(spark, fix).count()
+    // regenerate in place: drop a third of the vectors (probes survive:
+    // the drop filter vec_id % 10 = 3 is disjoint from % 3 = 0 for ids
+    // like 3, 13, 23, 43 — enough probes remain)
+    val v2 = spark.read.parquet(s"$fix/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 3 =!= 0)
+    val v2dir = Files.createTempDirectory("graft-regen-emb-v2").toString
+    v2.coalesce(1).write.parquet(s"$v2dir/embeddings.parquet")
+    new java.io.File(s"$fix/embeddings.parquet").delete()
+    copyDir(s"$v2dir/embeddings.parquet", s"$fix/embeddings.parquet")
+    val tag2 = FixtureLayout.contentTag(fix, Seq("embeddings"))
+    assert(tag2 != tag1, "content tag did not change on regeneration")
+    val pristine = Files.createTempDirectory("graft-regen-emb-p").toString
+    copyDir(s"$v2dir/embeddings.parquet", s"$pristine/embeddings.parquet")
+    val onRegen =
+      canonRows(SparkEntry.queries("q_ann_search_incremental")(spark, fix))
+    val onPristine = canonRows(
+      SparkEntry.queries("q_ann_search_incremental")(spark, pristine))
+    assert(onRegen == onPristine,
+      "stale ANN model silently reused after in-place regeneration")
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = new java.io.File(src); val d = new java.io.File(dst)
+    d.mkdirs()
+    s.listFiles().foreach { f =>
+      if (f.isDirectory) copyDir(f.getAbsolutePath, s"$dst/${f.getName}")
+      else java.nio.file.Files.copy(f.toPath,
+        new java.io.File(d, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 }

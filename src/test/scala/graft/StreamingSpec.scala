@@ -401,6 +401,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_sess").count() == 2)
   }
 
+  test("real events fixture streams through the same loader boundary as batch") {
+    // Round-9 in one spec: the streaming side must consume the REAL
+    // events.parquet through the SAME schema-reconciliation boundary as
+    // batch (Tables.reconcile), not a hand-built schema that can drift
+    // from the fixture's physical encoding. Pins (1) stream/batch schema
+    // agreement at the boundary and (2) fixture-fed streaming sessions
+    // equal to the batch q_sessionize contract query.
+    val dir = tmp("ev-real")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val physical = spark.read.parquet(dir).schema
+    val stream = Tables.reconcile("events",
+      spark.readStream.schema(physical).parquet(dir))
+    assert(stream.isStreaming)
+    assert(stream.schema == Tables(spark, sf, "events").schema,
+      "stream and batch disagree on the post-reconciliation events schema")
+    // same 5-minute gap as q_sessionize; no exact-gap events exist in the
+    // fixture, so session_window (splits at diff >= gap) and the batch
+    // lag-based rule (splits at diff > gap) define identical sessions
+    val sessions = stream.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    runToMemory(sessions, "t_real_sess", "complete")
+    val got = spark.table("t_real_sess")
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+      .select(col("user_id"), col("n_events").as("n"))
+    // identical multiset of (user, session-size): same session boundaries,
+    // same total events, derived from the same physical fixture bytes
+    assert(sortedRows(got) == sortedRows(batch))
+  }
+
   // ----------------------------------------------------------- stateful
 
   test("s_dedup_ids: at-least-once replay becomes effectively-once") {
