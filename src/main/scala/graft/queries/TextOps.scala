@@ -384,6 +384,66 @@ object TextOps {
       // released here rather than leak into the session (round-4 advice).
       materializeAndFree(pairs, sh).orderBy("d1", "d2")
     }),
+
+    // ── Containment near-subset detection (round 10) ─────────────────
+    // Broder's containment coefficient C(A→B) = |A∩B| / |A| — the
+    // quote/boilerplate/near-subset detector Jaccard misses: a short
+    // document fully embedded in a long one scores high containment but
+    // low Jaccard (the union is dominated by the long side), so a
+    // Jaccard-only dedup pass keeps both copies of the quoted text.
+    // Same 60-bit shingle currency and candidate plan as
+    // q_dedup_ngram_jaccard (including the shingleDfCap knob — the
+    // df^2-bounding trade is identical); the only new work is the
+    // directional normalization, a projection of the tiny verified pair
+    // list (each undirected candidate yields two directed rows), so the
+    // 100-TB scale shape is exactly jaccard's. Threshold 0.85: the
+    // fixture shows a clean margin (no background pair above 0.6).
+    "q_dedup_containment" -> ((s, d) => {
+      val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
+      val sh = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHash60(s, col("text"), 3,
+            distinct = true)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager fill: one md5 pass for all reads
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // undirected (d1 < d2) intersection counts, exact — cap only trims
+      // candidate generation, as in jaccard
+      val inter = if (cap <= 0) {
+        sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        val cand = sh.join(rare, "s").as("a")
+          .join(sh.join(rare, "s").as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .dropDuplicates("d1", "d2")
+        val docs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
+        cand
+          .join(docs.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
+          .join(docs.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+              .as("inter"))
+      }
+      val sized = inter
+        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          col("s1.n").as("n1"), col("s2.n").as("n2"))
+      val dir = sized.select(col("d1").as("d_sub"), col("d2").as("d_super"),
+          col("inter"),
+          round(col("inter").cast("double") / col("n1"), 6).as("containment"))
+        .unionByName(sized.select(col("d2").as("d_sub"),
+          col("d1").as("d_super"), col("inter"),
+          round(col("inter").cast("double") / col("n2"), 6).as("containment")))
+        .filter(col("containment") >= 0.85)
+      materializeAndFree(dir, sh).orderBy("d_sub", "d_super")
+    }),
   )
 
   private val profSql = langProfiles.map { case (lang, words) =>
@@ -463,6 +523,31 @@ object TextOps {
         |JOIN sz s2 ON s2.doc_id = d2
         |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(list_distinct(
+        |      [array_to_string(tok[i+1:i+3], ' ')
+        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT d1 AS d_sub, d2 AS d_super, inter,
+        |    round(CAST(inter AS DOUBLE) / s1.n, 6) AS containment
+        |  FROM inter JOIN sz s1 ON s1.doc_id = d1
+        |  UNION ALL
+        |  SELECT d2, d1, inter,
+        |    round(CAST(inter AS DOUBLE) / s2.n, 6)
+        |  FROM inter JOIN sz s2 ON s2.doc_id = d2)
+        |SELECT d_sub, d_super, inter, containment
+        |FROM dir WHERE containment >= 0.85
+        |ORDER BY d_sub, d_super""".stripMargin,
 
     "q_unigram_logprob" ->
       """WITH toks AS (

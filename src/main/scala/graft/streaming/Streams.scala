@@ -644,6 +644,59 @@ object Streams {
     else routePublish(routed, outDir, checkpoint)
   }
 
+  // --------------------------------------------------------------- export
+
+  /** s_export_manifested (round 10): streaming training-data export with
+    * per-epoch exactly-once commit — the streaming face of
+    * q_export_shards' manifest protocol (FixtureLayout). Each micro-batch
+    * writes its shard files under `dest/epoch=<id>/v-*` (shard = portable
+    * 60-bit doc hash mod `shards`, kept as a data column) and publishes
+    * them with ONE atomic MANIFEST swap; readers resolve files from
+    * committed manifests only, so they see whole epochs or nothing. A
+    * batch replay after a crash (foreachBatch re-runs the epoch — the
+    * R11 at-least-once contract, publisher.go:167-175) hits
+    * `ensureManifested`'s already-committed check and skips: re-delivery
+    * becomes effectively-once at the epoch granularity, the multi-file
+    * analogue of the reference's 201-only-after-durable ack. At 100 TB
+    * each epoch is one snapshot commit; the shard hash keeps any epoch's
+    * files independently consumable with no re-bucketing at training
+    * time. */
+  def exportManifested(docs: DataFrame, dest: String, shards: Int,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.queries.FixtureLayout.ensureManifested(s"$dest/epoch=$epoch") {
+          staging =>
+            batch
+              .withColumn("shard", pmod(
+                conv(substring(md5(col("doc_id").cast("string")
+                  .cast("binary")), 1, 15), 16, 10).cast("long"),
+                lit(shards)))
+              .repartition(shards, col("shard"))
+              .write.parquet(staging)
+        }
+        ()
+      }
+      .start()
+
+  /** Read side of s_export_manifested: every committed epoch's manifested
+    * parquet files, and nothing else — torn epochs (files but no MANIFEST)
+    * are invisible, truncated manifested files fail loudly
+    * (FixtureLayout.manifestedFiles). */
+  def readManifestedExport(spark: SparkSession, dest: String): DataFrame = {
+    val epochs = Option(new java.io.File(dest).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("epoch="))
+      .filter(d => new java.io.File(d, "MANIFEST").isFile)
+      .sortBy(_.getName)
+    val files = epochs.flatMap(e =>
+      graft.queries.FixtureLayout.manifestedFiles(e.getAbsolutePath)._2)
+      .filter(_.endsWith(".parquet"))
+    require(files.nonEmpty,
+      s"no committed export epochs under $dest — nothing was published")
+    spark.read.parquet(files: _*)
+  }
+
   // ------------------------------------------------------------- lifecycle
 
   /** s_console_dump (R10, `--dumpOnly`): log rows instead of publishing. */

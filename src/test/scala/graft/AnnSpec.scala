@@ -263,6 +263,33 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shingleDfCap")
   }
 
+  test("q_dedup_containment: directional near-subset contract") {
+    val cont = SparkEntry.queries("q_dedup_containment")(spark, sf).collect()
+    assert(cont.nonEmpty, "fixture must yield containment pairs")
+    assert(cont.forall(_.getAs[Double]("containment") >= 0.85))
+    // every jaccard>=0.8 pair must surface in at least one direction:
+    // containment w.r.t. the smaller shingle set is inter/min(n1,n2)
+    // >= (0.8/1.8)*(n1+n2)/((n1+n2)/2) = 0.888 > the 0.85 threshold
+    val dirSet = cont.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    jac.foreach { case (a, b) =>
+      assert(dirSet.contains((a, b)) || dirSet.contains((b, a)),
+        s"jaccard pair ($a,$b) missing from containment output") }
+  }
+
+  test("q_dedup_containment: df-capped path returns identical rows") {
+    val exact = SparkEntry.queries("q_dedup_containment")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.shingleDfCap", "25")
+    try {
+      val capped = SparkEntry.queries("q_dedup_containment")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(capped == exact,
+        s"df-capped containment diverged:\ncapped=$capped\nexact=$exact")
+    } finally spark.conf.unset("spark.graft.shingleDfCap")
+  }
+
   test("simhash finds the low-hamming planted near-dup pairs") {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
     assert(pairs.nonEmpty)

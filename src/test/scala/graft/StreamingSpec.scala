@@ -434,6 +434,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(batch))
   }
 
+  test("s_export_manifested: epoch commit, torn epochs invisible, replay no-op") {
+    val in = tmp("exp-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(s"$in/documents.parquet"))
+    val dest = tmp("exp-out"); val cp = tmp("exp-cp")
+    val schema = spark.read.parquet(in).schema
+    val q = Streams.exportManifested(
+      spark.readStream.schema(schema).parquet(in), dest, 4, cp)
+    q.processAllAvailable(); q.stop()
+    val expected = spark.read.parquet(in).count()
+    val got = Streams.readManifestedExport(spark, dest)
+    assert(got.count() == expected, "export lost or duplicated rows")
+    assert(got.select("shard").distinct().collect()
+      .map(_.getLong(0)).forall(s => s >= 0 && s < 4))
+    // a torn epoch (data files present, no MANIFEST — a writer that died
+    // before its commit point) must be invisible to readers
+    val torn = new java.io.File(s"$dest/epoch=999/v-torn")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(torn, "junk.parquet").toPath, "junk".getBytes)
+    assert(Streams.readManifestedExport(spark, dest).count() == expected,
+      "torn (uncommitted) epoch leaked into the read view")
+    // replaying a committed epoch (foreachBatch re-run after crash) is a
+    // no-op: the writer must not even execute
+    graft.queries.FixtureLayout.ensureManifested(s"$dest/epoch=0") { _ =>
+      fail("writer re-ran for an already-committed epoch"); ()
+    }
+  }
+
   // ----------------------------------------------------------- stateful
 
   test("s_dedup_ids: at-least-once replay becomes effectively-once") {
