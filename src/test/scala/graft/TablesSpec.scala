@@ -109,6 +109,20 @@ class TablesSpec extends AnyFunSuite {
       plain.queryExecution.analyzed.canonicalized)
   }
 
+  test("events.props still carries the contracted JSON shape") {
+    // the one fixture surface the oracle gate CANNOT protect: if the
+    // props key drifts, Spark and DuckDB both degrade to nulls in
+    // lockstep and every hash still matches — so pin the shape here.
+    val df = Tables(spark, sf, "events")
+    val n = df.count()
+    val parsed = df.filter(
+      get_json_object(col("props"), "$.k").isNotNull).count()
+    assert(parsed == n,
+      s"events.props '$$.k' parse rate $parsed/$n — fixture JSON shape " +
+        "drifted; update the props-consuming queries (q_json_funcs, " +
+        "q_map_funcs) together with this pin")
+  }
+
   test("every fixture table loads under the contract at sf0.001") {
     Tables.names.foreach { t =>
       val df = Tables(spark, sf, t)
