@@ -464,6 +464,46 @@ object CurationOps {
         .orderBy("shard")
     }),
 
+    // ── Incremental corpus statistics (round 10) ─────────────────────
+    // Materialized-view maintenance for corpus bookkeeping — the batch
+    // twin of the streaming running counters and the aggregate sibling
+    // of q_dedup_incremental's persisted index: per-source ALGEBRAIC
+    // partials (count / sum-chars / sum-whitespace-tokens, all
+    // mergeable) over the existing corpus are computed ONCE and
+    // persisted content-addressed (FixtureLayout: regenerated fixture ⇒
+    // new tag ⇒ rebuild); every new drop (doc_id % 10 = 3) pays
+    // O(drop) to aggregate itself plus an O(sources)-row merge. The
+    // corpus is re-scanned zero times per refresh (CurationSpec plan
+    // pin); derived ratios (avg_chars) are computed AFTER the merge, as
+    // algebraic-aggregate maintenance requires. At 100 TB: the partial
+    // table is O(sources) rows — corpus stats stay a dashboard query,
+    // not a corpus scan; the same shape maintains any sum/count/min/max
+    // family (token totals for mixture design, char budgets, etc).
+    "q_stats_incremental" -> ((s, d) => {
+      val isNew = col("doc_id") % 10 === 3
+      val tag = FixtureLayout.contentTag(d, Seq("documents"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val path = FixtureLayout.ensureDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_statsidx_$tag/source_partials") {
+        staging =>
+          partials(Tables(s, d, "documents").filter(!isNew))
+            .coalesce(1).write.parquet(staging)
+      }
+      s.read.parquet(path)
+        .unionByName(partials(Tables(s, d, "documents").filter(isNew)))
+        .groupBy("source")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .withColumn("avg_chars",
+          round(col("sum_chars").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // ── Token entropy per source ──────────────────────────────────────
     // Shannon entropy of each source's unigram distribution (nats) —
     // low entropy flags templated/boilerplate sources, and the number
@@ -685,6 +725,19 @@ object CurationOps {
          |FROM documents
          |GROUP BY shard
          |ORDER BY shard""".stripMargin,
+
+    // The partials are physical; the oracle recomputes the SAME stats
+    // from the live table in one pass — equality proves the persisted
+    // partial + drop merge reconstructs the full-corpus aggregate.
+    "q_stats_incremental" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // The layout is physical; the oracle manifest comes from the live
     // table — equality proves the written shards carry every row.

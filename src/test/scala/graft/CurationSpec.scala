@@ -295,4 +295,28 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"5-row stats table must broadcast:\n$plan")
   }
+
+  test("q_stats_incremental: corpus served by persisted partials, drop-only scans") {
+    // warm the partial table (idempotent), then pin the refresh plan:
+    // the only documents scans are the NEW-drop side (% 10 = 3 filter);
+    // the corpus arrives as the stored O(sources)-row partial parquet
+    run("q_stats_incremental").count()
+    val df = run("q_stats_incremental")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_statsidx_"),
+      s"persisted partials missing from the refresh plan:\n$plan")
+    val docScans = plan.linesIterator
+      .filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty, "drop side must scan documents")
+    docScans.foreach(l => assert(l.contains("% 10) = 3"),
+      s"documents scan without the drop filter (corpus re-scanned):\n$l"))
+    // and the merged result is the full-corpus truth (oracle's claim,
+    // asserted here too so the spec stands alone)
+    val full = Tables(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_docs"))).toMap
+    assert(got == full, s"merged stats != full recompute: $got vs $full")
+  }
 }
