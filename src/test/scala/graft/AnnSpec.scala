@@ -276,6 +276,13 @@ class AnnSpec extends AnyFunSuite {
     jac.foreach { case (a, b) =>
       assert(dirSet.contains((a, b)) || dirSet.contains((b, a)),
         s"jaccard pair ($a,$b) missing from containment output") }
+    // family plan contract: candidates come from the shingle equi-join,
+    // never an all-pairs product
+    val plan = SparkEntry.queries("q_dedup_containment")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in containment plan:\n$plan")
   }
 
   test("q_dedup_containment: df-capped path returns identical rows") {
