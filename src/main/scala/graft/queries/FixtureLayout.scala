@@ -194,6 +194,27 @@ object FixtureLayout {
     (s"$dest/$vid", entries.map { case (rel, _) => s"$dest/$rel" })
   }
 
+  /** Garbage-collect unreferenced export versions under `dest`: delete
+    * every `v-*` dir the committed MANIFEST does not name — crashed
+    * writers' leftovers and superseded versions. Safe by the protocol's
+    * own rule: the manifest is the only source of visibility, so an
+    * unreferenced version is unreadable by a correct reader. Integrity
+    * of the CURRENT version is validated first (manifestedFiles), so a
+    * corrupt state aborts loudly before anything is deleted. This is
+    * Iceberg/Delta expire-snapshots scaled down; like there, run it
+    * outside any window where a long-lived reader may still hold paths
+    * resolved from a superseded manifest. Returns the deleted version
+    * ids. */
+  def vacuumExport(dest: String): Seq[String] = {
+    val (vroot, _) = manifestedFiles(dest)
+    val current = new File(vroot).getName
+    val stale = Option(new File(dest).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName != current &&
+        (d.getName.startsWith("v-") || d.getName.startsWith("MANIFEST.tmp")))
+    stale.foreach(deleteRec)
+    stale.map(_.getName)
+  }
+
   /** Bucketed-table publish: materialize `build` bucketed+sorted on
     * `key` at `path` and register it as `tbl` in this session's catalog.
     * Idempotent and race-safe at every layer: catalog hit → reuse;

@@ -165,6 +165,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(v3 != v1 && files3.size == 1)
   }
 
+  test("export vacuum deletes only unreferenced versions, readers unaffected") {
+    import graft.queries.FixtureLayout
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString + "/exp"
+    def publish(content: String): Unit =
+      FixtureLayout.publishManifested(dest) { staging =>
+        val d = new java.io.File(staging); d.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$staging/a.parquet"), content.getBytes)
+      }
+    publish("V1")                      // superseded below
+    intercept[RuntimeException] {      // crashed writer leaves a torn dir
+      FixtureLayout.publishManifested(dest) { staging =>
+        val d = new java.io.File(staging); d.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$staging/a.parquet"), "TORN".getBytes)
+        throw new RuntimeException("killed")
+      }
+    }
+    publish("V3")                      // current
+    val before = FixtureLayout.manifestedFiles(dest)
+    val deleted = FixtureLayout.vacuumExport(dest)
+    assert(deleted.size == 2, s"expected 2 stale versions, got $deleted")
+    // the committed view is untouched and still fully readable
+    val after = FixtureLayout.manifestedFiles(dest)
+    assert(after == before, "vacuum changed the committed view")
+    val left = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("v-")).map(_.getName).toSeq
+    assert(left == Seq(new java.io.File(after._1).getName),
+      s"unexpected version dirs remain: $left")
+  }
+
   test("export manifest read side fails loudly on truncated files") {
     import graft.queries.FixtureLayout
     val dest = java.nio.file.Files
