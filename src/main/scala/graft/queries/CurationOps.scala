@@ -219,6 +219,33 @@ object CurationOps {
         .orderBy("source", "bin")
     }),
 
+    // ── Sliding-window document chunking (round 10) ──────────────────
+    // The embedding/RAG-prep inverse of q_pack_sequences: long documents
+    // split into fixed-width token windows (50 tokens, stride 40 — 10
+    // tokens of overlap so no phrase is cut at every boundary), each
+    // chunk carrying (doc_id, chunk_idx, n_tokens, text). The whole
+    // operator is a stateless projection + explode: chunk starts come
+    // from sequence(0, n-1, stride) and the window is slice() on the one
+    // token array — no shuffle except the presentation sort, so at
+    // 100 TB it rides the scan with an output factor of ~len/stride.
+    // Chunk widths clamp identically on both engines at the tail
+    // (slice vs list_slice both truncate at the array end).
+    "q_chunk_documents" -> ((s, d) => {
+      val width = 50
+      val stride = 40
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tok"))
+        .select(col("doc_id"), col("tok"),
+          posexplode(sequence(lit(0),
+            greatest(size(col("tok")) - 1, lit(0)), lit(stride))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          slice(col("tok"), col("col") + 1, lit(width)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ── Distribution outliers (z-score) ───────────────────────────────
     // Per-event-type z-score over `value`; flag |z| >= 3 — the metric
     // QA pass before training on telemetry-derived features. Moments
@@ -725,6 +752,22 @@ object CurationOps {
          |FROM documents
          |GROUP BY shard
          |ORDER BY shard""".stripMargin,
+
+    "q_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, tok, unnest(range(0, len(tok), 40)) AS strt
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(strt // 40 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(tok, strt + 1, strt + 50)) AS BIGINT)
+        |    AS n_tokens,
+        |  array_to_string(list_slice(tok, strt + 1, strt + 50), ' ')
+        |    AS chunk_text
+        |FROM s
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // The partials are physical; the oracle recomputes the SAME stats
     // from the live table in one pass — equality proves the persisted

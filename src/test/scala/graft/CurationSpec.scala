@@ -296,6 +296,35 @@ class CurationSpec extends AnyFunSuite {
       s"5-row stats table must broadcast:\n$plan")
   }
 
+  test("q_chunk_documents: chunks reconstruct every document exactly") {
+    // stride-window chunking is lossless: concatenating each chunk's
+    // first `stride` tokens (the last chunk in full) must reproduce the
+    // document's token sequence — overlap exists but carries no drift
+    val chunks = run("q_chunk_documents").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == docs.keySet, "chunking dropped documents")
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val cs = chunks(id)
+      assert(cs.map(_.getLong(1)).toSeq == cs.indices.map(_.toLong).toSeq,
+        s"doc $id: chunk_idx not contiguous")
+      val rebuilt = (cs.init.flatMap(
+        _.getString(3).split(" ", -1).take(40)) ++
+        cs.last.getString(3).split(" ", -1)).toSeq
+      assert(rebuilt == toks, s"doc $id: chunk reconstruction diverged")
+      // overlap contract: consecutive chunks share width-stride tokens
+      cs.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a.getString(3).split(" ", -1).drop(40).toSeq ==
+          b.getString(3).split(" ", -1).take(10).toSeq,
+          s"doc $id: overlap mismatch between chunks")
+      }
+    }
+  }
+
   test("q_stats_incremental: corpus served by persisted partials, drop-only scans") {
     // warm the partial table (idempotent), then pin the refresh plan:
     // the only documents scans are the NEW-drop side (% 10 = 3 filter);

@@ -223,8 +223,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(b1.messages("t_restart").map(_.data) == Seq("before"))
     b1.close()
     // broker restarts on the SAME port, losing all topics — the stale
-    // JVM-global create-once cache would skip ensureTopic forever
-    val b2 = new NetBroker(port)
+    // JVM-global create-once cache would skip ensureTopic forever.
+    // Rebinding a just-closed port can transiently fail under the full
+    // suite (accept-thread teardown, ephemeral-port churn from parallel
+    // Spark services) even with SO_REUSEADDR — retry briefly.
+    def rebind(attempts: Int): NetBroker =
+      try new NetBroker(port)
+      catch {
+        case _: java.net.BindException if attempts > 0 =>
+          Thread.sleep(200); rebind(attempts - 1)
+      }
+    val b2 = rebind(25)
     try {
       intercept[java.io.IOException] {
         NetPublisher.publishPartition(b2.addr,
