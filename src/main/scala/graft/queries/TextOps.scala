@@ -444,6 +444,65 @@ object TextOps {
         .filter(col("containment") >= 0.85)
       materializeAndFree(dir, sh).orderBy("d_sub", "d_super")
     }),
+
+    // ── N-gram novelty (round 10) ────────────────────────────────────
+    // Per-doc fraction of its distinct 3-gram shingles that first appear
+    // in THIS doc (first occurrence = min doc_id over the corpus) — the
+    // incremental-corpus growth signal: a drop whose docs score near 0
+    // adds nothing the corpus hasn't seen (the aggregate view of what
+    // q_dedup_containment detects pairwise), near 1 is fresh content.
+    // Same 60-bit shingle currency as the dedup family. Scale shape: two
+    // 8-byte-key two-phase aggs over ONE cached shingle explode (per-
+    // shingle min doc_id, per-doc shingle counts) + an O(n_docs) doc-keyed
+    // left join — shuffle volume O(total shingles), never a shingle-wide
+    // join and never n². Docs under 3 tokens have no shingles and drop out
+    // identically on both engines (explode and unnest agree).
+    "q_ngram_novelty" -> ((s, d) => {
+      val sh = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHash60(s, col("text"), 3,
+            distinct = true)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager fill: one md5 pass for both aggregations
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy("s").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nn"))
+      val out = perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("nn"), lit(0L)).as("n_novel"),
+          round(coalesce(col("nn"), lit(0L)).cast("double")
+            / col("n_shingles"), 6).as("novelty"))
+      materializeAndFree(out, sh).orderBy("doc_id")
+    }),
+
+    // ── Vocabulary coverage / OOV rate (round 10) ────────────────────
+    // Per-source out-of-vocabulary rate under the corpus's own top-200
+    // token vocabulary — the tokenizer-fit diagnostic run before training
+    // (a source with high OOV under the deployed vocab inflates sequence
+    // length and cost; feeds vocab-size choice next to q_bpe_tokenize).
+    // Vocab cut is a total order (count desc, token asc) so the rank-200
+    // boundary is engine-deterministic. Scale shape: one token two-phase
+    // agg, a top-K TakeOrdered (O(K) per partition, no global sort), the
+    // 200-row vocab BROADCAST back over the token stream, one per-source
+    // agg — the corpus is scanned twice and never shuffled on anything
+    // wider than the token key.
+    "q_vocab_coverage" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(200)
+        .select(col("token"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_tokens"),
+          count(col("in_vocab")).as("in_vocab_tokens"))
+        .withColumn("oov_rate",
+          round(lit(1.0) - col("in_vocab_tokens").cast("double")
+            / col("total_tokens"), 6))
+        .orderBy("source")
+    }),
   )
 
   private val profSql = langProfiles.map { case (lang, words) =>
@@ -672,5 +731,45 @@ object TextOps {
         |FROM scored
         |QUALIFY rk <= 3
         |ORDER BY doc_id ASC, rk ASC""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(list_distinct(
+        |      [array_to_string(tok[i+1:i+3], ' ')
+        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |novel AS (
+        |  SELECT doc_id, COUNT(*) AS nn
+        |  FROM (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY s)
+        |  GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_shingles,
+        |  CAST(COALESCE(n.nn, 0) AS BIGINT) AS n_novel,
+        |  round(CAST(COALESCE(n.nn, 0) AS DOUBLE) / p.n_shingles, 6)
+        |    AS novelty
+        |FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT token, COUNT(*) AS cnt
+        |  FROM toks WHERE token <> '' GROUP BY token),
+        |vocab AS (
+        |  SELECT token FROM tf ORDER BY cnt DESC, token ASC LIMIT 200)
+        |SELECT t.source,
+        |  COUNT(*) AS total_tokens,
+        |  COUNT(v.token) AS in_vocab_tokens,
+        |  round(1.0 - CAST(COUNT(v.token) AS DOUBLE) / COUNT(*), 6)
+        |    AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON v.token = t.token
+        |WHERE t.token <> ''
+        |GROUP BY t.source
+        |ORDER BY t.source""".stripMargin,
   )
 }

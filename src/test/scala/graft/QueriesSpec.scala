@@ -232,4 +232,49 @@ class QueriesSpec extends AnyFunSuite {
     assert("Bucketed: true".r.findAllIn(plan).length == 2,
       s"both scans must read bucketed layout:\n$plan")
   }
+
+  test("q_ngram_novelty: bounds, first-doc novelty, conservation of shingles") {
+    import org.apache.spark.sql.functions._
+    val nov = SparkEntry.queries("q_ngram_novelty")(spark, sf)
+    val rows = nov.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nn, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nn >= 0 && nn <= n, s"doc ${r.getLong(0)}: n_novel $nn of $n")
+      assert(f >= 0.0 && f <= 1.0, s"doc ${r.getLong(0)}: novelty $f")
+    }
+    // the earliest doc with shingles sees everything for the first time
+    assert(rows.head.getDouble(3) == 1.0,
+      s"first doc must be fully novel, got ${rows.head}")
+    // conservation: every distinct corpus shingle is novel in EXACTLY one
+    // doc, so per-doc novel counts sum to the corpus distinct-shingle count
+    val sumNovel = rows.map(_.getLong(2)).sum
+    val distinctShingles = graft.queries.par(Tables(spark, sf, "documents"))
+      .select(explode(graft.functions.ShingleHash60(spark, col("text"), 3,
+        distinct = true)).as("s"))
+      .agg(countDistinct(col("s"))).collect()(0).getLong(0)
+    assert(sumNovel == distinctShingles,
+      s"sum(n_novel)=$sumNovel != corpus distinct shingles $distinctShingles")
+  }
+
+  test("q_vocab_coverage: token conservation and deterministic vocab cut") {
+    import org.apache.spark.sql.functions._
+    val cov = SparkEntry.queries("q_vocab_coverage")(spark, sf)
+    val rows = cov.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, inv, oov) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(inv >= 0 && inv <= tot, s"${r.getString(0)}: in_vocab $inv of $tot")
+      assert(oov >= 0.0 && oov <= 1.0, s"${r.getString(0)}: oov_rate $oov")
+    }
+    // conservation: per-source totals sum to the corpus token count
+    val corpusToks = Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(rows.map(_.getLong(1)).sum == corpusToks)
+    // determinism: the top-200 boundary is totally ordered, so two runs
+    // agree exactly
+    val again = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
