@@ -1129,6 +1129,49 @@ object AnnOps {
             .as("correct"))
         .orderBy("vec_id")
     }),
+
+    // Per-semantic-cluster corpus summary (round 10) — the
+    // cluster-inspection step between clustering and curation decisions
+    // (mixture design, cluster pruning, SemDeDup-style audits): for each
+    // q_semdedup cell, its size plus the top-3 characteristic tokens by
+    // cluster-level tf-idf (cluster term count x ln(n_cells /
+    // cluster-df)), computed over the documents whose embeddings landed
+    // in the cell (fixture contract: embeddings are per-document,
+    // vec_id == doc_id). Determinism is q_tfidf_keywords': the rank-3
+    // cut orders by the 6dp-ROUNDED score with token tie-break.
+    //
+    // Scale shape: cell assignment is the shared semAssigned projection
+    // (zero extra shuffles), the doc->cell attach is ONE doc_id-keyed
+    // equi-join, term stats are two-phase (cell, token)/(token) aggs, and
+    // n_cells is a 1-row broadcast; the per-cell window is rank<=3 so
+    // WindowGroupLimit prunes before the shuffle. Nothing all-pairs, no
+    // driver collect beyond semAssigned's O(K x dims) centroid step.
+    "q_cluster_summary" -> ((s, d) => {
+      val cells = semAssigned(s, d)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val sz = cells.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+      val toks = par(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val ctf = toks.join(cells, "doc_id")
+        .groupBy("cell", "token").agg(count(lit(1)).as("ctf"))
+      val cdf = ctf.groupBy("token").agg(count(lit(1)).as("cdf"))
+      val nc = sz.agg(countDistinct(col("cell")).as("n_cells"))
+      val scored = ctf.join(cdf, "token").crossJoin(broadcast(nc))
+        .withColumn("score",
+          round(col("ctf") * log(col("n_cells").cast("double")
+            / col("cdf")), 6))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .join(sz, "cell")
+        .select(col("cell"), col("n_docs"),
+          col("rk").cast("long").as("rk"),
+          col("token"), col("ctf"), col("score"))
+        .orderBy(col("cell").asc, col("rk").asc)
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1451,5 +1494,33 @@ object AnnOps {
         |FROM lbl t LEFT JOIN pred p USING (vec_id)
         |WHERE t.is_test
         |ORDER BY t.vec_id""".stripMargin,
+
+    // Cluster-summary twin: identical cell assignment, identical
+    // cluster-tf-idf arithmetic (the q_tfidf_keywords ln pattern), same
+    // 6dp-rounded-score + token tie-break rank-3 cut.
+    "q_cluster_summary" ->
+      s"""WITH $semAssignCtes,
+        |sz AS (SELECT cell, COUNT(*) AS n_docs FROM assign GROUP BY cell),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |ctf AS (
+        |  SELECT a.cell, t.token, COUNT(*) AS ctf
+        |  FROM toks t JOIN assign a ON a.vec_id = t.doc_id
+        |  WHERE t.token <> '' GROUP BY a.cell, t.token),
+        |cdf AS (SELECT token, COUNT(*) AS cdf FROM ctf GROUP BY token),
+        |nc AS (SELECT COUNT(DISTINCT cell) AS n_cells FROM sz),
+        |scored AS (
+        |  SELECT c.cell, c.token, c.ctf,
+        |    round(c.ctf * ln(CAST(nc.n_cells AS DOUBLE) / d.cdf), 6)
+        |      AS score
+        |  FROM ctf c JOIN cdf d USING (token) CROSS JOIN nc)
+        |SELECT s.cell, z.n_docs,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY s.cell
+        |    ORDER BY s.score DESC, s.token ASC) AS BIGINT) AS rk,
+        |  s.token, s.ctf, s.score
+        |FROM scored s JOIN sz z USING (cell)
+        |QUALIFY rk <= 3
+        |ORDER BY s.cell, rk""".stripMargin,
   )
 }

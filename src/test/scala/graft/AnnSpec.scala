@@ -297,6 +297,33 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shingleDfCap")
   }
 
+  test("q_cluster_summary: per-cell top-3, doc conservation, determinism") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_cluster_summary")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rank structure: per cell, ranks are exactly 1..k for some k <= 3
+    rows.groupBy(_.getLong(0)).foreach { case (cell, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq ==
+        (1L to rs.length).toSeq && rs.length <= 3,
+        s"cell $cell ranks: ${rs.map(_.getLong(2)).toSeq}")
+      // n_docs is constant within the cell
+      assert(rs.map(_.getLong(1)).distinct.length == 1)
+    }
+    // conservation: cell sizes sum to the live (nonzero-norm) corpus
+    val live = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        sqrt(graft.functions.DotProduct(spark, col("embedding"),
+          col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0).count()
+    val sumDocs = rows.groupBy(_.getLong(0))
+      .map { case (_, rs) => rs.head.getLong(1) }.sum
+    assert(sumDocs == live,
+      s"cell sizes sum to $sumDocs, live corpus is $live")
+    // determinism: cell assignment + score cut are fully pinned
+    val again = SparkEntry.queries("q_cluster_summary")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("simhash finds the low-hamming planted near-dup pairs") {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
     assert(pairs.nonEmpty)
