@@ -81,6 +81,27 @@ object SamplingOps {
         .orderBy("source", "rk")
     }),
 
+    // Quality-weighted acceptance sampling (round 10) — the SOFT filter
+    // (DCLM/FineWeb shape): instead of a hard quality cutoff, each doc is
+    // kept with probability equal to its quality score, so marginal docs
+    // thin out gradually rather than cliff off. The coin flip is the
+    // deterministic hash-uniform u = h60(doc_id)/2^60 compared against
+    // the q_quality_score composite — reproducible across runs, engines,
+    // and repartitioning like every other h60-derived gate here. u is
+    // EXACT on both engines: int64->double is the same IEEE-nearest
+    // rounding and /2^60 is a pure exponent shift, so no rounding of u
+    // is needed (or wanted) before the compare. Map-side projection,
+    // zero shuffles beyond the presentation sort.
+    "q_importance_sample" -> ((s, d) => {
+      val u = h60(col("doc_id").cast("string")).cast("double") /
+        lit(1152921504606846976.0) // 2^60
+      TextOps.withQualityCols(Tables(s, d, "documents"))
+        .withColumn("u", u)
+        .withColumn("accepted", col("u") < col("quality"))
+        .select("doc_id", "source", "quality", "u", "accepted")
+        .orderBy("doc_id")
+    }),
+
     // Percent-rank (quantile) normalization per stratum (round 6): map
     // `value` to its within-type percentile — the rank-based feature
     // normalization that is robust to outliers (vs q_outlier_zscore's
@@ -249,6 +270,23 @@ object SamplingOps {
          |   OR (lang <> 'en' AND ${h60Sql("doc_id")} % 100 < 10)
          |GROUP BY lang
          |ORDER BY lang""".stripMargin,
+
+    "q_importance_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(lower(text), ' ')) AS n_tok,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    round(least(1.0, CAST(n_tok AS DOUBLE) / 200.0) * 0.5
+         |          + (CAST(n_stop AS DOUBLE) / n_tok) * 0.5, 4) AS quality,
+         |    CAST(${h60Sql("doc_id")} AS DOUBLE)
+         |      / 1152921504606846976.0 AS u
+         |  FROM t)
+         |SELECT doc_id, source, quality, u, u < quality AS accepted
+         |FROM q ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratum_k" ->
       s"""SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM (

@@ -233,6 +233,30 @@ class QueriesSpec extends AnyFunSuite {
       s"both scans must read bucketed layout:\n$plan")
   }
 
+  test("q_importance_sample: gate identity, u bounds, expectation tracking") {
+    val rows = SparkEntry.queries("q_importance_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, u, acc) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(u >= 0.0 && u < 1.0, s"doc ${r.getLong(0)}: u=$u out of [0,1)")
+      // the flag IS the comparison of the two surfaced columns — no
+      // hidden third input can disagree with what the row displays
+      assert(acc == (u < q), s"doc ${r.getLong(0)}: accepted=$acc u=$u q=$q")
+    }
+    // soft-filter behavior: some docs pass, some don't (a degenerate
+    // all-or-nothing gate would be a hard filter in disguise)...
+    val nAcc = rows.count(_.getBoolean(4))
+    assert(nAcc > 0 && nAcc < rows.length)
+    // ...and the realized count tracks the expected sum of acceptance
+    // probabilities (4-sigma bound on the Poisson-binomial)
+    val expected = rows.map(_.getDouble(2)).sum
+    assert(math.abs(nAcc - expected) <= 4 * math.sqrt(rows.length),
+      s"accepted $nAcc vs expected $expected over ${rows.length} docs")
+    // hash gate => reruns agree exactly
+    val again = SparkEntry.queries("q_importance_sample")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q_ngram_novelty: bounds, first-doc novelty, conservation of shingles") {
     import org.apache.spark.sql.functions._
     val nov = SparkEntry.queries("q_ngram_novelty")(spark, sf)
