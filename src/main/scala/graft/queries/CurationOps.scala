@@ -40,6 +40,62 @@ object CurationOps {
   private val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
   private val phoneRe = "555-[0-9]{4}"
 
+  /** EXACT per-event_type type-7 interpolated percentiles over
+    * `(event_type, value, id)`, via the distributed two-pass
+    * range-partitioned rank shape (q_winsorize round-7 machinery,
+    * factored in round 10 for reuse by the robust-stats family — the
+    * winsorize plan is unchanged by the extraction, pinned by its
+    * committed plan digest). Never a per-type single-task sort:
+    * range-partition by (type, value, id), per-(slice, type) subtotals
+    * prefix-summed over metadata-sized rows and broadcast back, global
+    * rank = slice offset + slice-local row_number, with the in-DAG
+    * assert_true guard (tagged `guard`) against the range partitioner
+    * re-sampling between the subtotal and rank passes. Returns one row
+    * per type: `(event_type, <tag>...)`, each percentile 4dp-rounded
+    * (the q_quantiles-proven DuckDB quantile_cont formula parity). */
+  private def exactTypeQuantiles(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, ps: Seq[(Double, String)],
+      guard: String): org.apache.spark.sql.DataFrame = {
+    val nPart = s.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(nPart, col("event_type"), col("value"),
+        col("id"))
+      .withColumn("pid", spark_partition_id())
+    val subs = parted.groupBy("pid", "event_type")
+      .agg(count(lit(1)).as("scnt"))
+    val wOff = Window.partitionBy("event_type").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = subs
+      .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
+      .select("pid", "event_type", "off", "scnt")
+    val tots = subs.groupBy("event_type")
+      .agg(sum(col("scnt")).as("n"))
+    val wRn = Window.partitionBy("pid", "event_type")
+      .orderBy(col("value"), col("id"))
+    val wCnt = Window.partitionBy("pid", "event_type")
+    val ranked = parted
+      .join(broadcast(offs), Seq("pid", "event_type"))
+      .join(broadcast(tots), Seq("event_type"))
+      .withColumn("chk", assert_true(
+        count(lit(1)).over(wCnt) === col("scnt"),
+        lit(s"$guard: range partitioning drifted between the " +
+          "subtotal pass and the rank pass")))
+      .filter(col("chk").isNull)
+      .withColumn("rn", col("off") + row_number().over(wRn))
+    def h(p: Double): Column = lit(p) * (col("n") - 1) + 1.0
+    def interp(p: Double, tag: String) = Seq(
+      max(when(col("rn") === floor(h(p)), col("value"))).as(s"lo_$tag"),
+      max(when(col("rn") === ceil(h(p)), col("value"))).as(s"hi_$tag"))
+    ranked.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        ps.flatMap { case (p, tag) => interp(p, tag) }: _*)
+      .select(col("event_type") +: ps.map { case (p, tag) =>
+        round(col(s"lo_$tag") + (lit(p) * (col("n") - 1) + 1.0
+          - floor(lit(p) * (col("n") - 1) + 1.0))
+          * (col(s"hi_$tag") - col(s"lo_$tag")), 4).as(tag)
+      }: _*)
+  }
+
   val q: Map[String, Q] = Map(
     // ── Benchmark decontamination ─────────────────────────────────────
     // Flag corpus documents sharing any 5-token shingle with a held-out
@@ -293,51 +349,58 @@ object CurationOps {
     // q_quantiles_grouped. Clip bounds come back as a 5-row broadcast.
     "q_winsorize" -> ((s, d) => {
       val ev = Tables(s, d, "events")
-      val nPart = s.sparkContext.defaultParallelism
-      val parted = ev
-        .repartitionByRange(nPart, col("event_type"), col("value"),
-          col("event_id"))
-        .withColumn("pid", spark_partition_id())
-      val subs = parted.groupBy("pid", "event_type")
-        .agg(count(lit(1)).as("scnt"))
-      val wOff = Window.partitionBy("event_type").orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = subs
-        .withColumn("off", coalesce(sum(col("scnt")).over(wOff), lit(0L)))
-        .select("pid", "event_type", "off", "scnt")
-      val tots = subs.groupBy("event_type")
-        .agg(sum(col("scnt")).as("n"))
-      val wRn = Window.partitionBy("pid", "event_type")
-        .orderBy(col("value"), col("event_id"))
-      val wCnt = Window.partitionBy("pid", "event_type")
-      val ranked = parted
-        .join(broadcast(offs), Seq("pid", "event_type"))
-        .join(broadcast(tots), Seq("event_type"))
-        .withColumn("chk", assert_true(
-          count(lit(1)).over(wCnt) === col("scnt"),
-          lit("q_winsorize: range partitioning drifted between the " +
-            "subtotal pass and the rank pass")))
-        .filter(col("chk").isNull)
-        .withColumn("rn", col("off") + row_number().over(wRn))
-      def h(p: Double): Column = lit(p) * (col("n") - 1) + 1.0
-      def interp(p: Double, tag: String) = Seq(
-        max(when(col("rn") === floor(h(p)), col("value"))).as(s"lo_$tag"),
-        max(when(col("rn") === ceil(h(p)), col("value"))).as(s"hi_$tag"))
-      val stats = ranked.groupBy("event_type")
-        .agg(max(col("n")).as("n"),
-          (interp(0.01, "p01") ++ interp(0.99, "p99")): _*)
-        .select(col("event_type"),
-          round(col("lo_p01") + (lit(0.01) * (col("n") - 1) + 1.0
-            - floor(lit(0.01) * (col("n") - 1) + 1.0))
-            * (col("hi_p01") - col("lo_p01")), 4).as("p01"),
-          round(col("lo_p99") + (lit(0.99) * (col("n") - 1) + 1.0
-            - floor(lit(0.99) * (col("n") - 1) + 1.0))
-            * (col("hi_p99") - col("lo_p99")), 4).as("p99"))
+      val stats = exactTypeQuantiles(s,
+        ev.select(col("event_type"), col("value"),
+          col("event_id").as("id")),
+        Seq(0.01 -> "p01", 0.99 -> "p99"), "q_winsorize")
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
           col("p01"), col("p99"),
           least(greatest(col("value"), col("p01")), col("p99"))
             .as("clipped"))
+        .orderBy("event_id")
+    }),
+
+    // ── Robust (median/MAD) outlier detection ─────────────────────────
+    // Round 10: the Iglewicz–Hoaglin modified z-score |0.6745 (x −
+    // med)/MAD| >= 3.5 per event_type — the robust companion to
+    // q_outlier_zscore whose mean/stddev a single extreme value can
+    // drag (masking the very outliers being hunted); median and MAD
+    // have a 50% breakdown point. Both statistics are EXACT type-7
+    // interpolated medians computed on the shared exactTypeQuantiles
+    // rank shape (never a per-type single-task sort): one pass for the
+    // per-type median, one for the median of |value − med| — two
+    // range-partitioned scans + metadata-sized broadcasts at any scale.
+    // rob_z is deliberately UNROUNDED: med/mad arrive 4dp-portable, so
+    // 0.6745(x−med)/mad is the same IEEE double on both engines
+    // (q_importance_sample's bit-exactness argument), while rounding the
+    // quotient would re-open the boundary fork the sf0.1 gate caught at
+    // 31/100k cells (the q_perplexity_bigram lesson — a 4dp round of a
+    // double quotient lands on .00005 edges where Spark's shortest-repr
+    // HALF_UP and DuckDB's binary round disagree). The 3.5 flag cuts the
+    // identical doubles identically. A degenerate MAD = 0 type (possible
+    // when >50% of a type's values are identical) yields NULL
+    // rob_z/is_outlier on both engines rather than an inf/NaN fork.
+    "q_anomaly_mad" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val med = exactTypeQuantiles(s,
+        ev.select(col("event_type"), col("value"),
+          col("event_id").as("id")),
+        Seq(0.5 -> "med"), "q_anomaly_mad/med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"),
+          abs(col("value") - col("med")).as("value"),
+          col("event_id").as("id"))
+      val mad = exactTypeQuantiles(s, dev,
+        Seq(0.5 -> "mad"), "q_anomaly_mad/mad")
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .withColumn("rob_z", when(col("mad") > 0,
+          lit(0.6745) * (col("value") - col("med")) / col("mad")))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("rob_z"),
+          when(col("rob_z").isNotNull, abs(col("rob_z")) >= 3.5)
+            .as("is_outlier"))
         .orderBy("event_id")
     }),
 
@@ -704,6 +767,27 @@ object CurationOps {
         |  least(greatest(e.value, s.p01), s.p99) AS clipped
         |FROM events e JOIN s USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+        |    CASE WHEN d.mad > 0
+        |      THEN CAST(0.6745 AS DOUBLE) * (e.value - m.med) / d.mad
+        |    END AS rob_z
+        |  FROM events e JOIN med m USING (event_type)
+        |                JOIN mad d USING (event_type))
+        |SELECT event_id, event_type, value, med, mad, rob_z,
+        |  CASE WHEN rob_z IS NOT NULL THEN abs(rob_z) >= 3.5 END
+        |    AS is_outlier
+        |FROM z ORDER BY event_id""".stripMargin,
 
     "q_ks_drift" ->
       """WITH ev AS (

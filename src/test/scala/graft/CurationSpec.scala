@@ -188,6 +188,53 @@ class CurationSpec extends AnyFunSuite {
       s"expected the rank window under (pid, event_type):\n$plan")
   }
 
+  test("q_anomaly_mad: medians independently exact, flag matches score, scale-safe windows") {
+    val rows = run("q_anomaly_mad").collect()
+    assert(rows.nonEmpty)
+    // independent ground truth: per-type type-7 median recomputed from
+    // the raw values in-process (fixture scale), 4dp like the operator
+    def median(vs: Array[Double]): Double = {
+      val s = vs.sorted
+      val h = 0.5 * (s.length - 1) + 1.0
+      val (lo, hi) = (s(h.floor.toInt - 1), s(h.ceil.toInt - 1))
+      BigDecimal(lo + (h - h.floor) * (hi - lo))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (t, rs) =>
+      val vals = rs.map(_.getDouble(2))
+      val med = rs.head.getDouble(3)
+      val mad = rs.head.getDouble(4)
+      assert(rs.forall(r => r.getDouble(3) == med && r.getDouble(4) == mad),
+        s"$t: med/mad not constant within type")
+      assert(med == median(vals), s"$t: med $med != recomputed")
+      assert(mad == median(vals.map(v => math.abs(v - med))),
+        s"$t: mad $mad != recomputed")
+      assert(mad >= 0)
+    }
+    // flag is exactly the 3.5 cut of the surfaced score
+    var out = 0
+    rows.foreach { r =>
+      assert(!r.isNullAt(5) && !r.isNullAt(6),
+        "continuous fixture must have MAD > 0 everywhere")
+      val z = r.getDouble(5)
+      assert(r.getBoolean(6) == (math.abs(z) >= 3.5))
+      if (r.getBoolean(6)) out += 1
+    }
+    // a robust detector flags the tails, never the bulk
+    assert(out > 0 && out <= rows.length / 10,
+      s"$out of ${rows.length} rows flagged")
+    // both median passes must ride the shared (pid, event_type) ranked
+    // shape — no per-type single-task value sort anywhere
+    val plan = run("q_anomaly_mad").queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert("\\], \\[event_type#\\d+\\], \\[value#".r.findFirstIn(plan).isEmpty,
+      s"found a per-type window over the full value set:\n$plan")
+    assert("\\[pid#\\d+, event_type#\\d+\\], \\[value#".r
+      .findAllIn(plan).length >= 2,
+      s"expected BOTH rank windows under (pid, event_type):\n$plan")
+  }
+
   test("q_ks_drift: D in [0,1], halves partition the stream, ECDF windows chunked") {
     val df = run("q_ks_drift")
     val rows = df.collect()
