@@ -158,7 +158,87 @@ object FixtureLayout {
     fsync(tmp)
     Files.move(tmp.toPath, new File(destDir, "MANIFEST").toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    retainManifest(destDir, vid, body)
     dest
+  }
+
+  // ── Version history (round 10): time-travel over committed exports ──
+  // Every committed manifest is ALSO retained immutably under
+  // `dest/manifests/<seq>-<vid>`, so a reader can pin any historical
+  // snapshot (readExportVersion) the way Delta/Iceberg readers pin a
+  // snapshot id — the reader-side complement of the exactly-once
+  // publish. The retained file is a copy of the committed manifest, so
+  // its integrity rules are identical; `vacuumExport` keeps the history
+  // FILES but deletes superseded version DIRS, after which a time-travel
+  // read of an expired version fails loudly naming the vacuum (Delta's
+  // own post-vacuum contract), never silently serves partial data.
+
+  /** Retain `body` as the immutable history entry for `vid`. Sequence
+    * numbers are allocated by create-exclusive rename retry — two racing
+    * committers serialize on the filesystem, not on shared state. */
+  private def retainManifest(destDir: File, vid: String,
+      body: String): Unit = {
+    val hist = new File(destDir, "manifests"); hist.mkdirs()
+    val tmp = new File(hist, s".tmp.$vid")
+    Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    fsync(tmp)
+    var seq = 1 + Option(hist.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.contains("-"))
+      .flatMap(_.takeWhile(_ != '-').toIntOption).maxOption.getOrElse(0)
+    var done = false
+    while (!done) {
+      val target = new File(hist, f"$seq%06d-$vid")
+      try {
+        Files.move(tmp.toPath, target.toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        done = true
+      } catch { // another committer took this seq — try the next slot
+        case _: java.nio.file.FileAlreadyExistsException => seq += 1
+      }
+    }
+  }
+
+  /** Committed versions of the export at `dest`, oldest first:
+    * (seq, version-id). */
+  def listVersions(dest: String): Seq[(Int, String)] =
+    Option(new File(dest, "manifests").listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.contains("-"))
+      .flatMap { n =>
+        n.takeWhile(_ != '-').toIntOption.map(_ -> n.dropWhile(_ != '-').tail)
+      }.sortBy(_._1)
+
+  /** Time-travel file resolution: the data files of historical version
+    * `seq`, with the same integrity contract as `manifestedFiles`. A
+    * version whose data dir was expired by `vacuumExport` fails loudly
+    * naming the cause. */
+  def manifestedFilesAt(dest: String, seq: Int): (String, Seq[String]) = {
+    val entry = listVersions(dest).find(_._1 == seq).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version $seq at $dest — known: " +
+          listVersions(dest).map(_._1).mkString(",")))
+    val mf = new File(new File(dest, "manifests"), f"$seq%06d-${entry._2}")
+    val entries = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(rel, len) = l.split("\t"); (rel, len.toLong)
+      }.toSeq
+    val vid = entries.head._1.takeWhile(_ != '/')
+    if (!new File(dest, vid).isDirectory) throw new IllegalStateException(
+      s"version $seq ($vid) at $dest was expired by vacuumExport — " +
+        "time travel past the vacuum horizon is impossible")
+    entries.foreach { case (rel, len) =>
+      val f = new File(dest, rel)
+      if (!f.isFile || f.length != len) throw new IllegalStateException(
+        s"manifested file $rel (${len}B) missing or truncated at $dest — " +
+          "export integrity violated")
+    }
+    (s"$dest/$vid", entries.map { case (rel, _) => s"$dest/$rel" })
+  }
+
+  /** Batch read of a pinned historical export version. */
+  def readExportVersion(s: SparkSession, dest: String, seq: Int): DataFrame = {
+    val files = manifestedFilesAt(dest, seq)._2.filter(_.endsWith(".parquet"))
+    require(files.nonEmpty, s"version $seq at $dest holds no parquet files")
+    s.read.parquet(files: _*)
   }
 
   /** Idempotent wrapper: publish only if no manifest is committed yet.

@@ -197,6 +197,53 @@ class SourcesSpec extends AnyFunSuite {
       s"unexpected version dirs remain: $left")
   }
 
+  test("export time travel: pinned versions readable until vacuumed, then loud") {
+    import graft.queries.FixtureLayout
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString + "/exp"
+    def publish(content: String): Unit =
+      FixtureLayout.publishManifested(dest) { staging =>
+        val d = new java.io.File(staging); d.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$staging/a.parquet"), content.getBytes)
+      }
+    publish("V1"); publish("V2"); publish("V3")
+    // history is sequential and complete
+    val versions = FixtureLayout.listVersions(dest)
+    assert(versions.map(_._1) == Seq(1, 2, 3), s"history: $versions")
+    // a crashed writer never enters history
+    intercept[RuntimeException] {
+      FixtureLayout.publishManifested(dest) { staging =>
+        val d = new java.io.File(staging); d.mkdirs()
+        throw new RuntimeException("killed")
+      }
+    }
+    assert(FixtureLayout.listVersions(dest).map(_._1) == Seq(1, 2, 3))
+    // while MANIFEST points at v3, a reader can still pin v1 and sees
+    // EXACTLY the old bytes
+    def bytesAt(seq: Int): String = {
+      val (_, fs) = FixtureLayout.manifestedFilesAt(dest, seq)
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fs.head)), "UTF-8")
+    }
+    assert(bytesAt(1) == "V1" && bytesAt(2) == "V2" && bytesAt(3) == "V3")
+    // current-pointer read agrees with the newest history entry
+    assert(FixtureLayout.manifestedFiles(dest)._2 ==
+      FixtureLayout.manifestedFilesAt(dest, 3)._2)
+    // vacuum expires superseded version DIRS but keeps the history log:
+    // time travel past the horizon fails loudly naming the vacuum
+    FixtureLayout.vacuumExport(dest)
+    assert(FixtureLayout.listVersions(dest).map(_._1) == Seq(1, 2, 3))
+    val e = intercept[IllegalStateException] { bytesAt(1) }
+    assert(e.getMessage.contains("vacuum"))
+    assert(bytesAt(3) == "V3", "current version must survive vacuum")
+    // unknown versions are loud, listing the known ones
+    val e2 = intercept[IllegalStateException] {
+      FixtureLayout.manifestedFilesAt(dest, 9)
+    }
+    assert(e2.getMessage.contains("no committed version 9"))
+  }
+
   test("export manifest read side fails loudly on truncated files") {
     import graft.queries.FixtureLayout
     val dest = java.nio.file.Files
