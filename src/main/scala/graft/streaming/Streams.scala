@@ -4,7 +4,7 @@ import graft.queries.Cdc
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 import java.util.concurrent.ConcurrentHashMap
 
@@ -470,6 +470,48 @@ object Streams {
       .transformWithState(new UserCountProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  case class Admission(event_id: Long, user_id: Long,
+    ts: java.sql.Timestamp, admitted: Boolean)
+
+  /** s_rate_limit (round 10): per-key admission control — at most
+    * `limit` events admitted per user per tumbling `windowSec`
+    * EVENT-time window; the excess is MARKED (admitted = false) and
+    * surfaced, never silently dropped — the 429 analog of the
+    * reference's 401 contract (publisher.go:146-149 tells the producer
+    * it was rejected rather than dropping on the floor), protecting the
+    * downstream publisher the way the bridge's PubSub quota would push
+    * back. Event-time windows (not arrival time) make the verdict
+    * replay-stable: re-processing a checkpointed batch admits the SAME
+    * rows, because within each (key, batch) the rows are ranked by
+    * (ts, event_id) before admission — arrival order, which Spark does
+    * not guarantee, never decides. State per key is the O(active
+    * windows) admitted-count map, trimmed to the 8 newest windows each
+    * call (older windows are final under any sane watermark), so state
+    * is bounded at any scale; keys partition across executors like all
+    * flatMapGroupsWithState state. */
+  def rateLimit(events: Dataset[Event], limit: Int,
+      windowSec: Long): Dataset[Admission] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Map[Long, Long], Admission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(Map.empty[Long, Long])
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val w = e.ts.getTime / (windowSec * 1000)
+              val n = st.getOrElse(w, 0L)
+              val ok = n < limit
+              if (ok) st = st.updated(w, n + 1)
+              Admission(e.event_id, uid, e.ts, ok)
+            }
+          if (st.size > 8)
+            st = st.toSeq.sortBy(-_._1).take(8).toMap
+          state.update(st)
+          out.iterator
+      }
   }
 
   /** s_join_stream_stream: watermarked stream-stream interval join — each
