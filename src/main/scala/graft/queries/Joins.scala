@@ -188,6 +188,45 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Forward as-of join (round 10): each event matched to the EARLIEST
+    // order at-or-after its as-of instant — the "next scheduled
+    // action" direction (pandas merge_asof direction='forward'),
+    // complementing q_join_asof's backward "latest state at time t".
+    // Same scale-correct shape: one union + ONE user-keyed merge-sorted
+    // window pass (never a per-event subquery), first-ignoring-nulls
+    // over the FOLLOWING frame instead of last over PRECEDING. Events
+    // sort before orders at the same instant (is_event desc) so an
+    // equal-date order is visible to the event's frame = at-or-after;
+    // same-date ties resolve to the smallest order key on both engines.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .withColumn("asof", date_add(lit("1992-01-01").cast("date"),
+          (col("event_id") % 2500).cast("int")))
+      val ev = e.select(col("user_id").as("uid"),
+        col("asof").cast("timestamp").as("t"), lit(1).as("is_event"),
+        col("event_id"), lit(null).cast("timestamp").as("odate"),
+        lit(null).cast("long").as("okey"))
+      val or = Tables(s, d, "orders").select(
+        col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        col("o_orderdate").as("odate"), col("o_orderkey").as("okey"))
+      val w = Window.partitionBy("uid")
+        .orderBy(col("t").asc, col("is_event").desc,
+          col("okey").asc_nulls_last)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.unionByName(or)
+        .withColumn("next_odate",
+          first(col("odate"), ignoreNulls = true).over(w))
+        .withColumn("next_okey",
+          first(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("uid").as("user_id"),
+          date_format(col("t"), "yyyy-MM-dd").as("asof_date"),
+          date_format(col("next_odate"), "yyyy-MM-dd").as("order_date"),
+          col("next_okey").as("o_orderkey"))
+        .orderBy("event_id")
+    }),
+
     // Bloom-prefiltered join (round 6): the explicit form of the runtime
     // row-level filter Catalyst injects for selective joins — build ONE
     // compact bloom sketch over the dim side's join key (bloom_agg, a
@@ -385,6 +424,27 @@ object Joins {
         |     AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND CAST(o2.o_orderdate AS DATE) <= e.asof)
+        |  ) AS o_orderkey
+        |FROM e
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         DATE '1992-01-01' + CAST(event_id % 2500 AS INT) AS asof
+        |  FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.asof, '%Y-%m-%d') AS asof_date,
+        |  strftime((SELECT min(o.o_orderdate) FROM orders o
+        |            WHERE o.o_custkey = e.user_id
+        |              AND CAST(o.o_orderdate AS DATE) >= e.asof),
+        |           '%Y-%m-%d') AS order_date,
+        |  (SELECT min(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND CAST(o.o_orderdate AS DATE) >= e.asof
+        |     AND o.o_orderdate = (SELECT min(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey = e.user_id
+        |                            AND CAST(o2.o_orderdate AS DATE) >= e.asof)
         |  ) AS o_orderkey
         |FROM e
         |ORDER BY e.event_id""".stripMargin,

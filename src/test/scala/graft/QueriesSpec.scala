@@ -233,6 +233,35 @@ class QueriesSpec extends AnyFunSuite {
       s"both scans must read bucketed layout:\n$plan")
   }
 
+  test("q_join_asof_fwd: direction, tie handling, complement of backward") {
+    val fwd = SparkEntry.queries("q_join_asof_fwd")(spark, sf).collect()
+    val bwd = SparkEntry.queries("q_join_asof")(spark, sf).collect()
+    assert(fwd.nonEmpty && fwd.length == bwd.length)
+    fwd.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getString(3) >= r.getString(2), // ISO strings order by date
+          s"forward match ${r.getString(3)} precedes asof ${r.getString(2)}")
+    }
+    bwd.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getString(3) <= r.getString(2))
+    }
+    // on an exact-date hit both directions agree on the date
+    val fwdById = fwd.map(r => r.getLong(0) -> r).toMap
+    bwd.foreach { b =>
+      if (!b.isNullAt(3) && b.getString(3) == b.getString(2)) {
+        val f = fwdById(b.getLong(0))
+        assert(!f.isNullAt(3) && f.getString(3) == b.getString(2),
+          s"event ${b.getLong(0)}: exact-date order missed forward")
+      }
+    }
+    // somewhere the two directions disagree (the variant is not a rename)
+    assert(fwd.zip(bwd).exists { case (f, b) =>
+      f.isNullAt(3) != b.isNullAt(3) ||
+        (!f.isNullAt(3) && f.getString(3) != b.getString(3))
+    })
+  }
+
   test("q_importance_sample: gate identity, u bounds, expectation tracking") {
     val rows = SparkEntry.queries("q_importance_sample")(spark, sf).collect()
     assert(rows.nonEmpty)
