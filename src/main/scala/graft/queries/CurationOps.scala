@@ -315,6 +315,46 @@ object CurationOps {
     // divide returns NULL while DuckDB's IEEE float divide returns
     // inf/nan, silently flipping row membership cross-engine. One
     // map-side agg + broadcast join: a single scan at any scale.
+    // ── Gopher quality rules ──────────────────────────────────────────
+    // Round 10: the Gopher/Dolma rule-based quality gate as ONE compound
+    // operator with per-rule verdicts — the transparent companion to
+    // q_quality_score's opaque composite (a pipeline owner needs to know
+    // WHICH rule dropped a doc to tune thresholds): word count in
+    // [50, 100k], mean word length in [3, 10], >= 80% of words contain a
+    // letter, >= 2 distinct stop words present (the Gopher paper's
+    // bounds, which the fixture distribution genuinely straddles), all
+    // folded into gopher_keep. Exact integer arithmetic until the two
+    // 4dp-rounded divisions; rule cuts compare the ROUNDED values so
+    // both engines gate identically. Stateless array-HOF projection —
+    // no explode, no shuffle, map-side at any scale.
+    "q_gopher_rules" -> ((s, d) => {
+      val tok = split(lower(col("text")), " ")
+      val stopArr = array(
+        Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      Tables(s, d, "documents")
+        .withColumn("n_words", size(tok).cast("long"))
+        .withColumn("mean_word_len",
+          round(aggregate(transform(tok, t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / col("n_words"), 4))
+        .withColumn("frac_alpha",
+          round(size(filter(tok, t => t.rlike("[a-z]"))).cast("double")
+            / col("n_words"), 4))
+        .withColumn("n_stop_distinct",
+          size(array_intersect(array_distinct(tok), stopArr)).cast("long"))
+        .withColumn("r_wordcount",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("r_meanlen",
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .withColumn("r_alpha", col("frac_alpha") >= 0.8)
+        .withColumn("r_stop", col("n_stop_distinct") >= 2)
+        .withColumn("gopher_keep", col("r_wordcount") && col("r_meanlen")
+          && col("r_alpha") && col("r_stop"))
+        .select("doc_id", "n_words", "mean_word_len", "frac_alpha",
+          "n_stop_distinct", "r_wordcount", "r_meanlen", "r_alpha",
+          "r_stop", "gopher_keep")
+        .orderBy("doc_id")
+    }),
+
     "q_outlier_zscore" -> ((s, d) => {
       val dec = col("value").cast("decimal(12,2)")
       val stats = Tables(s, d, "events").groupBy("event_type").agg(
@@ -735,8 +775,39 @@ object CurationOps {
         |FROM b GROUP BY source, bin
         |ORDER BY source, bin""".stripMargin,
 
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(tok) AS n_words,
+        |    CAST(list_aggregate(list_transform(tok, x -> length(x)),
+        |      'sum') AS BIGINT) AS sum_len,
+        |    len(list_filter(tok, x -> regexp_matches(x, '[a-z]')))
+        |      AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(tok),
+        |      ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT)
+        |      AS n_stop_distinct
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    round(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |    round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS frac_alpha,
+        |    n_stop_distinct
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
+        |  n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_meanlen,
+        |  frac_alpha >= 0.8 AS r_alpha,
+        |  n_stop_distinct >= 2 AS r_stop,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND frac_alpha >= 0.8 AND n_stop_distinct >= 2 AS gopher_keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "q_outlier_zscore" ->
-      """WITH s AS (
+"""WITH s AS (
         |  SELECT event_type, count(*) AS n,
         |    CAST(round(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sx,
         |    CAST(round(SUM(CAST(value AS DECIMAL(12,2))

@@ -188,6 +188,33 @@ class CurationSpec extends AnyFunSuite {
       s"expected the rank window under (pid, event_type):\n$plan")
   }
 
+  test("q_gopher_rules: verdicts derive from surfaced stats, gate discriminates, map-side") {
+    val rows = run("q_gopher_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ml, fa, ns) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))
+      // every rule flag is exactly the advertised cut of its own column
+      assert(r.getBoolean(5) == (nw >= 50 && nw <= 100000))
+      assert(r.getBoolean(6) == (ml >= 3.0 && ml <= 10.0))
+      assert(r.getBoolean(7) == (fa >= 0.8))
+      assert(r.getBoolean(8) == (ns >= 2))
+      // ...and keep is exactly their conjunction
+      assert(r.getBoolean(9) == (r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7) && r.getBoolean(8)))
+    }
+    // the gate must discriminate on the fixture — an all-pass (or
+    // all-fail) ruleset pins nothing
+    assert(rows.exists(_.getBoolean(9)) && rows.exists(!_.getBoolean(9)))
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+    assert(rows.exists(_.getBoolean(8)) && rows.exists(!_.getBoolean(8)))
+    // stateless projection: no hash exchange anywhere (presentation sort
+    // is the only exchange allowed)
+    val plan = run("q_gopher_rules").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"rule gate must not shuffle:\n$plan")
+  }
+
   test("q_anomaly_mad: medians independently exact, flag matches score, scale-safe windows") {
     val rows = run("q_anomaly_mad").collect()
     assert(rows.nonEmpty)
