@@ -634,6 +634,53 @@ object CurationOps {
         .orderBy("source")
     }),
 
+    // ── Incremental novelty ───────────────────────────────────────────
+    // Round 10: q_ngram_novelty's production form — novelty of a NEW
+    // drop (doc_id % 10 = 3) against a PERSISTED corpus shingle set,
+    // the question an incremental pipeline actually asks ("how much of
+    // this crawl is new?") without touching the corpus. The corpus-side
+    // DISTINCT shingle set is materialized once, content-addressed and
+    // bucketed on the 8-byte hash (FixtureLayout); each drop then pays
+    // O(drop): sketch the drop with the same fused shingle kernel,
+    // LEFT ANTI join its shingles against the stored set (the bucketed
+    // side arrives pre-hashed — no shuffle on the stored side), then
+    // first-seen-within-drop min + per-doc counts. Corpus re-scanned
+    // ZERO times per refresh (CurationSpec plan pin). "First" here is
+    // corpus-BEFORE-drop (the corpus is older by construction), then
+    // min doc_id inside the drop — so a drop doc's novel count is
+    // always <= its batch q_ngram_novelty count (CurationSpec pins the
+    // containment).
+    "q_novelty_incremental" -> ((s, d) => {
+      val isNew = col("doc_id") % 10 === 3
+      val tag = FixtureLayout.contentTag(d, Seq("documents"))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_novidx_$tag"
+      val stored = FixtureLayout.ensureBucketedTable(s,
+        s"graft_novidx_${tag}_sh", s"$base/sh", "s", 8) {
+        par(Tables(s, d, "documents")).filter(!isNew)
+          .select(explode(graft.functions.ShingleHash60(s, col("text"), 3,
+            distinct = true)).as("s"))
+          .distinct()
+      }
+      val dropSh = par(Tables(s, d, "documents")).filter(isNew)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHash60(s, col("text"), 3,
+            distinct = true)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dropSh.count() // eager: one sketch pass feeds counts + anti-join
+      val perDoc = dropSh.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"))
+      val novel = dropSh.join(stored, Seq("s"), "left_anti")
+        .groupBy("s").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nn"))
+      val out = perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("nn"), lit(0L)).as("n_novel"),
+          round(coalesce(col("nn"), lit(0L)).cast("double")
+            / col("n_shingles"), 6).as("novelty"))
+      materializeAndFree(out, dropSh).orderBy("doc_id")
+    }),
+
     // ── Token entropy per source ──────────────────────────────────────
     // Shannon entropy of each source's unigram distribution (nats) —
     // low entropy flags templated/boilerplate sources, and the number
@@ -774,6 +821,32 @@ object CurationOps {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM b GROUP BY source, bin
         |ORDER BY source, bin""".stripMargin,
+
+    "q_novelty_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(list_distinct(
+        |      [array_to_string(tok[i+1:i+3], ' ')
+        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |corpus AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 3),
+        |drop_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 3),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_shingles
+        |  FROM drop_sh GROUP BY doc_id),
+        |novel AS (
+        |  SELECT doc_id, COUNT(*) AS nn
+        |  FROM (SELECT d.s, MIN(d.doc_id) AS doc_id
+        |        FROM drop_sh d LEFT JOIN corpus c ON c.s = d.s
+        |        WHERE c.s IS NULL GROUP BY d.s)
+        |  GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_shingles,
+        |  CAST(COALESCE(n.nn, 0) AS BIGINT) AS n_novel,
+        |  round(CAST(COALESCE(n.nn, 0) AS DOUBLE) / p.n_shingles, 6)
+        |    AS novelty
+        |FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH t AS (

@@ -399,6 +399,45 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_novelty_incremental: drop-only scans, stored shingle set, batch containment") {
+    // warm the bucketed corpus shingle table, then pin the refresh plan
+    run("q_novelty_incremental").count()
+    val df = run("q_novelty_incremental")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // only drop docs appear; bounds hold
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 3, s"non-drop doc ${r.getLong(0)}")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3); assert(f >= 0.0 && f <= 1.0)
+    }
+    // containment vs the batch operator: a shingle novel against the
+    // ALREADY-OLDER corpus is a fortiori first-seen under the batch
+    // min-doc_id convention, so inc novel count <= batch novel count
+    val batch = SparkEntry.queries("q_ngram_novelty")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) <= batch(r.getLong(0)),
+        s"doc ${r.getLong(0)}: inc ${r.getLong(2)} > batch ${batch(r.getLong(0))}")
+    }
+    // plan: corpus arrives from the stored bucketed table; every live
+    // documents scan carries the drop filter (corpus re-scanned zero
+    // times per refresh). The eager localCheckpoint collapses the
+    // returned frame to an ExistingRDD scan, so inspect through the
+    // DumpPlans escape hatch like the other sketch-plan pins.
+    spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    val plan =
+      try run("q_novelty_incremental").queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+    assert(plan.contains("graft_novidx_"),
+      s"stored shingle table missing from the refresh plan:\n$plan")
+    val docScans = plan.linesIterator
+      .filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty, "drop side must scan documents")
+    docScans.foreach(l => assert(l.contains("% 10) = 3"),
+      s"documents scan without the drop filter (corpus re-scanned):\n$l"))
+  }
+
   test("q_stats_incremental: corpus served by persisted partials, drop-only scans") {
     // warm the partial table (idempotent), then pin the refresh plan:
     // the only documents scans are the NEW-drop side (% 10 = 3 filter);
