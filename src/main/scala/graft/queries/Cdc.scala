@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -159,24 +159,7 @@ object Cdc {
     // key%3==0, v2 delete for key%10==0; latest version per key wins by
     // `updated` (NOT arrival order), deletes drop the key (R11 semantics).
     "q_cdc_latest_by_key" -> ((s, d) => {
-      val o = Tables(s, d, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      val v0 = o.select(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"),
-        (col("o_orderkey") * 10).as("updated"), lit(false).as("deleted"))
-      val v1 = o.filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          lit("U").as("o_orderstatus"),
-          (col("o_totalprice") + 1000.0).as("o_totalprice"),
-          (col("o_orderkey") * 10 + 1).as("updated"),
-          lit(false).as("deleted"))
-      val v2 = o.filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
-          lit(null).cast("string").as("o_orderstatus"),
-          lit(null).cast("double").as("o_totalprice"),
-          (col("o_orderkey") * 10 + 2).as("updated"),
-          lit(true).as("deleted"))
-      val all = v0.unionByName(v1).unionByName(v2)
+      val all = versionedFeed(s, d)
       val w = Window.partitionBy("o_orderkey").orderBy(col("updated").desc)
       all.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && !col("deleted"))
@@ -184,7 +167,52 @@ object Cdc {
           "updated")
         .orderBy("o_orderkey")
     }),
+
+    // SCD type-2 materialization (round 10): the HISTORY-keeping twin of
+    // q_cdc_latest_by_key's last-writer-wins — every non-delete version
+    // becomes a dimension row with its validity interval [valid_from,
+    // valid_to), closed by the NEXT version's HLC `updated` (update or
+    // delete alike; the open interval marks is_current). The standard
+    // warehouse consumption of a changefeed when point-in-time joins
+    // must keep working after upstream rows mutate. Ordering is by
+    // `updated`, never arrival (the same R11 lesson). One key-window
+    // lead() pass over the feed — a single o_orderkey shuffle at any
+    // scale, the same cost as the latest-state compaction.
+    "q_cdc_scd2" -> ((s, d) => {
+      val all = versionedFeed(s, d)
+      val w = Window.partitionBy("o_orderkey").orderBy(col("updated").asc)
+      all.withColumn("valid_to", lead(col("updated"), 1).over(w))
+        .filter(!col("deleted"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("updated").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
   )
+
+  /** The synthetic versioned changefeed shared by q_cdc_latest_by_key and
+    * q_cdc_scd2: v0 insert for every order, v1 update for key%3==0, v2
+    * delete for key%10==0, HLC-ordered by `updated` = key*10+version. */
+  private def versionedFeed(s: SparkSession, d: String): DataFrame = {
+    val o = Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val v0 = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      (col("o_orderkey") * 10).as("updated"), lit(false).as("deleted"))
+    val v1 = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        (col("o_orderkey") * 10 + 1).as("updated"),
+        lit(false).as("deleted"))
+    val v2 = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        (col("o_orderkey") * 10 + 2).as("updated"),
+        lit(true).as("deleted"))
+    v0.unionByName(v1).unionByName(v2)
+  }
 
   val oracle: Map[String, String] = Map(
     // Independent derivation: expected parse output computed directly from
@@ -249,5 +277,28 @@ object Cdc {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, updated
         |FROM latest WHERE rn = 1 AND NOT deleted
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cdc_scd2" ->
+      """WITH versions AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderkey * 10 AS updated, FALSE AS deleted
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0,
+        |         o_orderkey * 10 + 1, FALSE
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, NULL,
+        |         o_orderkey * 10 + 2, TRUE
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |intervals AS (
+        |  SELECT *, lead(updated) OVER (PARTITION BY o_orderkey
+        |                                ORDER BY updated) AS valid_to
+        |  FROM versions)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       updated AS valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM intervals WHERE NOT deleted
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
   )
 }

@@ -233,6 +233,35 @@ class QueriesSpec extends AnyFunSuite {
       s"both scans must read bucketed layout:\n$plan")
   }
 
+  test("q_cdc_scd2: interval chains, current-row rule, agrees with latest-state") {
+    val rows = SparkEntry.queries("q_cdc_scd2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rs) =>
+      // per key: versions chain — each closed interval ends exactly where
+      // the next begins (or at the delete), current rows are open
+      val sorted = rs.sortBy(_.getLong(4))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(5) && a.getLong(5) == b.getLong(4),
+            s"key $k: interval chain broken at ${a.getLong(4)}")
+        case _ => ()
+      }
+      val current = rs.filter(_.getBoolean(6))
+      if (k % 10 == 0) assert(current.isEmpty,
+        s"deleted key $k must have no current row")
+      else assert(current.length == 1,
+        s"live key $k must have exactly one current row")
+    }
+    // the open rows ARE the latest-state compaction (shared feed, two
+    // consumption modes that must agree)
+    val latest = SparkEntry.queries("q_cdc_latest_by_key")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    val open = rows.filter(_.getBoolean(6))
+      .map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(open == latest, "SCD2 current rows != latest-state compaction")
+  }
+
   test("q_join_asof_fwd: direction, tie handling, complement of backward") {
     val fwd = SparkEntry.queries("q_join_asof_fwd")(spark, sf).collect()
     val bwd = SparkEntry.queries("q_join_asof")(spark, sf).collect()
