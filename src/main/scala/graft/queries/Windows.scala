@@ -151,6 +151,42 @@ object Windows {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Time-series gap fill (round 10): per-user HOURLY resample with
+    // forward fill — the ClickHouse-WITH-FILL / QuestDB-SAMPLE-BY
+    // telemetry shape a training-metrics pipeline runs before joining
+    // sparse signals: hours with no events appear as explicit gap rows
+    // (n_events = 0) carrying the LAST observed hourly value forward.
+    // The grid is bounded PER SERIES ([first, last] active hour of that
+    // user, never the global range), so row volume is sum of active
+    // spans — the per-series resample contract that stays linear at any
+    // scale. One (user, hour) two-phase agg, sequence()-exploded grids
+    // off the O(users) bounds frame, one user-keyed left join + ONE
+    // user-windowed running last() (bounded by the span). Hourly sums
+    // ride the Det exact-decimal path; the fill copies those 2dp-rounded
+    // doubles verbatim, so forward fill is engine-exact.
+    "q_events_gap_fill" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("hr_value"))
+      val bounds = hourly.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("filled_value",
+          last(col("hr_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:00").as("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("filled_value"),
+          (coalesce(col("n_events"), lit(0L)) === 0).as("is_gap"))
+        .orderBy("user_id", "hr")
+    }),
+
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -271,5 +307,33 @@ object Windows {
         |  MAX(us) - MIN(us) AS duration_us
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_events_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    COUNT(*) AS n_events,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |      AS hr_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |  FROM hourly GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.hr,
+        |    COALESCE(h.n_events, 0) AS n_events, h.hr_value
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:00') AS hr,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  last_value(hr_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY j.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value,
+        |  n_events = 0 AS is_gap
+        |FROM j ORDER BY user_id, 2""".stripMargin,
   )
 }

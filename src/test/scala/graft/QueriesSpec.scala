@@ -233,6 +233,40 @@ class QueriesSpec extends AnyFunSuite {
       s"both scans must read bucketed layout:\n$plan")
   }
 
+  test("q_events_gap_fill: contiguous per-series grid, fill semantics, conservation") {
+    val rows = SparkEntry.queries("q_events_gap_fill")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:00")
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      // endpoints of each series are observations, never gaps
+      assert(!sorted.head.getBoolean(4) && !sorted.last.getBoolean(4),
+        s"user $uid: series must start and end on an observed hour")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // grid is contiguous: consecutive rows are exactly 1h apart
+          val ta = java.time.LocalDateTime.parse(a.getString(1), fmt)
+          val tb = java.time.LocalDateTime.parse(b.getString(1), fmt)
+          assert(java.time.Duration.between(ta, tb).toHours == 1,
+            s"user $uid: grid hole between ${a.getString(1)} and ${b.getString(1)}")
+          // forward fill: a gap row carries the previous row's value
+          if (b.getBoolean(4))
+            assert(b.getDouble(3) == a.getDouble(3),
+              s"user $uid @ ${b.getString(1)}: gap value not carried forward")
+        case _ => ()
+      }
+      rs.foreach { r =>
+        assert(r.getBoolean(4) == (r.getLong(2) == 0))
+        assert(!r.isNullAt(3), "filled_value must never be null")
+      }
+    }
+    // gaps genuinely exist on the fixture, and observed counts conserve
+    assert(rows.exists(_.getBoolean(4)))
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables(spark, sf, "events").count())
+  }
+
   test("q_cdc_scd2: interval chains, current-row rule, agrees with latest-state") {
     val rows = SparkEntry.queries("q_cdc_scd2")(spark, sf).collect()
     assert(rows.nonEmpty)
