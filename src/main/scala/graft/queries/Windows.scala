@@ -187,6 +187,39 @@ object Windows {
         .orderBy("user_id", "hr")
     }),
 
+    // Cohort retention (round 10): the classic product-analytics matrix
+    // next to q_funnel and q_sessionize — users grouped by first-seen
+    // DAY (cohort), each later active day counted as (cohort,
+    // day-offset, distinct users), normalized by cohort size. Output is
+    // O(days^2) rows regardless of corpus size. Scale shape: first-seen
+    // is one user-keyed two-phase agg; attaching cohorts to activity is
+    // one user-keyed equi-join; the distinct collapses (cohort, offset,
+    // user) before the count; cohort sizes join back on the tiny
+    // per-day frame. Retention rounds at 4dp on the double quotient of
+    // two exact counts (the q_domain_mix-proven comparison class).
+    "q_retention_cohort" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val sizes = first.groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_cohort"))
+      val act = e.join(first, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("day_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_active"))
+      act.join(sizes, "cohort_day")
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd")
+            .as("cohort_day"),
+          col("day_offset"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 4)
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -335,5 +368,29 @@ object Windows {
         |    AS filled_value,
         |  n_events = 0 AS is_gap
         |FROM j ORDER BY user_id, 2""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firsts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_day, COUNT(*) AS n_cohort
+        |  FROM firsts GROUP BY cohort_day),
+        |act AS (
+        |  SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+        |         e.user_id
+        |  FROM e JOIN firsts f USING (user_id)
+        |  GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT cohort_day, day_offset, COUNT(*) AS n_active
+        |  FROM act GROUP BY 1, 2)
+        |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(a.day_offset AS BIGINT) AS day_offset,
+        |  CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+        |  round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 4) AS retention
+        |FROM agg a JOIN sizes s USING (cohort_day)
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -233,6 +233,33 @@ class QueriesSpec extends AnyFunSuite {
       s"both scans must read bucketed layout:\n$plan")
   }
 
+  test("q_retention_cohort: day-0 is total, bounds, cohort partition of users") {
+    val rows = SparkEntry.queries("q_retention_cohort")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, act, coh, ret) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))
+      assert(off >= 0)
+      assert(act >= 1 && act <= coh,
+        s"${r.getString(0)}+$off: active $act of cohort $coh")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+    // day 0: every cohort member is active on their own first day
+    val day0 = rows.filter(_.getLong(1) == 0)
+    assert(day0.nonEmpty)
+    day0.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0,
+        s"cohort ${r.getString(0)}: day-0 retention must be 1.0")
+    }
+    // cohorts partition the user base: day-0 sizes sum to distinct users
+    val users = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(day0.map(_.getLong(3)).sum == users)
+    // retention decays can't exceed day-0 anywhere (act <= coh asserted
+    // above); and some cohort genuinely retains past day 0
+    assert(rows.exists(_.getLong(1) > 0))
+  }
+
   test("q_events_gap_fill: contiguous per-series grid, fill semantics, conservation") {
     val rows = SparkEntry.queries("q_events_gap_fill")(spark, sf).collect()
     assert(rows.nonEmpty)
