@@ -1172,6 +1172,78 @@ object AnnOps {
           col("token"), col("ctf"), col("score"))
         .orderBy(col("cell").asc, col("rk").asc)
     }),
+
+    // Per-label embedding-space audit (round 10): centroid + cohesion
+    // stats per labeled class — the class-separation health check run
+    // before trusting labels for q_knn_classify-style curation (a label
+    // whose members barely align with their own centroid is noise, not
+    // signal). Per label: member count, centroid norm, mean and MINIMUM
+    // member-to-own-centroid cosine. All arithmetic rides the proven
+    // portable paths: centroids are the semAssigned exact-decimal
+    // 6dp-half-up means (float32-cast before use), per-member cosine
+    // rounds at 6dp, and the MEAN cosine is computed in INTEGER
+    // micro-units with sign-aware half-up division — never a double
+    // quotient near a rounding boundary. Scale shape: one (label, dim)
+    // two-phase agg collected at O(labels x dims), centroids ride back
+    // as a broadcast map literal, one stateless cosine projection + a
+    // per-label agg. Nothing pairwise.
+    "q_label_centroids" -> ((s, d) => {
+      import graft.functions.DotProduct
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"),
+          sqrt(DotProduct(s, col("embedding"), col("embedding")))
+            .as("nrm"))
+        .filter(col("nrm") > 0)
+      val sums = emb
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .withColumn("x6", round(col("v").cast("double"), 6)
+          .cast("decimal(12,6)"))
+        .groupBy("label", "i")
+        .agg(sum("x6").as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val centD: Map[Long, Array[Double]] = sums.groupBy(_.getLong(0))
+        .map { case (b, rows) =>
+          val arr = new Array[Double](64)
+          rows.foreach { r =>
+            val smMicro = BigInt(r.getDecimal(2).movePointRight(6)
+              .toBigIntegerExact)
+            val n = BigInt(r.getLong(3))
+            val q = if (smMicro.signum >= 0) (smMicro * 2 + n) / (n * 2)
+                    else -(((-smMicro) * 2 + n) / (n * 2))
+            arr(r.getInt(1)) = q.toDouble / 1e6
+          }
+          b -> arr
+        }
+      val centF: Map[Long, Seq[Float]] =
+        centD.map { case (b, a) => b -> a.map(_.toFloat).toSeq }
+      val cnrm: Map[Long, Double] = centF.map { case (b, f) =>
+        var acc = 0.0
+        f.foreach(x => acc += x.toDouble * x.toDouble)
+        b -> math.sqrt(acc)
+      }
+      val centMap = typedLit(centF)
+      val cnrmMap = typedLit(cnrm)
+      emb
+        .withColumn("cos6", round(
+          DotProduct(s, col("embedding"),
+            element_at(centMap, col("label")))
+            / (col("nrm") * element_at(cnrmMap, col("label"))), 6))
+        .withColumn("micro", round(col("cos6") * 1e6, 0).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("micro").as("sm"),
+          min("cos6").as("min_cos"))
+        .withColumn("mean_cos",
+          expr("""CAST(CASE WHEN sm >= 0
+                   THEN (2*sm + n_vecs) DIV (2*n_vecs)
+                   ELSE -((2*(-sm) + n_vecs) DIV (2*n_vecs))
+                  END AS DOUBLE) / 1000000.0"""))
+        .withColumn("centroid_norm",
+          round(element_at(cnrmMap, col("label")), 6))
+        .select("label", "n_vecs", "centroid_norm", "mean_cos", "min_cos")
+        .orderBy("label")
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -1522,5 +1594,67 @@ object AnnOps {
         |FROM scored s JOIN sz z USING (cell)
         |QUALIFY rk <= 3
         |ORDER BY s.cell, rk""".stripMargin,
+
+    // Label-centroid twin: identical exact-decimal 6dp-half-up centroid
+    // means (HUGEINT), float32 cast, 6dp member cosines, and the
+    // integer-micro-unit sign-aware half-up MEAN — no double quotient
+    // near a rounding boundary anywhere.
+    "q_label_centroids" ->
+      """WITH ce AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+        |           AS nrm
+        |  FROM ce GROUP BY vec_id),
+        |live AS (SELECT vec_id FROM norms WHERE nrm > 0),
+        |lab AS (
+        |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+        |  FROM embeddings e JOIN live USING (vec_id)),
+        |x6 AS (
+        |  SELECT c.vec_id, c.i,
+        |         CAST(round(CAST(c.v AS DOUBLE), 6) AS DECIMAL(12,6)) AS x6
+        |  FROM ce c JOIN live USING (vec_id)),
+        |sums AS (
+        |  SELECT l.label, x.i, CAST(SUM(x.x6) * 1000000 AS HUGEINT) AS sm,
+        |         COUNT(*) AS n
+        |  FROM x6 x JOIN lab l USING (vec_id) GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, i,
+        |    CAST(CAST(CASE WHEN sm >= 0 THEN (2*sm + n) // (2*n)
+        |                   ELSE -((2*(-sm) + n) // (2*n)) END AS DOUBLE)
+        |         / 1000000.0 AS REAL) AS cvf
+        |  FROM sums),
+        |cn AS (
+        |  SELECT label, sqrt(SUM(CAST(cvf AS DOUBLE) * CAST(cvf AS DOUBLE)))
+        |           AS cnrm
+        |  FROM cent GROUP BY label),
+        |dots AS (
+        |  SELECT c.vec_id, l.label,
+        |         SUM(CAST(c.v AS DOUBLE) * CAST(ct.cvf AS DOUBLE)) AS dot
+        |  FROM ce c JOIN lab l USING (vec_id)
+        |            JOIN cent ct ON ct.label = l.label AND ct.i = c.i
+        |  GROUP BY 1, 2),
+        |cos6 AS (
+        |  SELECT d.vec_id, d.label,
+        |         round(d.dot / (nr.nrm * cn.cnrm), 6) AS c6
+        |  FROM dots d JOIN norms nr ON nr.vec_id = d.vec_id
+        |              JOIN cn ON cn.label = d.label),
+        |agg AS (
+        |  SELECT label, COUNT(*) AS n_vecs,
+        |    CAST(SUM(CAST(round(c6 * 1000000, 0) AS HUGEINT)) AS HUGEINT)
+        |      AS sm,
+        |    MIN(c6) AS min_cos
+        |  FROM cos6 GROUP BY label)
+        |SELECT a.label, CAST(a.n_vecs AS BIGINT) AS n_vecs,
+        |  round(cn.cnrm, 6) AS centroid_norm,
+        |  CAST(CAST(CASE WHEN a.sm >= 0
+        |         THEN (2*a.sm + a.n_vecs) // (2*a.n_vecs)
+        |         ELSE -((2*(-a.sm) + a.n_vecs) // (2*a.n_vecs)) END
+        |       AS DOUBLE) / 1000000.0 AS DOUBLE) AS mean_cos,
+        |  a.min_cos
+        |FROM agg a JOIN cn USING (label)
+        |ORDER BY a.label""".stripMargin,
   )
 }

@@ -324,6 +324,31 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_label_centroids: per-label audit bounds, conservation, determinism") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_label_centroids")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, cn, mc, mn) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      assert(n > 0 && cn >= 0)
+      assert(mc >= -1.0 && mc <= 1.0 && mn >= -1.0 && mn <= 1.0)
+      assert(mn <= mc, s"label ${r.getLong(0)}: min $mn > mean $mc")
+    }
+    // labels partition the live corpus
+    val live = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        sqrt(graft.functions.DotProduct(spark, col("embedding"),
+          col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0).count()
+    assert(rows.map(_.getLong(1)).sum == live)
+    // the audit must show spread (min strictly below mean somewhere —
+    // an all-equal column would mean the cosine never varied)
+    assert(rows.exists(r => r.getDouble(4) < r.getDouble(3)))
+    val again = SparkEntry.queries("q_label_centroids")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("simhash finds the low-hamming planted near-dup pairs") {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
     assert(pairs.nonEmpty)
