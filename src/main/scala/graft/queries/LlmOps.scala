@@ -52,6 +52,41 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // ── Dedup dashboard (round 10) ───────────────────────────────────
+    // One report frame over the WHOLE dedup family — corpus size, docs
+    // lost to exact duplication, near-dup pair counts per detector
+    // (jaccard / containment / simhash), duplicate-cluster count, and
+    // docs a cluster-canonical pass would drop. This is the number set
+    // a pipeline owner reads after every crawl drop; composing it from
+    // the individually-proven operators (like q_curation_keep composes
+    // the verdict) means the COMPOSITION is hash-checked end-to-end,
+    // and the report can never disagree with the operators it
+    // summarizes. Each branch keeps its own proven scale shape; the
+    // union is seven 1-row frames.
+    "q_dedup_report" -> ((s, d) => {
+      def m(name: String, agg: Column,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(coalesce(agg, lit(0L)).cast("long").as("value"))
+          .select(lit(name).as("metric"), col("value"))
+      val docs = Tables(s, d, "documents")
+      m("n_docs", count(lit(1)), docs)
+        .unionByName(m("exact_dup_docs", sum(col("n_copies") - 1),
+          q("q_dedup_exact")(s, d)))
+        .unionByName(m("jaccard_pairs", count(lit(1)),
+          TextOps.q("q_dedup_ngram_jaccard")(s, d)))
+        .unionByName(m("containment_pairs", count(lit(1)),
+          TextOps.q("q_dedup_containment")(s, d)))
+        .unionByName(m("simhash_pairs", count(lit(1)),
+          AnnOps.q("q_dedup_simhash")(s, d)))
+        .unionByName(m("near_dup_clusters", countDistinct(col("cluster_id")),
+          AnnOps.q("q_dedup_cluster")(s, d)
+            .filter(col("cluster_size") > 1)))
+        .unionByName(m("near_dup_drop_docs", count(lit(1)),
+          AnnOps.q("q_dedup_cluster")(s, d)
+            .filter(!col("is_canonical"))))
+        .orderBy("metric")
+    }),
+
     // Global token frequency top-50: explode -> two-phase agg -> top-k.
     "q_text_tokens" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -377,6 +412,37 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "q_bpe_tokenize" -> bpeOracle(bpeK),
+
+    // Composed from the individually-proven family twins (each embedded
+    // as a subquery), so the dashboard's aggregation is itself
+    // hash-checked end-to-end — the q_curation_keep pattern.
+    "q_dedup_report" ->
+      s"""SELECT metric, value FROM (
+         |SELECT 'n_docs' AS metric,
+         |  CAST(COUNT(*) AS BIGINT) AS value FROM documents
+         |UNION ALL
+         |SELECT 'exact_dup_docs',
+         |  CAST((SELECT COUNT(*) FROM documents)
+         |    - (SELECT COUNT(DISTINCT md5(lower(trim(text))))
+         |       FROM documents) AS BIGINT)
+         |UNION ALL
+         |SELECT 'jaccard_pairs', CAST(COUNT(*) AS BIGINT)
+         |FROM (${TextOps.oracle("q_dedup_ngram_jaccard")}) jp
+         |UNION ALL
+         |SELECT 'containment_pairs', CAST(COUNT(*) AS BIGINT)
+         |FROM (${TextOps.oracle("q_dedup_containment")}) cp
+         |UNION ALL
+         |SELECT 'simhash_pairs', CAST(COUNT(*) AS BIGINT)
+         |FROM (${AnnOps.oracle("q_dedup_simhash")}) sp
+         |UNION ALL
+         |SELECT 'near_dup_clusters', CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+         |FROM (${AnnOps.oracle("q_dedup_cluster")}) cl
+         |WHERE cluster_size > 1
+         |UNION ALL
+         |SELECT 'near_dup_drop_docs', CAST(COUNT(*) AS BIGINT)
+         |FROM (${AnnOps.oracle("q_dedup_cluster")}) cd
+         |WHERE NOT is_canonical
+         |) ORDER BY metric""".stripMargin,
 
     "q_embedding_project" ->
       """WITH r AS (

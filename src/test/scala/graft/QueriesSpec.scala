@@ -233,6 +233,28 @@ class QueriesSpec extends AnyFunSuite {
       s"both scans must read bucketed layout:\n$plan")
   }
 
+  test("q_dedup_report: every number equals its source operator") {
+    val rep = SparkEntry.queries("q_dedup_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == Set("n_docs", "exact_dup_docs", "jaccard_pairs",
+      "containment_pairs", "simhash_pairs", "near_dup_clusters",
+      "near_dup_drop_docs"))
+    assert(rep("n_docs") == Tables(spark, sf, "documents").count())
+    val exact = SparkEntry.queries("q_dedup_exact")(spark, sf).collect()
+    assert(rep("exact_dup_docs") ==
+      exact.map(_.getLong(exact.head.fieldIndex("n_copies")) - 1).sum)
+    assert(rep("jaccard_pairs") ==
+      SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf).count())
+    assert(rep("containment_pairs") ==
+      SparkEntry.queries("q_dedup_containment")(spark, sf).count())
+    assert(rep("simhash_pairs") ==
+      SparkEntry.queries("q_dedup_simhash")(spark, sf).count())
+    val cl = SparkEntry.queries("q_dedup_cluster")(spark, sf).collect()
+    assert(rep("near_dup_clusters") ==
+      cl.filter(_.getLong(2) > 1).map(_.getLong(1)).distinct.length)
+    assert(rep("near_dup_drop_docs") == cl.count(!_.getBoolean(3)))
+  }
+
   test("q_retention_cohort: day-0 is total, bounds, cohort partition of users") {
     val rows = SparkEntry.queries("q_retention_cohort")(spark, sf).collect()
     assert(rows.nonEmpty)
