@@ -529,6 +529,181 @@ object CurationOps {
         .orderBy("event_type")
     }),
 
+    // ── A/B experiment readout (round 10) ─────────────────────────────
+    // The two-sample significance test next to q_ks_drift's
+    // distribution-drift test — the readout every data/product team runs
+    // before acting on an experiment: deterministic 50/50 variant
+    // assignment by the portable h60(user_id) gate (reproducible across
+    // runs/engines/repartitioning, the q_train_val_split property — a
+    // user can never switch arms), then BOTH canonical metrics in one
+    // row: a two-proportion z on a conversion predicate (>= 14 purchases
+    // — the fixture's per-user median, so the rate genuinely splits) and
+    // a Welch z on per-user total purchase value. Determinism: per-user
+    // totals and per-variant moments ride exact decimal sums (the
+    // q_outlier_zscore scheme), every divide/sqrt then runs the SAME
+    // IEEE double expression shape on both engines, and the 1.96 gates
+    // cut on 6dp-rounded values. Scale shape: one user_id-keyed
+    // two-phase agg over the raw events, one 2-row agg on the
+    // O(users) frame, and a 1-row x 1-row join — nothing wider than the
+    // user key ever shuffles, and the test statistics are O(1) rows
+    // regardless of corpus size.
+    "q_abtest_ztest" -> ((s, d) => {
+      val dec = col("value").cast("decimal(12,2)")
+      val users = Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          sum((col("event_type") === "purchase").cast("long")).as("np"),
+          round(sum(when(col("event_type") === "purchase", dec)
+            .otherwise(lit(0).cast("decimal(12,2)"))), 2)
+            .cast("double").as("pv"))
+        .withColumn("variant",
+          when(pmod(h60(col("user_id").cast("string")), lit(2)) === 0,
+            "A").otherwise("B"))
+        .withColumn("converted", (col("np") >= 14).cast("long"))
+      val pvDec = col("pv").cast("decimal(12,2)")
+      val byV = users.groupBy("variant").agg(
+        count(lit(1)).as("n"),
+        sum(col("converted")).as("conv"),
+        round(sum(pvDec), 2).cast("double").as("sx"),
+        round(sum(pvDec * pvDec), 4).cast("double").as("sxx"))
+      val a = byV.filter(col("variant") === "A")
+        .select(col("n").as("n_a"), col("conv").as("conv_a"),
+          col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+      val b = byV.filter(col("variant") === "B")
+        .select(col("n").as("n_b"), col("conv").as("conv_b"),
+          col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+      val r1 = col("conv_a").cast("double") / col("n_a")
+      val r2 = col("conv_b").cast("double") / col("n_b")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val zRate = (r1 - r2) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      val m1 = col("sx_a") / col("n_a")
+      val m2 = col("sx_b") / col("n_b")
+      val v1 = col("sxx_a") / col("n_a") - m1 * m1
+      val v2 = col("sxx_b") / col("n_b") - m2 * m2
+      val zMean = (m1 - m2) /
+        sqrt(v1 / col("n_a") + v2 / col("n_b"))
+      a.crossJoin(b)
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(r1, 6).as("rate_a"), round(r2, 6).as("rate_b"),
+          round(zRate, 6).as("z_rate"),
+          round(m1, 6).as("mean_a"), round(m2, 6).as("mean_b"),
+          round(zMean, 6).as("z_mean"))
+        .withColumn("sig_rate", abs(col("z_rate")) >= 1.96)
+        .withColumn("sig_mean", abs(col("z_mean")) >= 1.96)
+    }),
+
+    // ── Declarative data-quality expectations (round 10) ─────────────
+    // The dbt-test / Great-Expectations contract as one operator: a
+    // fixed rule suite over the live tables — per rule, how many rows
+    // violate it and whether the gate holds. Rules cover the four
+    // families every warehouse audit runs: referential integrity
+    // (orders.o_custkey resolves in customer — LEFT ANTI, the scale
+    // shape: the violation count is the join's output size, never a
+    // row-by-row EXISTS), uniqueness (o_orderkey single-occupancy via
+    // one key-agg), domain/range (status in its enum, totalprice > 0,
+    // orderdate inside the business window — map-side filters), and
+    // completeness (non-null keys). Each rule is one scan or one
+    // key-keyed agg; the report is O(rules) rows at any scale, and a
+    // failing gate names its rule instead of poisoning downstream ops
+    // silently (the R5 dead-letter philosophy applied to batch QA).
+    "q_dq_expectations" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val c = Tables(s, d, "customer")
+      def rule(idx: Long, name: String, violations: Column,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(coalesce(violations, lit(0L)).cast("long").as("n_violations"))
+          .select(lit(idx).as("rule_idx"), lit(name).as("rule"),
+            col("n_violations"),
+            (col("n_violations") === 0).as("pass"))
+      rule(1L, "orders_custkey_resolves",
+          count(lit(1)),
+          o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+        .unionByName(rule(2L, "orderkey_unique",
+          sum(when(col("n") > 1, col("n")).otherwise(lit(0L))),
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))))
+        .unionByName(rule(3L, "status_in_domain",
+          sum((!col("o_orderstatus").isin("F", "O", "P")).cast("long")), o))
+        .unionByName(rule(4L, "totalprice_positive",
+          sum((col("o_totalprice") <= 0).cast("long")), o))
+        .unionByName(rule(5L, "orderdate_in_window",
+          sum((col("o_orderdate") < lit("1990-01-01").cast("timestamp_ntz") ||
+            col("o_orderdate") >= lit("2010-01-01").cast("timestamp_ntz"))
+            .cast("long")), o))
+        .unionByName(rule(6L, "custkey_not_null",
+          sum(col("o_custkey").isNull.cast("long")), o))
+        // deliberately tight cap the fixture genuinely violates — a QA
+        // suite where every rule passes proves nothing about counting
+        .unionByName(rule(7L, "totalprice_below_cap",
+          sum((col("o_totalprice") > 400000).cast("long")), o))
+        .orderBy("rule_idx")
+    }),
+
+    // ── RFM customer segmentation (round 10) ─────────────────────────
+    // Recency / Frequency / Monetary quintile scoring — the classic
+    // customer-value segmentation (and the tabular twin of the corpus
+    // quality gates: score each entity against corpus-adaptive
+    // distribution cuts). The quintile boundaries are EXACT p20/p40/
+    // p60/p80 per metric from the shared exactTypeQuantiles machinery
+    // (q_winsorize's two-pass range-partitioned rank shape — never a
+    // one-task ntile over the whole customer base, which is how this
+    // op is usually written and exactly what dies at scale): the three
+    // metrics unpivot into (metric, value, custkey) rows so ONE
+    // quantile pass covers all of them. Scores then come from a
+    // 12-value broadcast threshold row via CASE steps — map-side, so
+    // the whole operator is one o_custkey agg + the quantile pass +
+    // a stateless scoring projection. Determinism: recency/frequency
+    // are exact ints, monetary an exact 2dp decimal sum, thresholds
+    // 4dp-rounded (the proven quantile_cont parity), so every > cut
+    // is engine-identical.
+    "q_rfm_segments" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val cust = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("lastd"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("monetary"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency_days",
+          datediff(col("mxd"), col("lastd")).cast("long"))
+        .drop("mxd", "lastd")
+      val unpiv = cust.select(lit("recency").as("event_type"),
+          col("recency_days").cast("double").as("value"),
+          col("o_custkey").as("id"))
+        .unionByName(cust.select(lit("freq").as("event_type"),
+          col("frequency").cast("double").as("value"),
+          col("o_custkey").as("id")))
+        .unionByName(cust.select(lit("monetary").as("event_type"),
+          col("monetary").as("value"), col("o_custkey").as("id")))
+      val th = exactTypeQuantiles(s, unpiv,
+        Seq(0.2 -> "p20", 0.4 -> "p40", 0.6 -> "p60", 0.8 -> "p80"),
+        "q_rfm_segments")
+      val aggs = for (m <- Seq("recency", "freq", "monetary");
+                      p <- Seq("p20", "p40", "p60", "p80"))
+        yield max(when(col("event_type") === m, col(p))).as(s"${m}_$p")
+      val thRow = th.agg(aggs.head, aggs.tail: _*)
+      def steps(v: Column, m: String): Column =
+        lit(1) + (v > col(s"${m}_p20")).cast("int") +
+          (v > col(s"${m}_p40")).cast("int") +
+          (v > col(s"${m}_p60")).cast("int") +
+          (v > col(s"${m}_p80")).cast("int")
+      cust.crossJoin(broadcast(thRow))
+        .withColumn("r_score", (lit(6) -
+          steps(col("recency_days").cast("double"), "recency"))
+          .cast("long"))
+        .withColumn("f_score",
+          steps(col("frequency").cast("double"), "freq").cast("long"))
+        .withColumn("m_score",
+          steps(col("monetary"), "monetary").cast("long"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm"))
+        .orderBy("o_custkey")
+    }),
+
     // ── Shard assignment (corpus shuffle for training export) ────────
     // The step between curation and training: give every document a
     // reproducible pseudo-random position — shard = hash mod N (scale-
@@ -632,6 +807,42 @@ object CurationOps {
         .withColumn("avg_chars",
           round(col("sum_chars").cast("double") / col("n_docs"), 6))
         .orderBy("source")
+    }),
+
+    // ── Incremental distinct counts via mergeable HLL sketches ────────
+    // Round 10: the sketch-partial materialized view — per-event-type
+    // DISTINCT-user counts maintained without ever recounting the
+    // corpus. q_stats_incremental handles ALGEBRAIC partials (count/
+    // sum); distinct is the canonical aggregate that has no algebraic
+    // partial, so this is the missing class: Datasketches HLL partials
+    // (lgK=12, ~2.5 KB each) persisted once content-addressed, each
+    // refresh sketches only the new drop (event_id % 10 = 3) and merges
+    // O(types) sketch rows. HLL union at equal lgK is LOSSLESS: the
+    // merged estimate is bit-identical to sketching the whole table in
+    // one pass (CurationSpec pins the equality, plus <2% error vs exact
+    // distinct, plus the drop-only-scan plan). At 100 TB this is how
+    // per-day/per-source distinct dashboards stay O(drop) per refresh;
+    // the same stored sketches answer any OR-combination of slices via
+    // further unions, which exact counters cannot.
+    "q_distinct_incremental" -> ((s, d) => {
+      val isNew = col("event_id") % 10 === 3
+      val tag = FixtureLayout.contentTag(d, Seq("events"))
+      def sketch(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+      val path = FixtureLayout.ensureDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_hllidx_$tag/user_sketches") {
+        staging =>
+          sketch(Tables(s, d, "events").filter(!isNew))
+            .coalesce(1).write.parquet(staging)
+      }
+      s.read.parquet(path)
+        .unionByName(sketch(Tables(s, d, "events").filter(isNew)))
+        .groupBy("event_type")
+        .agg(hll_union_agg(col("sketch"), lit(false)).as("merged"))
+        .select(col("event_type"),
+          hll_sketch_estimate(col("merged")).as("est_users"))
+        .orderBy("event_type")
     }),
 
     // ── Incremental novelty ───────────────────────────────────────────
@@ -970,6 +1181,148 @@ object CurationOps {
         |      END AS drifted
         |FROM c GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_abtest_ztest" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+         |    CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+         |        THEN CAST(value AS DECIMAL(12,2))
+         |        ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS pv
+         |  FROM events GROUP BY user_id),
+         |v AS (
+         |  SELECT CASE WHEN ${h60Sql("user_id")} % 2 = 0
+         |           THEN 'A' ELSE 'B' END AS variant,
+         |    CASE WHEN np >= 14 THEN 1 ELSE 0 END AS converted, pv
+         |  FROM u),
+         |ab AS (
+         |  SELECT variant, COUNT(*) AS n, SUM(converted) AS conv,
+         |    CAST(ROUND(SUM(CAST(pv AS DECIMAL(12,2))), 2) AS DOUBLE) AS sx,
+         |    CAST(ROUND(SUM(CAST(pv AS DECIMAL(12,2))
+         |      * CAST(pv AS DECIMAL(12,2))), 4) AS DOUBLE) AS sxx
+         |  FROM v GROUP BY variant),
+         |j AS (
+         |  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b,
+         |    b.conv AS conv_b, a.sx AS sx_a, a.sxx AS sxx_a,
+         |    b.sx AS sx_b, b.sxx AS sxx_b
+         |  FROM (SELECT * FROM ab WHERE variant = 'A') a
+         |  CROSS JOIN (SELECT * FROM ab WHERE variant = 'B') b),
+         |z AS (
+         |  SELECT CAST(n_a AS BIGINT) AS n_a,
+         |    CAST(conv_a AS BIGINT) AS conv_a,
+         |    CAST(n_b AS BIGINT) AS n_b,
+         |    CAST(conv_b AS BIGINT) AS conv_b,
+         |    round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+         |    round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+         |    round((CAST(conv_a AS DOUBLE) / n_a
+         |           - CAST(conv_b AS DOUBLE) / n_b)
+         |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_rate,
+         |    round(sx_a / n_a, 6) AS mean_a,
+         |    round(sx_b / n_b, 6) AS mean_b,
+         |    round((sx_a / n_a - sx_b / n_b)
+         |      / sqrt((sxx_a / n_a - (sx_a / n_a) * (sx_a / n_a)) / n_a
+         |           + (sxx_b / n_b - (sx_b / n_b) * (sx_b / n_b)) / n_b),
+         |      6) AS z_mean
+         |  FROM j)
+         |SELECT *, abs(z_rate) >= 1.96 AS sig_rate,
+         |  abs(z_mean) >= 1.96 AS sig_mean
+         |FROM z""".stripMargin,
+
+    "q_dq_expectations" ->
+      """WITH r1 AS (
+        |  SELECT COUNT(*) AS v FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey)),
+        |r2 AS (
+        |  SELECT COALESCE(SUM(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS v
+        |  FROM (SELECT o_orderkey, COUNT(*) AS n
+        |        FROM orders GROUP BY o_orderkey)),
+        |r3 AS (
+        |  SELECT SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |             THEN 1 ELSE 0 END) AS v FROM orders),
+        |r4 AS (
+        |  SELECT SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v
+        |  FROM orders),
+        |r5 AS (
+        |  SELECT SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |               OR o_orderdate >= TIMESTAMP '2010-01-01'
+        |             THEN 1 ELSE 0 END) AS v FROM orders),
+        |r6 AS (
+        |  SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM orders)
+        |SELECT rule_idx, rule, n_violations, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rule_idx,
+        |    'orders_custkey_resolves' AS rule,
+        |    CAST((SELECT v FROM r1) AS BIGINT) AS n_violations
+        |  UNION ALL SELECT 2, 'orderkey_unique',
+        |    CAST((SELECT v FROM r2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'status_in_domain',
+        |    CAST((SELECT v FROM r3) AS BIGINT)
+        |  UNION ALL SELECT 4, 'totalprice_positive',
+        |    CAST((SELECT v FROM r4) AS BIGINT)
+        |  UNION ALL SELECT 5, 'orderdate_in_window',
+        |    CAST((SELECT v FROM r5) AS BIGINT)
+        |  UNION ALL SELECT 6, 'custkey_not_null',
+        |    CAST((SELECT v FROM r6) AS BIGINT)
+        |  UNION ALL SELECT 7, 'totalprice_below_cap',
+        |    CAST((SELECT SUM(CASE WHEN o_totalprice > 400000
+        |                     THEN 1 ELSE 0 END) FROM orders) AS BIGINT))
+        |ORDER BY rule_idx""".stripMargin,
+
+    "q_rfm_segments" -> {
+      val pivotCols = (for (m <- Seq("recency", "freq", "monetary");
+                            p <- Seq("p20", "p40", "p60", "p80"))
+        yield s"MAX(CASE WHEN m = '$m' THEN $p END) AS ${m}_$p")
+        .mkString(",\n    ")
+      def steps(v: String, m: String) =
+        s"""1 + (CASE WHEN $v > ${m}_p20 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN $v > ${m}_p40 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN $v > ${m}_p60 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN $v > ${m}_p80 THEN 1 ELSE 0 END)""".stripMargin
+      s"""WITH mx AS (
+         |  SELECT CAST(max(o_orderdate) AS DATE) AS mxd FROM orders),
+         |cust AS (
+         |  SELECT o_custkey,
+         |    date_diff('day', CAST(max(o_orderdate) AS DATE), mx.mxd)
+         |      AS recency_days,
+         |    COUNT(*) AS frequency,
+         |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+         |         AS DOUBLE) AS monetary
+         |  FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.mxd),
+         |unp AS (
+         |  SELECT 'recency' AS m, CAST(recency_days AS DOUBLE) AS v
+         |  FROM cust
+         |  UNION ALL SELECT 'freq', CAST(frequency AS DOUBLE) FROM cust
+         |  UNION ALL SELECT 'monetary', monetary FROM cust),
+         |th AS (
+         |  SELECT m,
+         |    round(quantile_cont(v, 0.2), 4) AS p20,
+         |    round(quantile_cont(v, 0.4), 4) AS p40,
+         |    round(quantile_cont(v, 0.6), 4) AS p60,
+         |    round(quantile_cont(v, 0.8), 4) AS p80
+         |  FROM unp GROUP BY m),
+         |t AS (
+         |  SELECT
+         |    $pivotCols
+         |  FROM th),
+         |scored AS (
+         |  SELECT c.o_custkey,
+         |    CAST(c.recency_days AS BIGINT) AS recency_days,
+         |    CAST(c.frequency AS BIGINT) AS frequency, c.monetary,
+         |    CAST(6 - (${steps("CAST(c.recency_days AS DOUBLE)", "recency")})
+         |         AS BIGINT) AS r_score,
+         |    CAST(${steps("CAST(c.frequency AS DOUBLE)", "freq")}
+         |         AS BIGINT) AS f_score,
+         |    CAST(${steps("c.monetary", "monetary")}
+         |         AS BIGINT) AS m_score
+         |  FROM cust c CROSS JOIN t)
+         |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm
+         |FROM scored
+         |ORDER BY o_custkey""".stripMargin
+    },
 
     "q_shard_assign" ->
       s"""SELECT ${h60Sql("doc_id")} % 16 AS shard,

@@ -445,6 +445,72 @@ object TextOps {
       materializeAndFree(dir, sh).orderBy("d_sub", "d_super")
     }),
 
+    // ── Fuzzy edit-distance dedup (round 10) ─────────────────────────
+    // Levenshtein-verified near-dup pairs — the SEQUENTIAL similarity
+    // the set-based family can't express: Jaccard/containment see bags
+    // of shingles (insensitive to order and to how edits cluster), while
+    // edit distance certifies "B is A with <= 20% of its characters
+    // changed" — the contract record-linkage and plagiarism pipelines
+    // actually want. The O(len^2) DP per pair is far too expensive to
+    // run on all candidates, so the shape is the production two-stage
+    // verify: the cheap set-similarity prefilter (the proven
+    // ngram-jaccard candidate machinery at a permissive 0.5 bar,
+    // including the shingleDfCap knob) bounds the candidate list, and
+    // the quadratic-per-pair levenshtein runs ONLY on that tiny list
+    // with both texts joined back by doc_id. Everything compared is an
+    // exact integer (edit distance, lengths), so the 6dp relative-edit
+    // quotient is engine-identical by construction.
+    "q_dedup_fuzzy_edit" -> ((s, d) => {
+      val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
+      val docs = par(Tables(s, d, "documents"))
+      val sh = docs
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleHash60(s, col("text"), 3,
+            distinct = true)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager fill: one md5 pass for all reads
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = if (cap <= 0) {
+        sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        val cand = sh.join(rare, "s").as("a")
+          .join(sh.join(rare, "s").as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .dropDuplicates("d1", "d2")
+        val full = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
+        cand
+          .join(full.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
+          .join(full.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+              .as("inter"))
+      }
+      val cands = inter
+        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+        .filter(round(col("inter").cast("double")
+          / (col("s1.n") + col("s2.n") - col("inter")), 6) >= 0.5)
+        .select("d1", "d2")
+      val t = docs.select(col("doc_id"), col("text"))
+      val out = cands
+        .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+        .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+        .select(col("d1"), col("d2"),
+          length(col("t1")).cast("long").as("len1"),
+          length(col("t2")).cast("long").as("len2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
+        .withColumn("rel_edit", round(col("edit_dist").cast("double")
+          / greatest(col("len1"), col("len2")), 6))
+        .withColumn("is_dup", col("rel_edit") <= 0.2)
+      materializeAndFree(out, sh).orderBy("d1", "d2")
+    }),
+
     // ── N-gram novelty (round 10) ────────────────────────────────────
     // Per-doc fraction of its distinct 3-gram shingles that first appear
     // in THIS doc (first occurrence = min doc_id over the corpus) — the
@@ -473,6 +539,104 @@ object TextOps {
           round(coalesce(col("nn"), lit(0L)).cast("double")
             / col("n_shingles"), 6).as("novelty"))
       materializeAndFree(out, sh).orderBy("doc_id")
+    }),
+
+    // ── Zipf rank-frequency fit (round 10) ───────────────────────────
+    // Log-log OLS fit of the token rank-frequency curve over the top-100
+    // vocabulary head — the corpus-health diagnostic next to
+    // q_entropy_per_source: natural text tracks slope ≈ -1 (Zipf's
+    // law); a much shallower slope flags templated/synthetic content, a
+    // much steeper one a collapsed vocabulary — both reasons to hold a
+    // crawl drop before it feeds training. Determinism: the head cut is
+    // totally ordered (count desc, token asc — q_vocab_coverage's
+    // boundary scheme), ln(rank)/ln(count) pre-round at 12dp into exact
+    // decimals (q_unigram_logprob's ln-parity scheme) so the OLS sums
+    // are order-independent, and the closed-form slope/intercept then
+    // run one fixed double expression on 8dp-rounded sums. Scale shape:
+    // one token two-phase agg + a top-K TakeOrdered; the window rank
+    // and the OLS run on the 100-row head — output is 1 row at any
+    // corpus size.
+    "q_zipf_fit" -> ((s, d) => {
+      val toks = par(Tables(s, d, "documents"))
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val head = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(100)
+      val ranked = head.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      val terms = ranked.select(
+        round(log(col("rank").cast("double")), 12)
+          .cast("decimal(20,12)").as("x"),
+        round(log(col("cnt").cast("double")), 12)
+          .cast("decimal(20,12)").as("y"))
+      val sums = terms.agg(
+        count(lit(1)).as("n_points"),
+        round(sum(col("x")), 8).cast("double").as("sx"),
+        round(sum(col("y")), 8).cast("double").as("sy"),
+        round(sum(col("x") * col("y")), 8).cast("double").as("sxy"),
+        round(sum(col("x") * col("x")), 8).cast("double").as("sxx"))
+      val slope = (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_points") * col("sxx") - col("sx") * col("sx"))
+      sums.select(col("n_points"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n_points"), 6)
+          .as("intercept"))
+    }),
+
+    // ── BM25 lexical search (round 10) ───────────────────────────────
+    // Okapi BM25 top-10 retrieval for a literal query ("spark window
+    // join") — the LEXICAL search leg next to the ANN/embedding family:
+    // retrieval-augmented pipelines and dedup triage both need exact
+    // term search over the corpus, and BM25 is its standard scoring.
+    // k1=1.2, b=0.75, Lucene's non-negative idf = ln((N-df+0.5)/(df+0.5)
+    // + 1). Determinism: per-term tf/df/doc-length are exact integers;
+    // idf pre-rounds at 12dp (the q_unigram_logprob ln-parity scheme);
+    // the per-doc score is a FIXED three-term expression (s0+s1+s2 in
+    // literal order — no float aggregation anywhere), rounded at 6dp
+    // with doc_id tie-break for a total order. Scale shape: tf columns
+    // are stateless array-HOF projections riding the ONE corpus scan,
+    // df/avgdl is a single 1-row agg broadcast back, and the top-k is
+    // TakeOrderedAndProject (per-partition heaps, never a global sort).
+    // At 100 TB the 1-row stats frame is the only non-scan work, and an
+    // inverted-index source would slot in at the tf projection seam.
+    "q_bm25_search" -> ((s, d) => {
+      val qterms = Seq("spark", "window", "join")
+      val tok = split(lower(col("text")), " ")
+      val base0 = par(Tables(s, d, "documents"))
+        .select(col("doc_id"), tok.as("tok"))
+        .withColumn("dl",
+          size(filter(col("tok"), t => t =!= "")).cast("long"))
+      val base = qterms.zipWithIndex.foldLeft(base0) { case (acc, (t, i)) =>
+        acc.withColumn(s"tf$i",
+          size(filter(col("tok"), x => x === t)).cast("long"))
+      }.drop("tok")
+      val stats = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl") +:
+          qterms.indices.map(i =>
+            sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val scored = base.crossJoin(broadcast(stats))
+      val norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") / avgdl))
+      val score = qterms.indices.map { i =>
+        val idf = round(
+          log(((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5))
+            / (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0)), 12)
+        idf * (col(s"tf$i").cast("double") * lit(2.2)) /
+          (col(s"tf$i").cast("double") + norm)
+      }.reduceLeft(_ + _)
+      val top = scored
+        .select(col("doc_id"), col("dl"),
+          col("tf0").as("tf_spark"), col("tf1").as("tf_window"),
+          col("tf2").as("tf_join"),
+          round(score, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+        .orderBy("rank")
     }),
 
     // ── Vocabulary coverage / OOV rate (round 10) ────────────────────
@@ -607,6 +771,123 @@ object TextOps {
         |SELECT d_sub, d_super, inter, containment
         |FROM dir WHERE containment >= 0.85
         |ORDER BY d_sub, d_super""".stripMargin,
+
+    "q_dedup_fuzzy_edit" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(list_distinct(
+        |      [array_to_string(tok[i+1:i+3], ' ')
+        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz s1 ON s1.doc_id = d1
+        |  JOIN sz s2 ON s2.doc_id = d2
+        |  WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6)
+        |        >= 0.5),
+        |v AS (
+        |  SELECT d1, d2,
+        |    length(a.text) AS len1, length(b.text) AS len2,
+        |    levenshtein(a.text, b.text) AS edit_dist
+        |  FROM cand
+        |  JOIN documents a ON a.doc_id = d1
+        |  JOIN documents b ON b.doc_id = d2)
+        |SELECT d1, d2,
+        |  CAST(len1 AS BIGINT) AS len1, CAST(len2 AS BIGINT) AS len2,
+        |  CAST(edit_dist AS BIGINT) AS edit_dist,
+        |  round(CAST(edit_dist AS DOUBLE) / greatest(len1, len2), 6)
+        |    AS rel_edit,
+        |  round(CAST(edit_dist AS DOUBLE) / greatest(len1, len2), 6)
+        |    <= 0.2 AS is_dup
+        |FROM v ORDER BY d1, d2""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |head AS (
+        |  SELECT token, COUNT(*) AS cnt
+        |  FROM toks WHERE token <> '' GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT 100),
+        |ranked AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        |  FROM head),
+        |terms AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(20,12)) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(20,12)) AS y
+        |  FROM ranked),
+        |sums AS (
+        |  SELECT COUNT(*) AS n_points,
+        |    CAST(round(SUM(x), 8) AS DOUBLE) AS sx,
+        |    CAST(round(SUM(y), 8) AS DOUBLE) AS sy,
+        |    CAST(round(SUM(x * y), 8) AS DOUBLE) AS sxy,
+        |    CAST(round(SUM(x * x), 8) AS DOUBLE) AS sxx
+        |  FROM terms)
+        |SELECT CAST(n_points AS BIGINT) AS n_points,
+        |  round((n_points * sxy - sx * sy)
+        |        / (n_points * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n_points * sxy - sx * sy)
+        |               / (n_points * sxx - sx * sx)) * sx)
+        |        / n_points, 6) AS intercept
+        |FROM sums""".stripMargin,
+
+    "q_bm25_search" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> t <> '')) AS dl,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> t = 'spark')) AS tf0,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> t = 'window')) AS tf1,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> t = 'join')) AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM base),
+        |scored AS (
+        |  SELECT doc_id, dl, tf0, tf1, tf2,
+        |    round(
+        |      round(ln((CAST(n_docs - df0 AS DOUBLE) + 0.5)
+        |          / (CAST(df0 AS DOUBLE) + 0.5) + 1.0), 12)
+        |        * (CAST(tf0 AS DOUBLE) * 2.2)
+        |        / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |           * (CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |      + round(ln((CAST(n_docs - df1 AS DOUBLE) + 0.5)
+        |          / (CAST(df1 AS DOUBLE) + 0.5) + 1.0), 12)
+        |        * (CAST(tf1 AS DOUBLE) * 2.2)
+        |        / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |           * (CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |      + round(ln((CAST(n_docs - df2 AS DOUBLE) + 0.5)
+        |          / (CAST(df2 AS DOUBLE) + 0.5) + 1.0), 12)
+        |        * (CAST(tf2 AS DOUBLE) * 2.2)
+        |        / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75
+        |           * (CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS score
+        |  FROM base CROSS JOIN stats)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |  CAST(tf0 AS BIGINT) AS tf_spark,
+        |  CAST(tf1 AS BIGINT) AS tf_window,
+        |  CAST(tf2 AS BIGINT) AS tf_join, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |       AS BIGINT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     "q_unigram_logprob" ->
       """WITH toks AS (

@@ -220,6 +220,116 @@ object Windows {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Rolling time-range window (round 10): per-user trailing-24h event
+    // count and value sum AT EVERY EVENT — the event-time RANGE frame
+    // (q_win_frame_range's band is value-based; telemetry feature
+    // engineering needs the time-based one: "activity in the last day"
+    // as a training feature, rate-limit audits, burst detection). Frame
+    // is [t-24h, t] in integer micros, so tie instants share a frame on
+    // both engines. Det exact-decimal sum keeps the windowed float sum
+    // order-independent. One user_id-keyed shuffle; the range frame
+    // evaluates with a sliding two-pointer over each partition — linear
+    // per user at any scale, never a per-event rescan.
+    "q_win_rolling_time" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-dayUs, 0)
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          col("value").cast("decimal(12,2)").as("dec"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("sum_24h",
+          round(sum(col("dec")).over(w), 2).cast("double"))
+        .select("event_id", "user_id", "us", "n_24h", "sum_24h")
+        .orderBy("event_id")
+    }),
+
+    // Marketing attribution (round 10): per purchase, the FIRST-touch
+    // and LAST-touch channel — the credit-assignment views every
+    // conversion report starts from (q_funnel counts the canonical
+    // cascade; attribution answers "which touch gets credit for THIS
+    // purchase"). Touch = click/view/signup; error events and earlier
+    // purchases never take credit. One user-keyed window pass with
+    // ignore-nulls first/last over the strictly-preceding frame — the
+    // q_sessionize shuffle, no joins at all; purchases with no prior
+    // touch keep NULL on both engines. At 100 TB this is one shuffle of
+    // the events table however long the history is.
+    "q_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("touch",
+          when(col("event_type").isin("click", "view", "signup"),
+            col("event_type")))
+        .withColumn("first_touch",
+          first(col("touch"), ignoreNulls = true).over(w))
+        .withColumn("last_touch",
+          last(col("touch"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us", "first_touch", "last_touch")
+        .orderBy("event_id")
+    }),
+
+    // Markov transition matrix (round 10): per-user event-type bigrams
+    // (this event -> next event by time) aggregated into the corpus-level
+    // transition-probability matrix — the behavior model behind
+    // next-action prediction, funnel-leak diagnosis, and session
+    // simulation (q_funnel asks "did the canonical path happen";
+    // this measures EVERY observed path edge). Scale shape: adjacency
+    // comes from ONE user_id-keyed window pass (lead over (ts,
+    // event_id) — the q_sessionize shuffle), the transition counts are a
+    // two-phase agg on the tiny (from, to) key, and row totals join back
+    // on the O(|event_types|) frame — output is |types|^2 regardless of
+    // corpus size. p is a double quotient of two exact counts rounded at
+    // 6dp (the q_retention_cohort-proven comparison class).
+    "q_markov_transition" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tr = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = tr.groupBy(col("event_type").as("from_type"),
+          col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type")
+        .agg(sum("n").as("n_from"))
+      counts.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Sequential pattern mining (round 10): frequent contiguous 3-event
+    // sequences across user histories with TWO support measures —
+    // occurrence count and distinct-user support (the measure that
+    // matters: one bot looping a path inflates occurrences, not users)
+    // — at a user-support floor. q_markov_transition models single
+    // edges; this surfaces the paths (the SPAM/PrefixSpan question at
+    // contiguous-trigram scope). Scale shape: the same single user-
+    // keyed window shuffle (two leads ride one pass), then a two-phase
+    // agg on the tiny (e1,e2,e3) key — count-distinct users expands
+    // internally but the key space is |types|³ regardless of corpus
+    // size. Total-ordered output (count desc, pattern asc).
+    "q_seq_mining" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") >= 3)
+        .orderBy(col("n_occurrences").desc, col("e1").asc,
+          col("e2").asc, col("e3").asc)
+    }),
+
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -391,6 +501,69 @@ object Windows {
         |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
         |  round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 4) AS retention
         |FROM agg a JOIN sizes s USING (cohort_day)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_win_rolling_time" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER w, 2)
+        |       AS DOUBLE) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN event_type IN ('click', 'view', 'signup')
+        |         THEN event_type END AS touch
+        |  FROM events),
+        |t AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    first_value(touch IGNORE NULLS) OVER w AS first_touch,
+        |    last_value(touch IGNORE NULLS) OVER w AS last_touch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, us, first_touch, last_touch
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_seq_mining" ->
+      """WITH tri AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id)),
+        |agg AS (
+        |  SELECT e1, e2, e3, COUNT(*) AS n_occurrences,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM tri WHERE e3 IS NOT NULL GROUP BY e1, e2, e3)
+        |SELECT e1, e2, e3,
+        |  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |  CAST(n_users AS BIGINT) AS n_users
+        |FROM agg WHERE n_users >= 3
+        |ORDER BY n_occurrences DESC, e1, e2, e3""".stripMargin,
+
+    "q_markov_transition" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY 1)
+        |SELECT c.from_type, c.to_type,
+        |  CAST(c.n AS BIGINT) AS n,
+        |  CAST(t.n_from AS BIGINT) AS n_from,
+        |  round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+        |FROM counts c JOIN totals t USING (from_type)
         |ORDER BY 1, 2""".stripMargin,
   )
 }

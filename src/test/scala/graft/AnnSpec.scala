@@ -297,6 +297,49 @@ class AnnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.shingleDfCap")
   }
 
+  test("q_dedup_fuzzy_edit: verified pairs, gate identity, jaccard recall") {
+    val rows = SparkEntry.queries("q_dedup_fuzzy_edit")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture near-dups must survive the 0.5 prefilter")
+    rows.foreach { r =>
+      val (len1, len2) = (r.getAs[Long]("len1"), r.getAs[Long]("len2"))
+      val ed = r.getAs[Long]("edit_dist")
+      val rel = r.getAs[Double]("rel_edit")
+      // edit distance bounds: |len1-len2| <= lev <= max(len1,len2)
+      assert(ed >= math.abs(len1 - len2) && ed <= math.max(len1, len2),
+        s"impossible levenshtein: $r")
+      assert(rel >= 0.0 && rel <= 1.0)
+      assert(r.getAs[Boolean]("is_dup") == (rel <= 0.2),
+        s"dup gate must cut on the displayed rel_edit: $r")
+    }
+    // recall: every jaccard>=0.8 pair clears the 0.5 candidate bar by
+    // construction, so it must appear in the fuzzy verify output
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { p => assert(pairs.contains(p),
+        s"jaccard pair $p missing from fuzzy-edit candidates") }
+    // family plan contract: candidates come from the shingle equi-join —
+    // the O(len^2) levenshtein never runs all-pairs
+    val plan = SparkEntry.queries("q_dedup_fuzzy_edit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in fuzzy-edit plan:\n$plan")
+  }
+
+  test("q_dedup_fuzzy_edit: df-capped path returns identical rows") {
+    val exact = SparkEntry.queries("q_dedup_fuzzy_edit")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.shingleDfCap", "25")
+    try {
+      val capped = SparkEntry.queries("q_dedup_fuzzy_edit")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(capped == exact,
+        s"df-capped fuzzy-edit diverged:\ncapped=$capped\nexact=$exact")
+    } finally spark.conf.unset("spark.graft.shingleDfCap")
+  }
+
   test("q_cluster_summary: per-cell top-3, doc conservation, determinism") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_cluster_summary")(spark, sf).collect()

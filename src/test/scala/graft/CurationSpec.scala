@@ -461,4 +461,128 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_docs"))).toMap
     assert(got == full, s"merged stats != full recompute: $got vs $full")
   }
+
+  test("q_distinct_incremental: lossless merge, <2% error, drop-only scans") {
+    // warm the stored sketch partials (idempotent), then pin the refresh
+    run("q_distinct_incremental").count()
+    val df = run("q_distinct_incremental")
+    val got = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // HLL union at equal lgK is lossless: merged partials must estimate
+    // EXACTLY what a single-pass sketch of the whole table estimates
+    val whole = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == whole,
+      s"merged-partial estimates diverge from single-pass: $got vs $whole")
+    // and the sketch answers are near the exact truth
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, est) =>
+      val e = exact(t)
+      assert(math.abs(est - e).toDouble / e < 0.02,
+        s"$t: estimate $est vs exact $e exceeds 2%")
+    }
+    // plan: the only events scans are the new-drop side; the corpus
+    // arrives as the stored sketch parquet
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hllidx_"),
+      s"persisted sketches missing from the refresh plan:\n$plan")
+    val evScans = plan.linesIterator
+      .filter(_.contains("events.parquet")).toSeq
+    assert(evScans.nonEmpty, "drop side must scan events")
+    evScans.foreach(l => assert(l.contains("% 10) = 3"),
+      s"events scan without the drop filter (corpus re-counted):\n$l"))
+  }
+
+  test("q_dq_expectations: gate identity, clean rules pass, planted cap fails") {
+    val rows = run("q_dq_expectations").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L), "rule_idx 1..7")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) == 0L),
+        s"pass flag must cut on the violation count: $r")
+    }
+    // the fixture warehouse is clean for the structural rules...
+    rows.filter(_.getLong(0) <= 6).foreach { r =>
+      assert(r.getBoolean(3), s"structural rule must hold on fixture: $r")
+    }
+    // ...and the deliberately tight price cap genuinely counts violators
+    val cap = rows.find(_.getString(1) == "totalprice_below_cap").get
+    val expected = Tables(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000).count()
+    assert(expected > 0, "fixture must violate the planted cap")
+    assert(cap.getLong(2) == expected && !cap.getBoolean(3),
+      s"cap rule: ${cap.getLong(2)} violations vs recount $expected")
+  }
+
+  test("q_rfm_segments: per-customer scores, quintile monotonicity") {
+    val rows = run("q_rfm_segments").collect()
+    val nCust = Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.length == nCust, "one segment row per ordering customer")
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getLong(r.fieldIndex("r_score")),
+        r.getLong(r.fieldIndex("f_score")), r.getLong(r.fieldIndex("m_score")))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5,
+        s"scores out of quintile range: $r")
+      assert(r.getLong(r.fieldIndex("rfm")) == rs * 100 + fs * 10 + ms)
+    }
+    // scores are monotone in their metric (shared global thresholds):
+    // more frequent customer can never have a lower f_score, higher
+    // monetary never a lower m_score, more recent never a lower r_score
+    def monotone(metric: String, score: String, invert: Boolean) = {
+      val pairs = rows.map(r => (
+        if (metric == "monetary") r.getDouble(r.fieldIndex(metric))
+        else r.getLong(r.fieldIndex(metric)).toDouble,
+        r.getLong(r.fieldIndex(score)))).sortBy(_._1)
+      pairs.sliding(2).foreach {
+        case Array((v1, s1), (v2, s2)) =>
+          if (invert) assert(s2 <= s1 || v1 == v2,
+            s"$score not anti-monotone in $metric at $v1->$v2")
+          else assert(s2 >= s1 || v1 == v2,
+            s"$score not monotone in $metric at $v1->$v2")
+        case _ => ()
+      }
+    }
+    monotone("frequency", "f_score", invert = false)
+    monotone("monetary", "m_score", invert = false)
+    monotone("recency_days", "r_score", invert = true)
+    // the quintile cuts genuinely split the fixture
+    assert(rows.map(_.getLong(rows.head.fieldIndex("f_score")))
+      .distinct.length > 1, "f_score must discriminate")
+  }
+
+  test("q_abtest_ztest: arms partition users, gate identity, finite stats") {
+    val rows = run("q_abtest_ztest").collect()
+    assert(rows.length == 1, "experiment readout must be exactly one row")
+    val r = rows.head
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    // the two arms partition the user base — nobody dropped, nobody in both
+    val nUsers = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(l("n_a") + l("n_b") == nUsers,
+      s"arms don't partition users: ${l("n_a")}+${l("n_b")} != $nUsers")
+    assert(l("n_a") > 0 && l("n_b") > 0, "an empty arm makes z undefined")
+    // converter counts bounded by arm sizes; displayed rates agree
+    assert(l("conv_a") <= l("n_a") && l("conv_b") <= l("n_b"))
+    assert(math.abs(d("rate_a") - l("conv_a").toDouble / l("n_a")) < 1e-4)
+    // statistics are finite (the fixture's conversion predicate genuinely
+    // splits, so neither pooled rate nor variance degenerates)
+    assert(!d("z_rate").isNaN && !d("z_rate").isInfinite)
+    assert(!d("z_mean").isNaN && !d("z_mean").isInfinite)
+    // significance gates cut on the displayed 6dp values
+    assert(r.getBoolean(r.fieldIndex("sig_rate")) ==
+      (math.abs(d("z_rate")) >= 1.96))
+    assert(r.getBoolean(r.fieldIndex("sig_mean")) ==
+      (math.abs(d("z_mean")) >= 1.96))
+    // variant assignment is the portable h60 gate: re-running moves nobody
+    val again = run("q_abtest_ztest").collect().head
+    assert(again.toString == r.toString, "readout must be deterministic")
+  }
 }

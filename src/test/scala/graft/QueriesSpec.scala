@@ -59,7 +59,8 @@ class QueriesSpec extends AnyFunSuite {
       "q_audio_dedup",          // binary decode — planted-segment MultiModalSpec
       "q_heavy_hitters_cms",    // count-min sketch — bounds in LlmOpsSpec
       "q_heavy_hitters_mg",     // Misra-Gries summary — bounds in LlmOpsSpec
-      "q_ann_search_incremental") // approximate ANN over persisted index — AnnSpec
+      "q_ann_search_incremental", // approximate ANN over persisted index — AnnSpec
+      "q_distinct_incremental") // HLL sketch partials — merge/tolerance in CurationSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == noOracleAllowed,
       s"unexpected no-oracle queries: ${actual -- noOracleAllowed}; " +
@@ -440,6 +441,171 @@ class QueriesSpec extends AnyFunSuite {
     // determinism: the top-200 boundary is totally ordered, so two runs
     // agree exactly
     val again = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q_win_rolling_time: trailing-24h frame matches brute force") {
+    val rows = SparkEntry.queries("q_win_rolling_time")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dayUs = 86400000000L
+    // brute-force the frame per user at fixture scale
+    val byUser = rows.groupBy(_.getLong(1))
+    byUser.foreach { case (uid, rs) =>
+      val times = rs.map(_.getLong(2)).sorted
+      rs.foreach { r =>
+        val t = r.getLong(2)
+        val expected = times.count(u => u >= t - dayUs && u <= t)
+        assert(r.getLong(3) == expected,
+          s"user $uid @ $t: n_24h=${r.getLong(3)} brute=$expected")
+      }
+    }
+    // the frame always contains the current row
+    assert(rows.forall(_.getLong(3) >= 1))
+  }
+
+  test("q_attribution: one row per purchase, touch rules, brute-force agree") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf).collect()
+    val nPurchase = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == nPurchase)
+    val touches = Set("click", "view", "signup")
+    rows.foreach { r =>
+      // credit only ever goes to a touch channel
+      if (!r.isNullAt(3)) assert(touches(r.getString(3)))
+      if (!r.isNullAt(4)) assert(touches(r.getString(4)))
+      // a purchase with any prior touch has BOTH views; with none, neither
+      assert(r.isNullAt(3) == r.isNullAt(4))
+    }
+    // brute-force both views from the raw history
+    val hist = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, es) =>
+        u -> es.sortBy(e => (e.getLong(2), e.getLong(3))) }
+    rows.foreach { r =>
+      val (uid, us, eid) = (r.getLong(1), r.getLong(2), r.getLong(0))
+      val prior = hist(uid).takeWhile(e =>
+        e.getLong(2) < us ||
+          (e.getLong(2) == us && e.getLong(3) < eid))
+        .map(_.getString(1)).filter(touches)
+      assert(prior.headOption == Option(
+        if (r.isNullAt(3)) null else r.getString(3)),
+        s"purchase $eid: first_touch mismatch")
+      assert(prior.lastOption == Option(
+        if (r.isNullAt(4)) null else r.getString(4)),
+        s"purchase $eid: last_touch mismatch")
+    }
+  }
+
+  test("q_record_linkage: every import links, case-fold perturbations exact") {
+    val rows = SparkEntry.queries("q_record_linkage")(spark, sf).collect()
+    val nCust = Tables(spark, sf, "customer").count()
+    // blocking never loses the true master (block keys survive both
+    // perturbations), so every import row elects exactly one match
+    assert(rows.length == nCust,
+      s"${rows.length} linked of $nCust imports")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("best_lev")) <= 2)
+      assert(r.getLong(r.fieldIndex("n_cand")) >= 1)
+      val id = r.getLong(r.fieldIndex("import_id"))
+      // uppercased (%3=0) and clean (%3=2) imports case-fold back to a
+      // unique lev-0 master — those must link correctly at distance 0
+      if (id % 3 != 1) {
+        assert(r.getLong(r.fieldIndex("best_lev")) == 0)
+        assert(r.getBoolean(r.fieldIndex("correct")), s"import $id mislinked")
+      }
+    }
+    // overall accuracy: only digit-neighbor ties on truncated names miss
+    val acc = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(acc >= 0.9, s"linkage accuracy $acc below floor")
+  }
+
+  test("q_zipf_fit: one-row fit, decreasing rank-frequency, determinism") {
+    val rows = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = r.getLong(r.fieldIndex("n_points"))
+    val distinct = Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "").select("t").distinct().count()
+    assert(n == math.min(100L, distinct),
+      s"fit must cover the full vocab head: $n vs $distinct")
+    // frequencies genuinely fall with rank on the fixture
+    assert(r.getDouble(r.fieldIndex("slope")) < 0.0,
+      s"rank-frequency slope must be negative: $r")
+    val again = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q_seq_mining: support floor, user<=occurrence, trigram conservation") {
+    val rows = SparkEntry.queries("q_seq_mining")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (occ, usr) = (r.getLong(3), r.getLong(4))
+      assert(usr >= 3, s"support floor violated: $r")
+      assert(usr <= occ, s"distinct-user support can't exceed occurrences: $r")
+    }
+    // output is totally ordered by (count desc, pattern)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) >= b.getLong(3))
+      case _ => ()
+    }
+    // surviving occurrences can't exceed the corpus trigram count
+    val ev = Tables(spark, sf, "events")
+    val maxTri = ev.count() - 2 * ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum <= maxTri)
+  }
+
+  test("q_markov_transition: rows are a stochastic matrix, edge conservation") {
+    val rows = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per from_type: n sums to n_from and probabilities sum to ~1
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val nFrom = rs.head.getLong(3)
+      assert(rs.forall(_.getLong(3) == nFrom),
+        s"$from: inconsistent n_from across rows")
+      assert(rs.map(_.getLong(2)).sum == nFrom,
+        s"$from: transition counts don't sum to the row total")
+      val pSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4,
+        s"$from: probabilities sum to $pSum")
+    }
+    // edge conservation: one transition per event except each user's last
+    val ev = Tables(spark, sf, "events")
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == total - users,
+      "transitions must number events minus one per user")
+  }
+
+  test("q_bm25_search: top-10 contract, tf-monotone scoring, determinism") {
+    val rows = SparkEntry.queries("q_bm25_search")(spark, sf).collect()
+    assert(rows.length == 10, s"top-10 must return 10 rows, got ${rows.length}")
+    // ranks are exactly 1..10 in non-increasing score order
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 10L),
+      "ranks must be 1..10")
+    val scores = rows.map(_.getAs[Double]("score"))
+    scores.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"scores not non-increasing: $a then $b")
+    case _ => () }
+    // every returned doc matches at least one query term, scores positive
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf_spark") + r.getAs[Long]("tf_window") +
+        r.getAs[Long]("tf_join") > 0, s"rank-${r.getAs[Long]("rank")} doc " +
+        "matches no query term")
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+    // the #1 doc beats any corpus doc with term-wise <= tf and >= dl
+    // (BM25 is monotone up in tf, down in length) — spot-check vs #10
+    val (r1, r10) = (rows.head, rows.last)
+    if (r1.getAs[Long]("tf_spark") >= r10.getAs[Long]("tf_spark") &&
+        r1.getAs[Long]("tf_window") >= r10.getAs[Long]("tf_window") &&
+        r1.getAs[Long]("tf_join") >= r10.getAs[Long]("tf_join") &&
+        r1.getAs[Long]("dl") <= r10.getAs[Long]("dl"))
+      assert(r1.getAs[Double]("score") >= r10.getAs[Double]("score"))
+    val again = SparkEntry.queries("q_bm25_search")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 }
