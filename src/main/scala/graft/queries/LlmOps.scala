@@ -69,22 +69,39 @@ object LlmOps {
         df.agg(coalesce(agg, lit(0L)).cast("long").as("value"))
           .select(lit(name).as("metric"), col("value"))
       val docs = Tables(s, d, "documents")
-      m("n_docs", count(lit(1)), docs)
+      // jaccard + containment read the SAME shared candidate machinery
+      // (TextOps.shinglePairSized — the single definition all family
+      // members use), so the dashboard pays the shingle pipeline once
+      // and still cannot disagree with the standalone operators; the
+      // tiny sized pair list persists across the two projections.
+      val (sized0, sh) = TextOps.shinglePairSized(s, d)
+      val sized = sized0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val jac = sized
+        .select(round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+      val cont = sized.select(
+          round(col("inter").cast("double") / col("n1"), 6).as("c"))
+        .unionByName(sized.select(
+          round(col("inter").cast("double") / col("n2"), 6).as("c")))
+        .filter(col("c") >= 0.85)
+      // one cluster build serves both cluster metrics (the operator
+      // returns a materialized frame — reuse it, don't rebuild it)
+      val cl = AnnOps.q("q_dedup_cluster")(s, d)
+      val out = m("n_docs", count(lit(1)), docs)
         .unionByName(m("exact_dup_docs", sum(col("n_copies") - 1),
           q("q_dedup_exact")(s, d)))
-        .unionByName(m("jaccard_pairs", count(lit(1)),
-          TextOps.q("q_dedup_ngram_jaccard")(s, d)))
-        .unionByName(m("containment_pairs", count(lit(1)),
-          TextOps.q("q_dedup_containment")(s, d)))
+        .unionByName(m("jaccard_pairs", count(lit(1)), jac))
+        .unionByName(m("containment_pairs", count(lit(1)), cont))
         .unionByName(m("simhash_pairs", count(lit(1)),
           AnnOps.q("q_dedup_simhash")(s, d)))
         .unionByName(m("near_dup_clusters", countDistinct(col("cluster_id")),
-          AnnOps.q("q_dedup_cluster")(s, d)
-            .filter(col("cluster_size") > 1)))
+          cl.filter(col("cluster_size") > 1)))
         .unionByName(m("near_dup_drop_docs", count(lit(1)),
-          AnnOps.q("q_dedup_cluster")(s, d)
-            .filter(!col("is_canonical"))))
+          cl.filter(!col("is_canonical"))))
         .orderBy("metric")
+      graft.queries.materializeAndFree(out, sh, sized)
     }),
 
     // Global token frequency top-50: explode -> two-phase agg -> top-k.

@@ -73,6 +73,62 @@ object TextOps {
           + (col("n_stop").cast("double") / col("n_tok")) * 0.5, 4))
   }
 
+  /** Shared candidate machinery for the set-similarity dedup family
+    * (jaccard / containment / fuzzy-edit and the dedup dashboard):
+    * per-doc DISTINCT 3-gram shingle hashes persisted once (8 bytes per
+    * shingle, MEMORY_AND_DISK — spills, never OOMs), pair intersection
+    * counts from the shingle equi-join with BOTH set sizes attached.
+    * Honors `spark.graft.shingleDfCap` (df-capped candidate generation
+    * with exact full-set verify — the O(df²) join-row bound). Returns
+    * (sized pairs, shingle cache handle); callers release the handle via
+    * materializeAndFree. One definition so no family member can drift
+    * from the proven candidate semantics, and composite consumers pay
+    * the shingle pipeline exactly once.
+    */
+  private[queries] def shinglePairSized(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
+    val sh = par(graft.Tables(s, d, "documents"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash60(s, col("text"), 3,
+          distinct = true)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager fill: one md5 pass for all reads
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = if (cap <= 0) {
+      sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+    } else {
+      // document frequency per shingle over the cached explode — one
+      // extra 8-byte-key aggregation, the price of bounding the join
+      val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("s")
+      val cand = sh.join(rare, "s").as("a")
+        .join(sh.join(rare, "s").as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      // exact verify over the FULL per-doc shingle sets (rebuilt from
+      // the same cache; shingles are already distinct per doc)
+      val docs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
+      cand
+        .join(docs.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+            .as("inter"))
+    }
+    val sized = inter
+      .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"))
+    (sized, sh)
+  }
+
   val q: Map[String, Q] = Map(
     // n-gram(1) profile heuristic: occurrence count per language marker
     // set, argmax with fixed priority tie-break. (The fixture text is
@@ -333,53 +389,12 @@ object TextOps {
     // the standard stop-shingle trade). Unset/0 = exact single-pass
     // plan, unchanged at fixture scale.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
-      // (doc_id, shingle-hash) is read three times (self-join both sides
-      // + per-doc sizes); persist so the md5 pipeline runs once. 8 bytes
-      // per shingle — MEMORY_AND_DISK spills, never OOMs.
-      val sh = par(Tables(s, d, "documents"))
-        .select(col("doc_id"),
-          explode(graft.functions.ShingleHash60(s, col("text"), 3,
-            distinct = true)).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count() // eager fill: one md5 pass for all three reads
-      val pairs = if (cap <= 0) {
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-          .select(col("d1"), col("d2"), col("inter"),
-            round(col("inter").cast("double")
-              / (col("s1.n") + col("s2.n") - col("inter")), 6).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-      } else {
-        // document frequency per shingle over the cached explode — one
-        // extra 8-byte-key aggregation, the price of bounding the join
-        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        val cand = sh.join(rare, "s").as("a")
-          .join(sh.join(rare, "s").as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .dropDuplicates("d1", "d2")
-        // exact verify over the FULL per-doc shingle sets (rebuilt from
-        // the same cache; shingles are already distinct per doc)
-        val docs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
-        cand
-          .join(docs.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
-          .join(docs.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
-          .withColumn("inter",
-            size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-          .select(col("d1"), col("d2"), col("inter"),
-            round(col("inter").cast("double")
-              / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6)
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
-      }
+      val (sized, sh) = shinglePairSized(s, d)
+      val pairs = sized
+        .select(col("d1"), col("d2"), col("inter"),
+          round(col("inter").cast("double")
+            / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
       // Tiny pair list: materialize it so the shingle cache can be
       // released here rather than leak into the session (round-4 advice).
       materializeAndFree(pairs, sh).orderBy("d1", "d2")
@@ -399,42 +414,9 @@ object TextOps {
     // 100-TB scale shape is exactly jaccard's. Threshold 0.85: the
     // fixture shows a clean margin (no background pair above 0.6).
     "q_dedup_containment" -> ((s, d) => {
-      val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
-      val sh = par(Tables(s, d, "documents"))
-        .select(col("doc_id"),
-          explode(graft.functions.ShingleHash60(s, col("text"), 3,
-            distinct = true)).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count() // eager fill: one md5 pass for all reads
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // undirected (d1 < d2) intersection counts, exact — cap only trims
-      // candidate generation, as in jaccard
-      val inter = if (cap <= 0) {
-        sh.as("a").join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-      } else {
-        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        val cand = sh.join(rare, "s").as("a")
-          .join(sh.join(rare, "s").as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .dropDuplicates("d1", "d2")
-        val docs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
-        cand
-          .join(docs.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
-          .join(docs.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
-          .select(col("d1"), col("d2"),
-            size(array_intersect(col("sh1"), col("sh2"))).cast("long")
-              .as("inter"))
-      }
-      val sized = inter
-        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), col("inter"),
-          col("s1.n").as("n1"), col("s2.n").as("n2"))
+      // undirected (d1 < d2) intersection counts, exact — the df cap
+      // only trims candidate generation, as in jaccard (shared helper)
+      val (sized, sh) = shinglePairSized(s, d)
       val dir = sized.select(col("d1").as("d_sub"), col("d2").as("d_super"),
           col("inter"),
           round(col("inter").cast("double") / col("n1"), 6).as("containment"))
@@ -461,43 +443,13 @@ object TextOps {
     // exact integer (edit distance, lengths), so the 6dp relative-edit
     // quotient is engine-identical by construction.
     "q_dedup_fuzzy_edit" -> ((s, d) => {
-      val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
-      val docs = par(Tables(s, d, "documents"))
-      val sh = docs
-        .select(col("doc_id"),
-          explode(graft.functions.ShingleHash60(s, col("text"), 3,
-            distinct = true)).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count() // eager fill: one md5 pass for all reads
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = if (cap <= 0) {
-        sh.as("a").join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-      } else {
-        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        val cand = sh.join(rare, "s").as("a")
-          .join(sh.join(rare, "s").as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .dropDuplicates("d1", "d2")
-        val full = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
-        cand
-          .join(full.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
-          .join(full.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
-          .select(col("d1"), col("d2"),
-            size(array_intersect(col("sh1"), col("sh2"))).cast("long")
-              .as("inter"))
-      }
-      val cands = inter
-        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      val (sized, sh) = shinglePairSized(s, d)
+      val cands = sized
         .filter(round(col("inter").cast("double")
-          / (col("s1.n") + col("s2.n") - col("inter")), 6) >= 0.5)
+          / (col("n1") + col("n2") - col("inter")), 6) >= 0.5)
         .select("d1", "d2")
-      val t = docs.select(col("doc_id"), col("text"))
+      val t = par(Tables(s, d, "documents"))
+        .select(col("doc_id"), col("text"))
       val out = cands
         .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
