@@ -12,7 +12,9 @@ object DumpPlans {
     "q_dedup_embedding_lsh", "q_embedding_quantize", "q_heavy_hitters",
     "q_decontaminate", "q_pack_sequences", "q_outlier_zscore",
     "q_ks_drift", "q_join_bucketed", "q_scan_partition_pruned",
-    "q_dedup_incremental", "q_ann_ivfpq", "q_source_orc", "q_semdedup")
+    "q_dedup_incremental", "q_ann_ivfpq", "q_source_orc", "q_semdedup",
+    "q_record_linkage", "q_dedup_fuzzy_edit", "q_bm25_search",
+    "q_rfm_segments", "q_win_rolling_time", "q_distinct_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

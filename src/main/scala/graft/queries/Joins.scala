@@ -316,7 +316,10 @@ object Joins {
       val master = Tables(s, d, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_mktsegment"))
-      val dirty = master.select(
+      // probe side carries the per-pair levenshtein work map-side into
+      // the broadcast join — spread the single-row-group fixture scan
+      // (par is a no-op in production, where the scan splits itself)
+      val dirty = par(master).select(
         col("c_custkey").as("import_id"),
         when(pmod(col("c_custkey"), lit(3)) === 0, upper(col("c_name")))
           .when(pmod(col("c_custkey"), lit(3)) === 1,
