@@ -131,6 +131,43 @@ object Windows {
         .orderBy("stage_idx")
     }),
 
+    // Conversion-window funnel (round 10): q_funnel with the 24-hour
+    // stage deadline every real funnel report carries — a purchase a
+    // month after the view is not "conversion", it's a returning user
+    // (the plain funnel counts it; the marketing question doesn't).
+    // Identical min-time chain and scale shape; each stage's join gains
+    // the `<= prev + 24h` bound in integer micros, which also SHRINKS
+    // the join (candidate events outside the window drop at the join,
+    // not after). QueriesSpec pins stagewise monotonicity vs q_funnel
+    // and that the deadline genuinely cuts on the fixture.
+    "q_funnel_window" -> ((s, d) => {
+      val winUs = 86400000000L
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val t2 = e.filter(col("event_type") === "view").as("e")
+        .join(t1.as("t"), col("e.user_id") === col("t.user_id") &&
+          col("e.us") > col("t.t1") &&
+          col("e.us") <= col("t.t1") + winUs)
+        .groupBy(col("e.user_id")).agg(min(col("e.us")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase").as("e")
+        .join(t2.as("t"), col("e.user_id") === col("t.user_id") &&
+          col("e.us") > col("t.t2") &&
+          col("e.us") <= col("t.t2") + winUs)
+        .groupBy(col("e.user_id")).agg(min(col("e.us")).as("t3"))
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Long,
+        name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_users"))
+      stage(t1, 1L, "signup")
+        .unionByName(stage(t2, 2L, "view"))
+        .unionByName(stage(t3, 3L, "purchase"))
+        .orderBy("stage_idx")
+    }),
+
     "q_sessionize" -> ((s, d) => {
       val gapUs = 300L * 1000000L
       val w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -271,6 +308,45 @@ object Windows {
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "us", "first_touch", "last_touch")
         .orderBy("event_id")
+    }),
+
+    // Per-user feature assembly (round 10): the feature-store
+    // materialization every behavioral model trains on — one row per
+    // user with activity counts, type breadth, exact-decimal monetary
+    // totals, span/recency in integer time math, and a derived rate.
+    // ONE user-keyed two-phase agg over raw events (count-distinct
+    // expands internally), a 1-row global-max broadcast for recency —
+    // nothing else shuffles; at 100 TB this materializes incrementally
+    // like q_stats_incremental (counts/sums are algebraic partials).
+    "q_user_features" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val mx = Tables(s, d, "events")
+        .agg(max(unix_micros(col("ts"))).as("mx_us"))
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum((col("event_type") === "purchase").cast("long"))
+            .as("n_purchases"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          round(sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(12,2)"))
+            .otherwise(lit(0).cast("decimal(12,2)"))), 2)
+            .cast("double").as("purchase_value"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), col("n_events"), col("n_purchases"),
+          col("n_types"), col("active_days"), col("purchase_value"),
+          // integral day math (div, not /): a double quotient cast back
+          // truncates in Spark but ROUNDS in DuckDB — the one divide
+          // class the Det scheme can't paper over
+          expr(s"(last_us - first_us) div $dayUs").as("span_days"),
+          expr(s"(mx_us - last_us) div $dayUs").as("recency_days"),
+          round(col("n_events").cast("double") / col("active_days"), 4)
+            .as("events_per_active_day"))
+        .orderBy("user_id")
     }),
 
     // Markov transition matrix (round 10): per-user event-type bigrams
@@ -529,6 +605,62 @@ object Windows {
         |SELECT event_id, user_id, us, first_touch, last_touch
         |FROM t WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q_user_features" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    COUNT(*) AS n_events,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_purchases,
+        |    COUNT(DISTINCT event_type) AS n_types,
+        |    COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |    CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(12,2))
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+        |      AS purchase_value,
+        |    min(epoch_us(ts)) AS first_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(active_days AS BIGINT) AS active_days,
+        |  purchase_value,
+        |  CAST((last_us - first_us) // 86400000000 AS BIGINT) AS span_days,
+        |  CAST((mx.mx_us - last_us) // 86400000000 AS BIGINT)
+        |    AS recency_days,
+        |  round(CAST(n_events AS DOUBLE) / active_days, 4)
+        |    AS events_per_active_day
+        |FROM u CROSS JOIN mx
+        |ORDER BY user_id""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2 FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.us > t1.t1
+        |   AND e.us <= t1.t1 + 86400000000
+        |  WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3 FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.us > t2.t2
+        |   AND e.us <= t2.t2 + 86400000000
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'signup',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM t1)),
+        |  (CAST(2 AS BIGINT), 'view',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM t2)),
+        |  (CAST(3 AS BIGINT), 'purchase',
+        |   (SELECT CAST(count(*) AS BIGINT) FROM t3)))
+        |  v(stage_idx, stage, n_users)
+        |ORDER BY stage_idx""".stripMargin,
 
     "q_seq_mining" ->
       """WITH tri AS (

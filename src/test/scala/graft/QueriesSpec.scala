@@ -540,6 +540,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_funnel_window: deadline cuts monotonically below the plain funnel") {
+    def counts(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val plain = counts("q_funnel")
+    val boxed = counts("q_funnel_window")
+    // stage 1 has no deadline; later stages can only lose users to it
+    assert(boxed(1L) == plain(1L))
+    assert(boxed(2L) <= plain(2L) && boxed(3L) <= plain(3L))
+    // funnel shape holds within the windowed variant too
+    assert(boxed(1L) >= boxed(2L) && boxed(2L) >= boxed(3L))
+    // the 24h deadline genuinely bites on the 30-day fixture
+    assert(boxed(2L) < plain(2L) || boxed(3L) < plain(3L),
+      "deadline never cut — windowed funnel is not being exercised")
+  }
+
+  test("q_user_features: one row per user, conservation, derived identities") {
+    val rows = SparkEntry.queries("q_user_features")(spark, sf).collect()
+    val ev = Tables(spark, sf, "events")
+    assert(rows.length == ev.select("user_id").distinct().count())
+    assert(rows.map(_.getLong(1)).sum == ev.count(),
+      "per-user event counts must conserve the corpus")
+    rows.foreach { r =>
+      val (n, np, nt, ad) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(np <= n && nt >= 1 && nt <= 5 && ad >= 1 && ad <= n)
+      assert(r.getLong(6) >= 0 && r.getLong(7) >= 0,
+        s"span/recency must be non-negative: $r")
+      assert(r.getDouble(8) > 0.0)
+      assert(r.getDouble(5) >= 0.0)
+    }
+    // somebody was active on the corpus's last day: recency 0 exists
+    assert(rows.exists(_.getLong(7) == 0L))
+  }
+
   test("q_seq_mining: support floor, user<=occurrence, trigram conservation") {
     val rows = SparkEntry.queries("q_seq_mining")(spark, sf).collect()
     assert(rows.nonEmpty)
