@@ -455,11 +455,63 @@ object MultiModal {
     * crossed. */
   def imageNearDup(records: Dataset[MMRecord]): DataFrame = {
     import records.sparkSession.implicits._
-    val ph = records.filter(_.modality == "image")
+    bandedNearDup(records.filter(_.modality == "image")
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
         (r.id, pHash(r.content))
       }))
-      .toDF("id", "phash")
+      .toDF("id", "phash"))
+  }
+
+  /** 64-bit audio perceptual hash — the energy-delta signature (the
+    * Shazam/AcoustID landmark trick reduced to one word): REAL WAV
+    * decode -> 65 equal PCM windows -> exact integer energies -> one
+    * bit per consecutive-window energy INCREASE. Amplitude scaling and
+    * container re-encode preserve the bits (energies scale together,
+    * so every comparison keeps its sign); unrelated clips disagree on
+    * ~32 of 64. The near-dup currency [[audioFingerprints]] explicitly
+    * is not: that one is exact-signal identity, this one survives the
+    * gain-ripped copy. */
+  def audioPHash(content: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    val e = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
+        .toShort.toLong
+      val w = math.min(i * 65 / math.max(n, 1), 64)
+      e(w) += s * s
+      i += 1
+    }
+    var bits = 0L; var b = 0
+    while (b < 64) { if (e(b + 1) > e(b)) bits |= (1L << b); b += 1 }
+    bits
+  }
+
+  /** Audio NEAR-dup over the audio corpus: [[audioPHash]] through the
+    * same codec seam, then the shared banding/verify machinery — the
+    * audio twin of [[imageNearDup]], closing the near-dup gap the
+    * exact-fingerprint audioDedup documents (a gain-changed or
+    * re-encoded copy splits every exact window hash but moves few of
+    * the 64 delta-sign bits). */
+  def audioNearDup(records: Dataset[MMRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    bandedNearDup(records.filter(_.modality == "audio")
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        (r.id, audioPHash(r.content))
+      }))
+      .toDF("id", "phash"))
+  }
+
+  /** Shared 64-bit-hash near-dup machinery (image pHash, audio
+    * energy-delta hash): 4x16-bit banding (pigeonhole recall at
+    * Hamming <= 3), bit_count verify on candidates only, per-id
+    * best-mate election. One definition so every modality's near-dup
+    * operator has the identical recall contract. */
+  private def bandedNearDup(ph0: DataFrame): DataFrame = {
+    val ph = ph0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ph.count() // one decode pass serves banding + both verify sides
     val bands = ph.select(col("id"),
@@ -606,5 +658,14 @@ object MultiModal {
     // only it) pairs. No oracle (binary decode + DCT are not
     // SQL-expressible).
     "q_image_phash" -> ((s, d) => imageNearDup(corpus(s, d))),
+
+    // Audio perceptual near-dup (round 10) — completes the modality
+    // matrix: every binary modality now has BOTH an exact-identity
+    // dedup (frame/audio fingerprints) and a perturbation-tolerant
+    // near-dup (pHash / energy-delta hash). Fixture clips are seeded
+    // noise; MultiModalSpec plants a gain-scaled copy through the SAME
+    // distributed pipeline and pins that it (and only it) pairs while
+    // the exact fingerprints split it. No oracle (binary decode).
+    "q_audio_phash" -> ((s, d) => audioNearDup(corpus(s, d))),
   )
 }

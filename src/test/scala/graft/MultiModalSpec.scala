@@ -97,6 +97,63 @@ class MultiModalSpec extends AnyFunSuite {
     assert(fixture.count() == nImages)
   }
 
+  test("q_audio_phash pairs a gain-scaled copy the exact fingerprints split") {
+    import spark.implicits._
+    val seed = ("the quick brown fox jumps over the lazy dog " * 3)
+      .getBytes("UTF-8")
+    val base = MultiModal.wavBytes(16000, 1600, seed)
+    // decode, scale amplitude to 90%, re-encode: a gain-ripped copy —
+    // every decoded sample changes, the energy-delta signature holds
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(base))
+    val fmtIn = in.getFormat
+    val raw = in.readAllBytes()
+    var i = 0
+    while (i < raw.length / 2) {
+      val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+      val sc = (s * 9 / 10).toShort
+      raw(2 * i) = (sc & 0xff).toByte
+      raw(2 * i + 1) = ((sc >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmtIn, 1600L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val scaled = bos.toByteArray
+    val other = MultiModal.wavBytes(16000, 1600,
+      "completely different material with its own rhythm and period"
+        .getBytes("UTF-8"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(MultiModal.audioPHash(base),
+      MultiModal.audioPHash(scaled)) <= 3,
+      "gain scaling must stay inside the Hamming<=3 contract")
+    assert(ham(MultiModal.audioPHash(base),
+      MultiModal.audioPHash(other)) > 10,
+      "unrelated clips must sit far apart")
+    // the EXACT window fingerprints split the scaled copy everywhere —
+    // precisely the gap the perceptual hash closes
+    val fb = MultiModal.audioFingerprints(base).map(_._2)
+    val fs = MultiModal.audioFingerprints(scaled).map(_._2)
+    assert(fb.zip(fs).forall { case (a, b) => a != b })
+    // end-to-end through the distributed pipeline
+    def rec(id: Long, wav: Array[Byte]) =
+      MultiModal.MMRecord(id, "audio", wav, MultiModal.MMeta(0, 0, 16000, 0))
+    val rows = MultiModal.audioNearDup(spark.createDataset(Seq(
+        rec(1, base), rec(4, scaled), rec(7, other)))).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(4))).toSeq
+    assert(rows == Seq((1L, 4L, true), (4L, 1L, true), (7L, -1L, false)),
+      s"planted pair must link both ways, noise must stay single: $rows")
+    // fixture corpus: runs end-to-end, one row per clip
+    val fixture = SparkEntry.queries("q_audio_phash")(spark, sf)
+    val nAudio = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 1).count()
+    assert(fixture.count() == nAudio)
+  }
+
   test("q_audio_dedup groups the planted shared segment by decoded signal") {
     import spark.implicits._
     // two clips of 4 windows (1600 samples @ 400/window): clip 2's

@@ -61,7 +61,8 @@ class QueriesSpec extends AnyFunSuite {
       "q_heavy_hitters_mg",     // Misra-Gries summary — bounds in LlmOpsSpec
       "q_ann_search_incremental", // approximate ANN over persisted index — AnnSpec
       "q_distinct_incremental", // HLL sketch partials — merge/tolerance in CurationSpec
-      "q_image_phash")          // binary decode + DCT — planted-pair MultiModalSpec
+      "q_image_phash",          // binary decode + DCT — planted-pair MultiModalSpec
+      "q_audio_phash")          // binary decode + energy hash — planted-pair spec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == noOracleAllowed,
       s"unexpected no-oracle queries: ${actual -- noOracleAllowed}; " +
