@@ -188,6 +188,48 @@ object Windows {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Session-level feature assembly (round 10): one row per session —
+    // the session-grain companion to q_user_features' user grain (and
+    // what churn/intent models actually train on): q_sessionize's
+    // gap>300s session id, then per-session duration, size, type
+    // counts (static pivot, the q_agg_pivot rule — a dynamic pivot
+    // would force an extra distinct pass at scale), exact-decimal
+    // purchase value, and the conversion flag. Same single user_id
+    // shuffle as q_sessionize; the session agg rides the SAME
+    // partitioning (user_id prefix), so no second exchange.
+    "q_session_features" -> ((s, d) => {
+      val gapUs = 300L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value").cast("decimal(12,2)").as("dec"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("flag",
+          when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("flag")).over(wRun))
+        .groupBy("user_id", "session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          sum((col("event_type") === "click").cast("long")).as("n_click"),
+          sum((col("event_type") === "view").cast("long")).as("n_view"),
+          sum((col("event_type") === "purchase").cast("long"))
+            .as("n_purchase"),
+          round(sum(when(col("event_type") === "purchase", col("dec"))
+            .otherwise(lit(0).cast("decimal(12,2)"))), 2)
+            .cast("double").as("purchase_value"))
+        // integral second math (div): double-quotient casts truncate in
+        // Spark but round in DuckDB (the q_user_features rule)
+        .withColumn("duration_s", expr("(end_us - start_us) div 1000000"))
+        .withColumn("converted", col("n_purchase") > 0)
+        .drop("start_us", "end_us")
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Time-series gap fill (round 10): per-user HOURLY resample with
     // forward fill — the ClickHouse-WITH-FILL / QuestDB-SAMPLE-BY
     // telemetry shape a training-metrics pipeline runs before joining
@@ -605,6 +647,47 @@ object Windows {
         |SELECT event_id, user_id, us, first_touch, last_touch
         |FROM t WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q_session_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(value AS DECIMAL(12,2)) AS dec, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 300000000
+        |                 THEN 1 ELSE 0 END AS flag
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS prev FROM e)),
+        |sess AS (
+        |  SELECT *, SUM(flag) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_seq
+        |  FROM f),
+        |agg AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |    COUNT(*) AS n_events,
+        |    min(us) AS start_us, max(us) AS end_us,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS n_click,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS n_view,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_purchase,
+        |    CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN dec
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+        |      AS purchase_value
+        |  FROM sess GROUP BY user_id, session_seq)
+        |SELECT user_id, session_seq,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_click AS BIGINT) AS n_click,
+        |  CAST(n_view AS BIGINT) AS n_view,
+        |  CAST(n_purchase AS BIGINT) AS n_purchase,
+        |  purchase_value,
+        |  CAST((end_us - start_us) // 1000000 AS BIGINT) AS duration_s,
+        |  n_purchase > 0 AS converted
+        |FROM agg
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "q_user_features" ->
       """WITH mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events),

@@ -576,6 +576,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(7) == 0L))
   }
 
+  test("q_session_features: agrees with q_sessionize, identities hold") {
+    val rows = SparkEntry.queries("q_session_features")(spark, sf).collect()
+    // the session partition is exactly q_sessionize's
+    val sess = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(5) / 1000000L))).toMap
+    assert(rows.length == sess.size,
+      "feature rows must partition events exactly like q_sessionize")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (n, durS) = sess(key)
+      assert(r.getLong(2) == n, s"session $key: event count mismatch")
+      assert(r.getLong(r.fieldIndex("duration_s")) == durS,
+        s"session $key: duration mismatch vs sessionize micros")
+      val (nc, nv, np) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nc + nv + np <= r.getLong(2))
+      assert(r.getBoolean(r.fieldIndex("converted")) == (np > 0))
+      if (np == 0)
+        assert(r.getDouble(r.fieldIndex("purchase_value")) == 0.0)
+    }
+  }
+
   test("q_seq_mining: support floor, user<=occurrence, trigram conservation") {
     val rows = SparkEntry.queries("q_seq_mining")(spark, sf).collect()
     assert(rows.nonEmpty)
