@@ -14,7 +14,7 @@ object SparkEntry {
     Relational.q ++ Joins.q ++ Aggregates.q ++ Windows.q ++ SetOps.q ++
       Functions.q ++ Cdc.q ++ Udfs.q ++ LlmOps.q ++ TextOps.q ++
       AnnOps.q ++ MultiModal.q ++ SaltedJoin.q ++ Subqueries.q ++
-      SamplingOps.q ++ CurationOps.q ++ SourceFormats.q
+      SamplingOps.q ++ CurationOps.q ++ SourceFormats.q ++ GraphOps.q
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,6 @@ object SparkEntry {
       Windows.oracle ++ SetOps.oracle ++ Functions.oracle ++
       Cdc.oracle ++ Udfs.oracle ++ LlmOps.oracle ++ TextOps.oracle ++
       AnnOps.oracle ++ SaltedJoin.oracle ++ Subqueries.oracle ++
-      SamplingOps.oracle ++ CurationOps.oracle ++ SourceFormats.oracle
+      SamplingOps.oracle ++ CurationOps.oracle ++ SourceFormats.oracle ++
+      GraphOps.oracle
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the order/part co-purchase graph — the retail
+  * twin of the dedup family's doc-pair graph (q_dedup_cluster already
+  * proves connected components; these add association mining and
+  * centrality). Nodes are parts; an undirected edge joins two parts
+  * co-purchased in >= 2 distinct orders (the support floor that keeps
+  * the edge list signal, not noise).
+  *
+  * Scale shape: the edge list comes from ONE orderkey-keyed self-join of
+  * the distinct (order, part) incidence — per-order pair fan-out is
+  * bounded by basket size squared (fixture max 13 => <= 78 pairs/order;
+  * a mega-basket at 100 TB would cap like shingleDfCap caps hot
+  * shingles), then a two-phase agg on the (p1, p2) key. Everything
+  * downstream (rule stats, PageRank) runs on the part-cardinality graph,
+  * which is orders of magnitude smaller than the fact table.
+  *
+  * Determinism (the DuckDB gate): every rule metric is a ratio of exact
+  * integers with identical expression shape on both engines (6dp); the
+  * PageRank contribution sums are 12dp-rounded exact decimals (order-
+  * independent — float sums across an unordered edge shuffle are not),
+  * so each iteration is a deterministic function of the previous one
+  * and 8 iterations land bit-identically on both engines.
+  */
+object GraphOps {
+
+  /** Distinct (order, part) incidence and the undirected co-purchase
+    * pair counts at the co >= 2 support floor. One definition shared by
+    * affinity and PageRank so the two operators can never disagree
+    * about what the graph is. */
+  private def pairCounts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val inc = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = inc.as("a").join(inc.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    (inc, pairs)
+  }
+
+  private val incSql =
+    "SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem"
+  private val pairsSql =
+    s"""inc AS ($incSql),
+       |pairs AS (
+       |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS co
+       |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  val q: Map[String, Q] = Map(
+    // ── Association rules / market-basket affinity (round 10) ────────
+    // Support / confidence / lift for every co-purchase pair at the
+    // support floor — the classic a-priori 2-itemset pass (the "people
+    // who bought X" engine, and the lift signal mixture design reads
+    // the same way q_pmi_collocations reads token affinity). Part
+    // order-counts and the 1-row order total broadcast back onto the
+    // tiny pair list; every metric is a 6dp ratio of exact counts.
+    "q_affinity_pairs" -> ((s, d) => {
+      val (inc, pairs) = pairCounts(s, d)
+      val cnt = inc.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val tot = inc.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+        .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+        .crossJoin(broadcast(tot))
+        .select(col("p1"), col("p2"), col("co"), col("c1"), col("c2"),
+          round(col("co").cast("double") / col("n_orders"), 6)
+            .as("support"),
+          round(col("co").cast("double") / col("c1"), 6).as("conf_1to2"),
+          round(col("co").cast("double") / col("c2"), 6).as("conf_2to1"),
+          round((col("co").cast("double") * col("n_orders"))
+            / (col("c1").cast("double") * col("c2")), 6).as("lift"))
+        .orderBy("p1", "p2")
+    }),
+
+    // ── PageRank centrality (round 10) ───────────────────────────────
+    // Damped PageRank (d=0.85, 8 fixed iterations) over the undirected
+    // co-purchase graph — "which parts anchor the catalog": the
+    // iterative-fixpoint class next to q_dedup_cluster's label
+    // propagation (CC finds the components, PageRank ranks inside
+    // them). The subgraph contract: nodes are parts with >= 1
+    // qualifying edge, so every node has degree >= 1 and there is no
+    // dangling-mass term. Per iteration: one edge-keyed join against
+    // the current rank vector + a two-phase agg on dst — O(edges)
+    // shuffle per round, 8 rounds, localCheckpoint between rounds so
+    // round k's plan never re-embeds k copies of the chain (the
+    // q_dedup_cluster lesson). ALL rank arithmetic is exact integer
+    // PICO-units (rank x 10^12 as long): per-edge contribution =
+    // rp div deg (floor), damping = 0.15-in-pico div n + (85 * sum)
+    // div 100 — no float op and no decimal rounding anywhere in the
+    // iteration, so there is no rounding boundary to fork on (the
+    // first cut of this operator rounded 12dp doubles and forked on
+    // 129/1880 cells at the last digit) and both engines walk the
+    // bit-identical rank sequence. The double `rank` column is derived
+    // once at the end from the same long.
+    "q_pagerank" -> ((s, d) => {
+      val (_, pairs) = pairCounts(s, d)
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count() // one pair computation serves all 8 rounds
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nDf = deg.agg(count(lit(1)).as("n"))
+      var r = deg.crossJoin(broadcast(nDf))
+        .select(col("src").as("pk"),
+          expr("1000000000000 div n").as("rp"))
+      val skipEager = s.conf
+        .get("spark.graft.skipEagerMaterialize", "false") == "true"
+      for (_ <- 1 to 8) {
+        val next = edges
+          .join(r, edges("src") === r("pk"))
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("rp div deg")).as("m"))
+          .crossJoin(broadcast(nDf))
+          .select(col("dst").as("pk"),
+            (expr("150000000000 div n")
+              + expr("(85 * m) div 100")).as("rp"))
+        // flatten lineage each round (plan-inspection sessions keep the
+        // lazy chain — 8 rounds of a tiny graph is still dumpable)
+        r = if (skipEager) next else next.localCheckpoint(true)
+      }
+      val out = r.join(deg, r("pk") === deg("src"))
+        .select(col("pk"), col("deg").cast("long").as("degree"),
+          col("rp").as("rank_pico"),
+          (col("rp").cast("double") / lit(1000000000000.0)).as("rank"))
+        .orderBy(col("rank_pico").desc, col("pk").asc)
+      materializeAndFree(out, edges)
+    }),
+  )
+
+  private def rankIterSql(prev: String, k: Int): String =
+    s"""r$k AS (
+       |  SELECT e.dst AS pk,
+       |    CAST(150000000000 // n.n
+       |      + (85 * SUM(r.rp // d.deg)) // 100 AS BIGINT) AS rp
+       |  FROM edges e
+       |  JOIN $prev r ON r.pk = e.src
+       |  JOIN deg d ON d.src = e.src
+       |  CROSS JOIN n
+       |  GROUP BY e.dst, n.n)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_affinity_pairs" ->
+      s"""WITH $pairsSql,
+         |cnt AS (SELECT pk, COUNT(*) AS c FROM inc GROUP BY pk),
+         |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM inc)
+         |SELECT p1, p2, CAST(co AS BIGINT) AS co,
+         |  CAST(c1.c AS BIGINT) AS c1, CAST(c2.c AS BIGINT) AS c2,
+         |  round(CAST(co AS DOUBLE) / tot.n_orders, 6) AS support,
+         |  round(CAST(co AS DOUBLE) / c1.c, 6) AS conf_1to2,
+         |  round(CAST(co AS DOUBLE) / c2.c, 6) AS conf_2to1,
+         |  round((CAST(co AS DOUBLE) * tot.n_orders)
+         |        / (CAST(c1.c AS DOUBLE) * c2.c), 6) AS lift
+         |FROM pairs
+         |JOIN cnt c1 ON c1.pk = p1
+         |JOIN cnt c2 ON c2.pk = p2
+         |CROSS JOIN tot
+         |ORDER BY p1, p2""".stripMargin,
+
+    "q_pagerank" -> {
+      val iters = (1 to 8)
+        .map(k => rankIterSql(if (k == 1) "r0" else s"r${k - 1}", k))
+        .mkString(",\n")
+      s"""WITH $pairsSql,
+         |edges AS (
+         |  SELECT p1 AS src, p2 AS dst FROM pairs
+         |  UNION ALL SELECT p2, p1 FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |n AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (
+         |  SELECT src AS pk, CAST(1000000000000 // n.n AS BIGINT) AS rp
+         |  FROM deg CROSS JOIN n),
+         |$iters
+         |SELECT d.src AS pk, CAST(d.deg AS BIGINT) AS degree,
+         |  r8.rp AS rank_pico,
+         |  CAST(r8.rp AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r8 JOIN deg d ON d.src = r8.pk
+         |ORDER BY rank_pico DESC, pk""".stripMargin
+    },
+  )
+}

@@ -617,6 +617,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum <= maxTri)
   }
 
+  test("q_affinity_pairs: support floor, metric identities, bounds") {
+    val rows = SparkEntry.queries("q_affinity_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p1, p2, co, c1, c2) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p1 < p2, "pairs must be canonical (p1 < p2)")
+      assert(co >= 2, "support floor violated")
+      assert(co <= math.min(c1, c2),
+        "co-occurrence can't exceed either item's order count")
+      val (sup, cf12, cf21, lift) = (r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))
+      assert(sup > 0 && sup <= 1 && cf12 > 0 && cf12 <= 1 &&
+        cf21 > 0 && cf21 <= 1 && lift > 0)
+      // displayed confidence agrees with its definition
+      assert(math.abs(cf12 - co.toDouble / c1) < 1e-4)
+    }
+  }
+
+  test("q_pagerank: node totality, mass conservation, floor, determinism") {
+    val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // every node holds at least the undamped floor (0.15/n in pico)
+    val floor = 150000000000L / n
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "subgraph nodes all have degree >= 1")
+      assert(r.getLong(2) >= floor,
+        s"rank below the damping floor: $r")
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e12) < 1e-15)
+    }
+    // total mass stays ~1: floor-division losses are the only leak
+    val mass = rows.map(_.getLong(2)).sum
+    assert(mass <= 1000000000000L && mass >= 800000000000L,
+      s"rank mass drifted: $mass pico")
+    // output is the declared total order
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0)))
+      case _ => ()
+    }
+    // 8 integer iterations are bit-deterministic
+    val again = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q_markov_transition: rows are a stochastic matrix, edge conservation") {
     val rows = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
     assert(rows.nonEmpty)
