@@ -134,7 +134,50 @@ object GraphOps {
         .orderBy(col("rank_pico").desc, col("pk").asc)
       materializeAndFree(out, edges)
     }),
+
+    "q_triangle_count" -> (graphTriangles _),
   )
+
+  /** ── Triangle count + local clustering coefficient (round 10) ─────
+    * How clique-y is each node's neighborhood — the community-structure
+    * signal next to PageRank's centrality (a high-degree low-clustering
+    * part is a generic staple; high-clustering parts form bundles).
+    * Triangles enumerate once in canonical id order (a<b<c) via two
+    * joins over the p1<p2 edge list — the standard orientation trick
+    * that counts each triangle exactly once; at 100 TB the orientation
+    * would sort by DEGREE instead of id to bound the skew of hub nodes
+    * (same count, hub work capped), noted here because the fixture
+    * graph is too small to need it. Per-node coefficient =
+    * 2T / (deg (deg-1)) at 6dp; degree-1 nodes keep NULL on both
+    * engines. Shuffles: the triangle joins are keyed on single node
+    * ids; everything else is node-cardinality aggregation. */
+  private def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val (_, pairs0) = pairCounts(s, d)
+    val pairs = pairs0.select("p1", "p2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // one edge computation serves wedges + closure + degree
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(pairs.as("e3"),
+        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"),
+        col("e2.p2").as("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_triangles"))
+    val deg = pairs.select(col("p1").as("pk"))
+      .unionByName(pairs.select(col("p2").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("degree"))
+    val out = deg.join(perNode, Seq("pk"), "left")
+      .select(col("pk"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round((lit(2.0) * coalesce(col("n_triangles"), lit(0L)))
+            / (col("degree").cast("double") * (col("degree") - 1)), 6))
+          .as("clustering"))
+      .orderBy("pk")
+    materializeAndFree(out, pairs)
+  }
 
   private def rankIterSql(prev: String, k: Int): String =
     s"""r$k AS (
@@ -164,6 +207,33 @@ object GraphOps {
          |JOIN cnt c2 ON c2.pk = p2
          |CROSS JOIN tot
          |ORDER BY p1, p2""".stripMargin,
+
+    "q_triangle_count" ->
+      s"""WITH $pairsSql,
+         |e AS (SELECT p1, p2 FROM pairs),
+         |tri AS (
+         |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e1.p2 = e2.p1
+         |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         |pn AS (
+         |  SELECT pk, COUNT(*) AS n_triangles FROM (
+         |    SELECT a AS pk FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri)
+         |  GROUP BY pk),
+         |deg AS (
+         |  SELECT pk, COUNT(*) AS degree FROM (
+         |    SELECT p1 AS pk FROM e UNION ALL SELECT p2 FROM e)
+         |  GROUP BY pk)
+         |SELECT d.pk, CAST(d.degree AS BIGINT) AS degree,
+         |  CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN d.degree >= 2 THEN
+         |    round((2.0 * COALESCE(pn.n_triangles, 0))
+         |      / (CAST(d.degree AS DOUBLE) * (d.degree - 1)), 6)
+         |  END AS clustering
+         |FROM deg d LEFT JOIN pn ON pn.pk = d.pk
+         |ORDER BY d.pk""".stripMargin,
 
     "q_pagerank" -> {
       val iters = (1 to 8)

@@ -664,6 +664,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_triangle_count: canonical-count identities, coefficient bounds") {
+    val rows = SparkEntry.queries("q_triangle_count")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // nodes match q_pagerank's subgraph exactly (same edge definition)
+    val prNodes = SparkEntry.queries("q_pagerank")(spark, sf)
+      .select("pk").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == prNodes)
+    rows.foreach { r =>
+      val (deg, t) = (r.getLong(1), r.getLong(2))
+      assert(deg >= 1)
+      // a node's triangles can't exceed its wedge count
+      assert(t <= deg * (deg - 1) / 2, s"impossible triangle count: $r")
+      if (deg >= 2) {
+        val c = r.getDouble(3)
+        assert(c >= 0.0 && c <= 1.0, s"clustering out of [0,1]: $r")
+      } else assert(r.isNullAt(3))
+    }
+    // each triangle contributes exactly 3 node-incidences
+    assert(rows.map(_.getLong(2)).sum % 3 == 0,
+      "sum of per-node triangle counts must be divisible by 3")
+    // the fixture graph genuinely closes triangles
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
   test("q_markov_transition: rows are a stochastic matrix, edge conservation") {
     val rows = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
     assert(rows.nonEmpty)
