@@ -529,6 +529,49 @@ object CurationOps {
         .orderBy("event_type")
     }),
 
+    // ── CUSUM change-point detection (round 10) ──────────────────────
+    // Per-event-type change-point scan over the daily volume series —
+    // the telemetry question next to q_ks_drift's two-sample test
+    // (KS asks "did the distribution drift between halves"; CUSUM asks
+    // WHEN the level shifted): cumulative sum of deviations from the
+    // series mean, change point = the day of maximum |cusum|. ALL
+    // series math is exact integers (the q_pagerank lesson): deviation
+    // rides scaled by n_days (cnt*n_days − total), so the cumulative
+    // sum never touches a float — windowed float cumsums are NOT
+    // engine-portable (DuckDB's segment-tree window sums add in a
+    // different order than Spark's sequential frame). The statistic
+    // max|cusum|/n_days² (mean-normalized per day) and its 2·sqrt(mean)
+    // Poisson-style threshold derive once from exact longs with one
+    // fixed double expression. One (type, day) agg + one type-keyed
+    // window over O(days) rows per type — nothing scales with raw
+    // event volume past the first agg.
+    "q_changepoint_cusum" -> ((s, d) => {
+      val daily = Tables(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tots = daily.groupBy("event_type")
+        .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cus = daily.join(tots, "event_type")
+        .withColumn("dev", col("cnt") * col("n_days") - col("total"))
+        .withColumn("cusum", sum(col("dev")).over(w))
+      val wMax = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("day").asc)
+      cus.withColumn("rk", row_number().over(wMax))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n_days"), col("total"),
+          date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+          round(abs(col("cusum")).cast("double")
+            / (col("n_days").cast("double") * col("n_days")), 4)
+            .as("cusum_stat"),
+          (abs(col("cusum")).cast("double")
+            / (col("n_days").cast("double") * col("n_days"))
+            >= lit(2.0) * sqrt(col("total").cast("double") / col("n_days")))
+            .as("changed"))
+        .orderBy("event_type")
+    }),
+
     // ── A/B experiment readout (round 10) ─────────────────────────────
     // The two-sample significance test next to q_ks_drift's
     // distribution-drift test — the readout every data/product team runs
@@ -1180,6 +1223,34 @@ object CurationOps {
         |        / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))), 6)
         |      END AS drifted
         |FROM c GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type, SUM(cnt) AS total, COUNT(*) AS n_days
+        |  FROM daily GROUP BY 1),
+        |cus AS (
+        |  SELECT d.event_type, d.day, t.n_days, t.total,
+        |    SUM(d.cnt * t.n_days - t.total) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily d JOIN tots t USING (event_type)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day ASC) AS rk
+        |  FROM cus)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(total AS BIGINT) AS total,
+        |  strftime(day, '%Y-%m-%d') AS cp_day,
+        |  round(CAST(abs(cusum) AS DOUBLE)
+        |        / (CAST(n_days AS DOUBLE) * n_days), 4) AS cusum_stat,
+        |  CAST(abs(cusum) AS DOUBLE)
+        |    / (CAST(n_days AS DOUBLE) * n_days)
+        |    >= 2.0 * sqrt(CAST(total AS DOUBLE) / n_days) AS changed
+        |FROM ranked WHERE rk = 1
         |ORDER BY event_type""".stripMargin,
 
     "q_abtest_ztest" ->

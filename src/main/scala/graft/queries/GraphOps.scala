@@ -136,6 +136,44 @@ object GraphOps {
     }),
 
     "q_triangle_count" -> (graphTriangles _),
+
+    // ── Item-to-item recommendations (round 10) ──────────────────────
+    // The serving view of q_affinity_pairs: per part, the top-3
+    // co-purchase partners by lift (count tie-break, then id — a total
+    // order, so the rank-3 cut is engine-deterministic), lift/conf
+    // re-derived with the identical 6dp expressions. This is the
+    // "customers also bought" table a storefront actually reads; at
+    // 100 TB it materializes after each affinity refresh and serves
+    // from a key-value store. One pair-keyed projection (each
+    // undirected pair contributes both directions) + a per-part window
+    // — WindowGroupLimit prunes rank > 3 before the shuffle completes.
+    "q_recommend_items" -> ((s, d) => {
+      val (inc, pairs) = pairCounts(s, d)
+      val cnt = inc.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val tot = inc.agg(countDistinct(col("ok")).as("n_orders"))
+      val sized = pairs
+        .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+        .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+        .crossJoin(broadcast(tot))
+      val dir = sized.select(col("p1").as("part"), col("p2").as("rec"),
+          col("co"), col("c1").as("cp"), col("c2").as("cr"),
+          col("n_orders"))
+        .unionByName(sized.select(col("p2").as("part"),
+          col("p1").as("rec"), col("co"), col("c2").as("cp"),
+          col("c1").as("cr"), col("n_orders")))
+        .withColumn("lift",
+          round((col("co").cast("double") * col("n_orders"))
+            / (col("cp").cast("double") * col("cr")), 6))
+        .withColumn("confidence",
+          round(col("co").cast("double") / col("cp"), 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("part")
+        .orderBy(col("lift").desc, col("co").desc, col("rec").asc)
+      dir.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("part"), col("rk").cast("long").as("rk"), col("rec"),
+          col("co"), col("lift"), col("confidence"))
+        .orderBy("part", "rk")
+    }),
   )
 
   /** ── Triangle count + local clustering coefficient (round 10) ─────
@@ -234,6 +272,35 @@ object GraphOps {
          |  END AS clustering
          |FROM deg d LEFT JOIN pn ON pn.pk = d.pk
          |ORDER BY d.pk""".stripMargin,
+
+    "q_recommend_items" ->
+      s"""WITH $pairsSql,
+         |cnt AS (SELECT pk, COUNT(*) AS c FROM inc GROUP BY pk),
+         |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM inc),
+         |sized AS (
+         |  SELECT p1, p2, co, c1.c AS c1, c2.c AS c2, tot.n_orders
+         |  FROM pairs
+         |  JOIN cnt c1 ON c1.pk = p1
+         |  JOIN cnt c2 ON c2.pk = p2
+         |  CROSS JOIN tot),
+         |dir AS (
+         |  SELECT p1 AS part, p2 AS rec, co, c1 AS cp, c2 AS cr, n_orders
+         |  FROM sized
+         |  UNION ALL
+         |  SELECT p2, p1, co, c2, c1, n_orders FROM sized),
+         |scored AS (
+         |  SELECT part, rec, CAST(co AS BIGINT) AS co,
+         |    round((CAST(co AS DOUBLE) * n_orders)
+         |          / (CAST(cp AS DOUBLE) * cr), 6) AS lift,
+         |    round(CAST(co AS DOUBLE) / cp, 6) AS confidence
+         |  FROM dir),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY part
+         |    ORDER BY lift DESC, co DESC, rec ASC) AS rk
+         |  FROM scored)
+         |SELECT part, CAST(rk AS BIGINT) AS rk, rec, co, lift, confidence
+         |FROM ranked WHERE rk <= 3
+         |ORDER BY part, rk""".stripMargin,
 
     "q_pagerank" -> {
       val iters = (1 to 8)

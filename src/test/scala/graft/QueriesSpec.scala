@@ -664,6 +664,56 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_recommend_items: top-3 per part, agrees with affinity pairs") {
+    val rows = SparkEntry.queries("q_recommend_items")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per part: ranks are exactly 1..k (k <= 3), lift non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (part, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length) &&
+        rs.length <= 3, s"part $part ranks broken")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4))
+        case _ => ()
+      }
+    }
+    // every recommendation is a real affinity pair with the same lift
+    val aff = SparkEntry.queries("q_affinity_pairs")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(8))).toMap
+    rows.foreach { r =>
+      val (p, rec) = (r.getLong(0), r.getLong(2))
+      val key = if (p < rec) (p, rec) else (rec, p)
+      assert(aff.contains(key), s"recommendation $key not an affinity pair")
+      assert(aff(key) == r.getDouble(4),
+        s"lift mismatch vs affinity for $key")
+    }
+  }
+
+  test("q_changepoint_cusum: per-type rows, stat bounds, gate identity") {
+    val rows = SparkEntry.queries("q_changepoint_cusum")(spark, sf).collect()
+    val types = Tables(spark, sf, "events")
+      .select("event_type").distinct().count()
+    assert(rows.length == types, "one change-point row per event type")
+    rows.foreach { r =>
+      val (nDays, total) = (r.getLong(1), r.getLong(2))
+      assert(nDays >= 1 && total >= nDays * 0 && total > 0)
+      val stat = r.getDouble(4)
+      assert(stat >= 0.0)
+      // |cusum| <= total * n_days (every deviation bounded by total) =>
+      // stat <= total / n_days (the mean daily count)
+      assert(stat <= total.toDouble / nDays + 1e-9,
+        s"stat exceeds its arithmetic bound: $r")
+      // the day string parses and falls in the fixture window
+      val day = java.time.LocalDate.parse(r.getString(3))
+      assert(day.getYear == 2024)
+      assert(r.getBoolean(5) ==
+        (stat >= 2.0 * math.sqrt(total.toDouble / nDays)) ||
+        // displayed stat is rounded; gate cuts on the unrounded value —
+        // allow the knife-edge only when they disagree within 1e-4
+        math.abs(stat - 2.0 * math.sqrt(total.toDouble / nDays)) < 1e-4)
+    }
+  }
+
   test("q_triangle_count: canonical-count identities, coefficient bounds") {
     val rows = SparkEntry.queries("q_triangle_count")(spark, sf).collect()
     assert(rows.nonEmpty)
