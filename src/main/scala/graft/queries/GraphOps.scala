@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (the DuckDB gate): every rule metric is a ratio of exact
   * integers with identical expression shape on both engines (6dp); the
-  * PageRank contribution sums are 12dp-rounded exact decimals (order-
-  * independent — float sums across an unordered edge shuffle are not),
-  * so each iteration is a deterministic function of the previous one
-  * and 8 iterations land bit-identically on both engines.
+  * PageRank recurrence is PURE INTEGER arithmetic in pico-units (no
+  * float op exists inside the iteration — float sums across an
+  * unordered edge shuffle are order-dependent and even 12dp-rounded
+  * doubles forked on rounding boundaries), so each iteration is a
+  * deterministic function of the previous one and 8 iterations land
+  * bit-identically on both engines.
   */
 object GraphOps {
 
