@@ -30,7 +30,7 @@ class ConfigIngestSpec extends AnyFunSuite {
     finally kv.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
-  test("GraftConfig: defaults mirror the reference flag table") {
+  test("s_config / GraftConfig: defaults mirror the reference flag table") {
     val cfg = GraftConfig.from(spark)
     assert(cfg.bindAddr == ":13013")        // --bindAddr default
     assert(cfg.gracePeriodMs == 30000L)     // --gracePeriod 30s
@@ -80,7 +80,7 @@ class ConfigIngestSpec extends AnyFunSuite {
   private def envLine(k: Long): String =
     s"""{"after": {"o_orderkey": $k, "o_custkey": ${k % 10}, "o_totalprice": ${k * 10}.5}, "key": [$k], "updated": "${upd(k)}"}"""
 
-  test("R1 end-to-end: POST -> 201 landed file -> stream -> partitioned sink") {
+  test("s_http_ingest / R1 end-to-end: POST -> 201 landed file -> stream -> partitioned sink") {
     val landing = tmp("http-landing"); val out = tmp("http-out")
     val srv = new IngestServer(":0", landing, Set("k1"))
     try {
@@ -159,7 +159,7 @@ class ConfigIngestSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
-  test("R14: /metrics round-trips counters + stream metrics; /healthz drains to 503") {
+  test("s_metrics + s_healthz / R14: /metrics round-trips counters; /healthz drains to 503") {
     val landing = tmp("metrics-landing"); val out = tmp("metrics-out")
     val srv = new IngestServer(":0", landing, Set("k1"),
       extraMetrics = () => StreamMetrics.snapshot(spark))
