@@ -14,7 +14,12 @@ object DumpPlans {
     "q_ks_drift", "q_join_bucketed", "q_scan_partition_pruned",
     "q_dedup_incremental", "q_ann_ivfpq", "q_source_orc", "q_semdedup",
     "q_record_linkage", "q_dedup_fuzzy_edit", "q_bm25_search",
-    "q_rfm_segments", "q_win_rolling_time", "q_distinct_incremental")
+    "q_rfm_segments", "q_win_rolling_time", "q_distinct_incremental",
+    // graph + series families (q_pagerank stays hand-audited: with the
+    // eager checkpoints disabled for plan dumps its explain is the full
+    // 8-round lazy chain — shape is documented in the bullets instead)
+    "q_affinity_pairs", "q_triangle_count", "q_recommend_items",
+    "q_changepoint_cusum", "q_session_features", "q_markov_transition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
