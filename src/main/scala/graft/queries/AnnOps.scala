@@ -109,12 +109,11 @@ object AnnOps {
     // read twice by the exact-Jaccard verify join. Intersecting hashes is
     // exactly the oracle's semantics: its `inter` CTE equi-joins the
     // hashes too, so the (negligible) collision case matches engines.
-    val docs = par(Tables(s, d, "documents"))
+    // eager fill before the two verify-join reads
+    val docs = persistEager(par(Tables(s, d, "documents"))
       .select(col("doc_id"),
         graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
-          .as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    docs.count() // eager fill before the two verify-join reads
+          .as("sh")))
     // Persist the banded SKETCH (doc_id, band, bucket — constant bytes
     // per doc) before the self-join: Spark does not reuse the exchange
     // across the two join sides, so without this the whole
@@ -123,9 +122,8 @@ object AnnOps {
     // spills rather than OOMs on a 100 TB corpus. The sig build explodes
     // the PERSISTED sh arrays (round 7), so ShingleHash60 runs once per
     // doc instead of once here and once in the verify-side scan.
-    val banded = bandedFrom(docs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    banded.count() // eager fill: one sig pass, not a per-side race
+    // eager fill: one sig pass, not a per-side race
+    val banded = persistEager(bandedFrom(docs))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -189,15 +187,13 @@ object AnnOps {
         s"graft_mhidx_${tag}_docs", s"$base/docs", "doc_id", 8) {
         corpusSh
       }
-      val newSh = par(Tables(s, d, "documents")).filter(isNew)
+      // eager: one sketch pass feeds banding + verify
+      val newSh = persistEager(par(Tables(s, d, "documents"))
+        .filter(isNew)
         .select(col("doc_id"),
           graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
-            .as("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      newSh.count() // eager: one sketch pass feeds banding + verify
-      val newBanded = bandedFrom(newSh)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      newBanded.count()
+            .as("sh")))
+      val newBanded = persistEager(bandedFrom(newSh))
       val candOld = newBanded.as("a").join(idxBands.as("b"),
           col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket"))
@@ -293,9 +289,8 @@ object AnnOps {
       // out of the loop's plans (the union references pairs twice, and
       // every round's plan would re-embed it otherwise).
       val (rawPairs, sketchHandles) = minhashPairsAnd(s, d)
-      val pairs = rawPairs.select("d1", "d2")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      pairs.count() // eager fill: one pair pass for both union branches
+      // eager fill: one pair pass for both union branches
+      val pairs = persistEager(rawPairs.select("d1", "d2"))
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         .localCheckpoint(true)
@@ -304,37 +299,7 @@ object AnnOps {
       // letting them sit dead through the whole propagation loop.
       pairs.unpersist()
       sketchHandles.foreach(_.unpersist())
-      // Iterate over the near-dup SUBGRAPH only — docs with at least one
-      // edge (both directions are in `edges`, so `src` covers every such
-      // doc). Singletons never change label, so looping them through
-      // every round would shuffle the whole corpus per round for nothing;
-      // at 100 TB the subgraph is typically a few percent of the docs.
-      // They rejoin via the left join below.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint(true)
-      // coalesce: an edgeless corpus gives an EMPTY label frame and a
-      // null sum — converge on 0 == 0 instead of an NPE.
-      def sumLabels(df: DataFrame): Long =
-        df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-      var labelSum = sumLabels(labels)
-      var converged = false
-      while (!converged) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("dst"),
-            col("label").as("nl")), "dst")
-          .groupBy("src").agg(min("nl").as("nmin"))
-          .withColumnRenamed("src", "doc_id")
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label"))
-          .localCheckpoint(true) // truncates round-k lineage AND plan
-        val nextSum = sumLabels(next)
-        labels = next
-        converged = nextSum == labelSum
-        labelSum = nextSum
-      }
+      val (labels, _) = propagateMinLabels(edges)
       val csz = Window.partitionBy("cluster_id")
       par(Tables(s, d, "documents")).select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
@@ -344,6 +309,71 @@ object AnnOps {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
         .orderBy("doc_id")
+  }
+
+  /** Min-label propagation with pointer doubling over a symmetric edge
+    * list (`src`, `dst` — both directions present; caller checkpoints).
+    * Returns the per-node component labels (component MIN doc_id) and
+    * the number of rounds executed (including the final no-change
+    * detection round) so the O(log n) convergence contract is
+    * spec-pinnable.
+    *
+    * Iterates over the near-dup SUBGRAPH only — docs with at least one
+    * edge (`src` covers every such doc since both directions are in
+    * `edges`). Singletons never change label, so looping them through
+    * every round would shuffle the whole corpus per round for nothing;
+    * at 100 TB the subgraph is typically a few percent of the docs.
+    * Callers rejoin them via a left join.
+    *
+    * Each round is neighbor-min THEN pointer doubling (path halving:
+    * follow label -> label(label) once). Pure neighbor-min is
+    * O(diameter) rounds, so a pathological CHAIN of near-dups (crawl
+    * mirrors re-mirrored) degrades to O(n) rounds; with the shortcut
+    * the frontier distance ~doubles per round and convergence is
+    * O(log n) (round-10 verdict #4 — the large-star/small-star idea
+    * from the connected-components-in-MapReduce literature, expressed
+    * as one extra O(nodes) self-join, far cheaper than the edge join it
+    * shortcuts). A label is always the doc_id of a subgraph node
+    * (labels only ever move DOWN through ids present in the label
+    * frame), so the lookup is a left self-join; the fixpoint —
+    * component-min — is unchanged by the shortcut, which is why
+    * q_dedup_cluster's oracle hash is identical with and without it. */
+  private[graft] def propagateMinLabels(edges: DataFrame)
+      : (DataFrame, Int) = {
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    // coalesce: an edgeless corpus gives an EMPTY label frame and a
+    // null sum — converge on 0 == 0 instead of an NPE.
+    def sumLabels(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var labelSum = sumLabels(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("label").as("nl")), "dst")
+        .groupBy("src").agg(min("nl").as("nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      val next = stepped.as("l")
+        .join(stepped.select(col("doc_id").as("label"),
+          col("label").as("ll")).as("p"), Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("ll"), col("label")))
+            .as("label"))
+        .localCheckpoint(true) // truncates round-k lineage AND plan
+      val nextSum = sumLabels(next)
+      labels = next
+      rounds += 1
+      converged = nextSum == labelSum
+      labelSum = nextSum
+    }
+    (labels, rounds)
   }
 
   private val sketchQ: Map[String, Q] = Map(
@@ -372,13 +402,12 @@ object AnnOps {
       // Persisted for the same reason as minhash's banded frame: the
       // candidate self-join would otherwise run the 48-bit-agg sig
       // pipeline twice. O(docs x 4) rows of (bits, chunk) — tiny.
-      val chunked = sig
+      // eager fill: one sig pass, not a per-side race
+      val chunked = persistEager(sig
         .select(col("doc_id"), col("bits"),
           posexplode(array((0 until 4).map(c =>
             shiftright(col("bits"), c * 12).bitwiseAND(0xFFFL)): _*)))
-        .withColumnRenamed("col", "v").withColumnRenamed("pos", "c")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      chunked.count() // eager fill: one sig pass, not a per-side race
+        .withColumnRenamed("col", "v").withColumnRenamed("pos", "c"))
       val pairs = chunked.as("a").join(chunked.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -458,13 +487,12 @@ object AnnOps {
       // (both join sides + the keep-all-vectors left join); persisted so
       // the 48-plane projection runs once. Zero-norm vectors are dropped
       // up front: their cosine is undefined (NaN) on both engines.
-      val sig = par(Tables(s, d, "embeddings"))
+      // eager fill: one signature pass for all three reads
+      val sig = persistEager(par(Tables(s, d, "embeddings"))
         .select(col("vec_id"), col("embedding"),
           sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"),
           rpSig(s, "embedding").as("bits"))
-        .filter(col("nrm") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      sig.count() // eager fill: one signature pass for all three reads
+        .filter(col("nrm") > 0))
       val flat = sig.select(col("vec_id"), col("bits"),
         posexplode(array((0 until rpChunks).map(c =>
           shiftright(col("bits"), c * 4).bitwiseAND(15L)): _*)))
@@ -729,12 +757,11 @@ object AnnOps {
       // CollapseProject inlines the m x ks x subDim encode loop into the
       // post-explode projection — re-running it once per DIM (64x per
       // row; measured 8.5 s/iter vs ~1 s with the barrier at sf0.1).
-      val enc = emb
+      // eager: encode exactly once per row per iteration
+      val enc = persistEager(emb
         .select(col("cell"), col("embedding"),
           graft.functions.PqCodec.encode(s, col("embedding"), col("cell"),
-            coarseLit, typedLit[Seq[Seq[Seq[Double]]]](books)).as("codes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      enc.count() // eager: encode exactly once per row per iteration
+            coarseLit, typedLit[Seq[Seq[Seq[Double]]]](books)).as("codes")))
       val sums = enc
         .select(col("cell"), col("codes"), posexplode(col("embedding")))
         .select(

@@ -623,8 +623,11 @@ object CurationOps {
         (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
       val m1 = col("sx_a") / col("n_a")
       val m2 = col("sx_b") / col("n_b")
-      val v1 = col("sxx_a") / col("n_a") - m1 * m1
-      val v2 = col("sxx_b") / col("n_b") - m2 * m2
+      // Unbiased sample variance (n-1), the canonical Welch denominator
+      // (round-10 advice: the population-moment form slightly deflated
+      // z). Shape mirrored verbatim in the SQL twin.
+      val v1 = (col("sxx_a") - m1 * col("sx_a")) / (col("n_a") - lit(1))
+      val v2 = (col("sxx_b") - m2 * col("sx_b")) / (col("n_b") - lit(1))
       val zMean = (m1 - m2) /
         sqrt(v1 / col("n_a") + v2 / col("n_b"))
       a.crossJoin(b)
@@ -916,12 +919,12 @@ object CurationOps {
             distinct = true)).as("s"))
           .distinct()
       }
-      val dropSh = par(Tables(s, d, "documents")).filter(isNew)
+      // eager: one sketch pass feeds counts + anti-join
+      val dropSh = persistEager(par(Tables(s, d, "documents"))
+        .filter(isNew)
         .select(col("doc_id"),
           explode(graft.functions.ShingleHash60(s, col("text"), 3,
-            distinct = true)).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      dropSh.count() // eager: one sketch pass feeds counts + anti-join
+            distinct = true)).as("s")))
       val perDoc = dropSh.groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"))
       val novel = dropSh.join(stored, Seq("s"), "left_anti")
@@ -1293,8 +1296,8 @@ object CurationOps {
          |    round(sx_a / n_a, 6) AS mean_a,
          |    round(sx_b / n_b, 6) AS mean_b,
          |    round((sx_a / n_a - sx_b / n_b)
-         |      / sqrt((sxx_a / n_a - (sx_a / n_a) * (sx_a / n_a)) / n_a
-         |           + (sxx_b / n_b - (sx_b / n_b) * (sx_b / n_b)) / n_b),
+         |      / sqrt(((sxx_a - (sx_a / n_a) * sx_a) / (n_a - 1)) / n_a
+         |           + ((sxx_b - (sx_b / n_b) * sx_b) / (n_b - 1)) / n_b),
          |      6) AS z_mean
          |  FROM j)
          |SELECT *, abs(z_rate) >= 1.96 AS sig_rate,

@@ -140,7 +140,11 @@ object FixtureLayout {
   /** Publish one export version under `dest` and commit it by atomically
     * replacing `dest/MANIFEST`. Crash-safe at every prefix: the version
     * dir is invisible to readers until the manifest swap, which is a
-    * single POSIX rename. Returns `dest`. */
+    * single POSIX rename. Returns the committed VERSION ID — under the
+    * racing-committer model `dest`'s latest version may already belong
+    * to someone else by the time this returns, so a caller that needs
+    * "the version I just committed" (compactExport) must resolve it by
+    * this vid, never by `listVersions(dest).last`. */
   def publishManifested(dest: String)(write: String => Unit): String = {
     val destDir = new File(dest)
     destDir.mkdirs()
@@ -159,7 +163,7 @@ object FixtureLayout {
     Files.move(tmp.toPath, new File(destDir, "MANIFEST").toPath,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     retainManifest(destDir, vid, body)
-    dest
+    vid
   }
 
   // ── Version history (round 10): time-travel over committed exports ──
@@ -259,10 +263,16 @@ object FixtureLayout {
     val files = manifestedFiles(dest)._2.filter(_.endsWith(".parquet"))
     require(files.nonEmpty, s"no parquet data to compact at $dest")
     val df = s.read.parquet(files: _*)
-    publishManifested(dest) { staging =>
+    val vid = publishManifested(dest) { staging =>
       df.repartition(targetFiles).write.parquet(staging)
     }
-    listVersions(dest).last._1
+    // Resolve OUR commit's sequence by vid: under the racing-committer
+    // model `listVersions(dest).last` may already be a concurrent
+    // writer's version (round-10 advice), and the compaction must report
+    // the snapshot it actually produced.
+    listVersions(dest).collectFirst { case (seq, v) if v == vid => seq }
+      .getOrElse(throw new IllegalStateException(
+        s"compaction commit $vid vanished from $dest/manifests"))
   }
 
   /** Idempotent wrapper: publish only if no manifest is committed yet.

@@ -104,10 +104,12 @@ object GraphOps {
     // once at the end from the same long.
     "q_pagerank" -> ((s, d) => {
       val (_, pairs) = pairCounts(s, d)
-      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
-        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      edges.count() // one pair computation serves all 8 rounds
+      // one pair computation serves all 8 rounds (persistEager: no job
+      // and no cache under the DumpPlans escape hatch)
+      val edges = persistEager(
+        pairs.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionByName(pairs.select(col("p2").as("src"),
+            col("p1").as("dst"))))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val nDf = deg.agg(count(lit(1)).as("n"))
       var r = deg.crossJoin(broadcast(nDf))
@@ -193,9 +195,8 @@ object GraphOps {
     * ids; everything else is node-cardinality aggregation. */
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val (_, pairs0) = pairCounts(s, d)
-    val pairs = pairs0.select("p1", "p2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count() // one edge computation serves wedges + closure + degree
+    // one edge computation serves wedges + closure + degree
+    val pairs = persistEager(pairs0.select("p1", "p2"))
     val tri = pairs.as("e1")
       .join(pairs.as("e2"), col("e1.p2") === col("e2.p1"))
       .join(pairs.as("e3"),

@@ -481,7 +481,9 @@ object MultiModal {
     while (i < n) {
       val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8))
         .toShort.toLong
-      val w = math.min(i * 65 / math.max(n, 1), 64)
+      // Long math: i * 65 overflows Int past ~33M samples (~66 MB PCM),
+      // which would index e[] negative on production-sized clips.
+      val w = math.min((i.toLong * 65 / math.max(n, 1)).toInt, 64)
       e(w) += s * s
       i += 1
     }
@@ -511,9 +513,8 @@ object MultiModal {
     * best-mate election. One definition so every modality's near-dup
     * operator has the identical recall contract. */
   private def bandedNearDup(ph0: DataFrame): DataFrame = {
-    val ph = ph0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ph.count() // one decode pass serves banding + both verify sides
+    // one decode pass serves banding + both verify sides
+    val ph = graft.queries.persistEager(ph0)
     val bands = ph.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("phash"), b * 16)

@@ -89,12 +89,11 @@ object TextOps {
       s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
-    val sh = par(graft.Tables(s, d, "documents"))
+    // eager fill: one md5 pass for all reads
+    val sh = persistEager(par(graft.Tables(s, d, "documents"))
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash60(s, col("text"), 3,
-          distinct = true)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count() // eager fill: one md5 pass for all reads
+          distinct = true)).as("s")))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = if (cap <= 0) {
       sh.as("a").join(sh.as("b"),
@@ -476,12 +475,11 @@ object TextOps {
     // join and never n². Docs under 3 tokens have no shingles and drop out
     // identically on both engines (explode and unnest agree).
     "q_ngram_novelty" -> ((s, d) => {
-      val sh = par(Tables(s, d, "documents"))
+      // eager fill: one md5 pass for both aggregations
+      val sh = persistEager(par(Tables(s, d, "documents"))
         .select(col("doc_id"),
           explode(graft.functions.ShingleHash60(s, col("text"), 3,
-            distinct = true)).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count() // eager fill: one md5 pass for both aggregations
+            distinct = true)).as("s")))
       val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val novel = sh.groupBy("s").agg(min("doc_id").as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("nn"))
@@ -516,11 +514,19 @@ object TextOps {
         .orderBy(col("cnt").desc, col("token").asc).limit(100)
       val ranked = head.withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      // Operand widths are deliberately tight: x = ln(rank<=100) < 10
+      // fits DECIMAL(13,12), y = ln(cnt) < 100 for any count below
+      // e^100 fits DECIMAL(14,12), so x*y is DECIMAL(28,24) and x*x
+      // DECIMAL(27,24) — inside the 38-digit max on BOTH engines. At
+      // DECIMAL(20,12) the products hit width 41 and DuckDB silently
+      // fell back to DOUBLE (order-dependent float sums) while Spark
+      // kept a scale-truncated decimal, leaving the determinism claim
+      // a knife-edge at the 8dp round (round-10 advice, medium).
       val terms = ranked.select(
         round(log(col("rank").cast("double")), 12)
-          .cast("decimal(20,12)").as("x"),
+          .cast("decimal(13,12)").as("x"),
         round(log(col("cnt").cast("double")), 12)
-          .cast("decimal(20,12)").as("y"))
+          .cast("decimal(14,12)").as("y"))
       val sums = terms.agg(
         count(lit(1)).as("n_points"),
         round(sum(col("x")), 8).cast("double").as("sx"),
@@ -773,8 +779,8 @@ object TextOps {
         |  FROM head),
         |terms AS (
         |  SELECT
-        |    CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(20,12)) AS x,
-        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(20,12)) AS y
+        |    CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(13,12)) AS x,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(14,12)) AS y
         |  FROM ranked),
         |sums AS (
         |  SELECT COUNT(*) AS n_points,

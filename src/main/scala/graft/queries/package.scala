@@ -27,6 +27,28 @@ package object queries {
     else df
   }
 
+  /** Persist `df` MEMORY_AND_DISK and eagerly fill the cache with one
+    * count, so a frame read by several downstream branches computes its
+    * pipeline exactly once instead of racing per-side. Under the
+    * DumpPlans escape hatch (`spark.graft.skipEagerMaterialize=true`)
+    * it returns `df` untouched: a plan-inspection session must neither
+    * execute the job at frame-BUILD time nor persist a cache that
+    * materializeAndFree would then skip unpersisting (round-10 advice —
+    * the graph operators ran their pair-counts job and leaked the edge
+    * cache in dump sessions). `unpersist()` on the un-persisted frame
+    * is a no-op, so materializeAndFree(handles…) stays correct either
+    * way. */
+  private[queries] def persistEager(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf
+        .get("spark.graft.skipEagerMaterialize", "false") == "true") df
+    else {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+  }
+
   /** Eagerly materialize `df` via localCheckpoint, then release the
     * internal caches it depended on. Sketch queries (minhash / simhash /
     * sign-LSH / ngram-jaccard) persist big intermediates that a

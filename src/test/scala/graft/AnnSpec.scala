@@ -33,6 +33,26 @@ class AnnSpec extends AnyFunSuite {
     assert(c1 != seeds, "training left every centroid at its seed")
   }
 
+  test("q_dedup_cluster propagation: planted 16-doc chain converges in O(log n) rounds") {
+    // A chain is the worst case for plain neighbor-min propagation:
+    // 0-1-2-...-15 needs 15 rounds (one per hop) plus the detection
+    // round. The pointer-doubling shortcut (round-10 verdict #4) must
+    // bring that to ~log2(16)=4 rounds + detection, while still landing
+    // every node on the component-min label.
+    import spark.implicits._
+    val fwd = (0L until 15L).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val (labels, rounds) = AnnOps.propagateMinLabels(edges)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 16)
+    assert((0L to 15L).forall(out(_) == 0L),
+      s"chain did not collapse to component-min: $out")
+    assert(rounds <= 5,
+      s"chain of 16 took $rounds rounds — pointer doubling regressed " +
+        "(plain neighbor-min needs 16)")
+  }
+
   test("q_ann_ivf prunes: visited candidates are a strict corpus subset") {
     // nprobe=2 of 8 cells must scan well under the full corpus per probe
     val perProbeScan = AnnOps.ivfKnn(spark, sf, nprobe = 2)
