@@ -33,12 +33,30 @@ object GraphOps {
   /** Distinct (order, part) incidence and the undirected co-purchase
     * pair counts at the co >= 2 support floor. One definition shared by
     * affinity and PageRank so the two operators can never disagree
-    * about what the graph is. */
+    * about what the graph is.
+    *
+    * `spark.graft.basketCap` (0 = off, the default) bounds the per-order
+    * pair fan-out: an order with more than cap distinct parts keeps only
+    * its cap LOWEST part keys before the self-join, so one mega-basket
+    * (a wholesale order with 10k line items) can no longer emit basket²
+    * pair rows on a single order key. The cut is deterministic and
+    * repartition-stable (row_number over the total order (ok, pk) —
+    * the shingleDfCap precedent, TextOps.shinglePairSized), and the
+    * window's ok-hash exchange is the same partitioning the self-join
+    * needs anyway. With cap >= the corpus max basket the output is
+    * bit-identical to uncapped (spec-pinned, QueriesSpec). */
   private def pairCounts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val inc = Tables(s, d, "lineitem")
+    val cap = s.conf.get("spark.graft.basketCap", "0").toInt
+    val incAll = Tables(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+    val inc = if (cap <= 0) incAll else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ok").orderBy("pk")
+      incAll.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap).drop("rn")
+    }
     val pairs = inc.as("a").join(inc.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
@@ -180,35 +198,70 @@ object GraphOps {
     }),
   )
 
+  /** Orient the undirected p1<p2 edge list from the LOWER-degree
+    * endpoint to the higher ((degree, id) lexicographic — id breaks
+    * ties, so the orientation is a total order and every edge gets
+    * exactly one direction). Output columns: src, dst, ddeg (= the
+    * destination's degree, carried so wedge enumeration can order
+    * out-neighbors without re-joining degrees). Exposed to the spec,
+    * which pins the invariant (deg(src), src) < (deg(dst), dst) and
+    * that a max-degree hub's out-degree is 0 on a star graph. */
+  private[graft] def orientEdges(pairs: DataFrame, deg: DataFrame)
+      : DataFrame = {
+    val sized = pairs
+      .join(deg.select(col("pk").as("p1"), col("degree").as("d1")), "p1")
+      .join(deg.select(col("pk").as("p2"), col("degree").as("d2")), "p2")
+    val p1Lower = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("p1") < col("p2"))
+    sized.select(
+      when(p1Lower, col("p1")).otherwise(col("p2")).as("src"),
+      when(p1Lower, col("p2")).otherwise(col("p1")).as("dst"),
+      when(p1Lower, col("d2")).otherwise(col("d1")).as("ddeg"))
+  }
+
   /** ── Triangle count + local clustering coefficient (round 10) ─────
     * How clique-y is each node's neighborhood — the community-structure
     * signal next to PageRank's centrality (a high-degree low-clustering
     * part is a generic staple; high-clustering parts form bundles).
-    * Triangles enumerate once in canonical id order (a<b<c) via two
-    * joins over the p1<p2 edge list — the standard orientation trick
-    * that counts each triangle exactly once; at 100 TB the orientation
-    * would sort by DEGREE instead of id to bound the skew of hub nodes
-    * (same count, hub work capped), noted here because the fixture
-    * graph is too small to need it. Per-node coefficient =
-    * 2T / (deg (deg-1)) at 6dp; degree-1 nodes keep NULL on both
-    * engines. Shuffles: the triangle joins are keyed on single node
-    * ids; everything else is node-cardinality aggregation. */
+    * Triangles enumerate once via the DEGREE-ordered orientation
+    * (round-11, verdict #1): every edge points from its lower-(degree,
+    * id) endpoint to the higher, wedges pair the out-neighbors of each
+    * node ordered by the same (degree, id) key, and the closing edge is
+    * looked up in the same oriented list. Each triangle {u,v,w} is
+    * counted exactly once — at its lowest-(degree, id) corner — so the
+    * TOTAL and the per-node counts are identical to the id-ordered
+    * enumeration the DuckDB oracle runs (same oracle SQL, same hash).
+    * The point of degree-ordering is SKEW at 100x: wedges fan out only
+    * from ORIENTED out-edges, a max-degree hub has out-degree 0 (every
+    * neighbor is lower), and any node's out-degree is O(sqrt(edges)) —
+    * the classic bound that keeps one hot join key from carrying O(d²)
+    * wedge rows. Per-node coefficient = 2T / (deg (deg-1)) at 6dp;
+    * degree-1 nodes keep NULL on both engines. Shuffles: the wedge join
+    * keys on the (low-degree) source node id, the closure join on the
+    * (src, dst) pair; everything else is node-cardinality
+    * aggregation. */
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val (_, pairs0) = pairCounts(s, d)
-    // one edge computation serves wedges + closure + degree
+    // one edge computation serves orientation + degree
     val pairs = persistEager(pairs0.select("p1", "p2"))
-    val tri = pairs.as("e1")
-      .join(pairs.as("e2"), col("e1.p2") === col("e2.p1"))
-      .join(pairs.as("e3"),
-        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-      .select(col("e1.p1").as("a"), col("e1.p2").as("b"),
-        col("e2.p2").as("c"))
-    val perNode = tri.select(explode(array(col("a"), col("b"), col("c")))
-        .as("pk"))
-      .groupBy("pk").agg(count(lit(1)).as("n_triangles"))
     val deg = pairs.select(col("p1").as("pk"))
       .unionByName(pairs.select(col("p2").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("degree"))
+    // read three times (both wedge sides + closure): persist the tiny
+    // oriented list rather than re-running the two degree joins
+    val ori = persistEager(orientEdges(pairs, deg))
+    val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
+      (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+    val tri = ori.as("e1")
+      .join(ori.as("e2"),
+        col("e1.src") === col("e2.src") && wedgeOrder)
+      .join(ori.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_triangles"))
     val out = deg.join(perNode, Seq("pk"), "left")
       .select(col("pk"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
@@ -217,7 +270,7 @@ object GraphOps {
             / (col("degree").cast("double") * (col("degree") - 1)), 6))
           .as("clustering"))
       .orderBy("pk")
-    materializeAndFree(out, pairs)
+    materializeAndFree(out, pairs, ori)
   }
 
   private def rankIterSql(prev: String, k: Int): String =

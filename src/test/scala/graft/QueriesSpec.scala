@@ -773,6 +773,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(2) > 0))
   }
 
+  test("q_triangle_count wedges key on the lower-degree endpoint (hub-safe)") {
+    import spark.implicits._
+    // Star graph: hub 0 joined to 1..10, plus the single closing edge
+    // 1-2 (one triangle 0-1-2). Degree(0)=10, degree(1)=degree(2)=2,
+    // others 1.
+    val pairs = ((1L to 10L).map(l => (0L, l)) :+ (1L, 2L))
+      .toDF("p1", "p2")
+    val deg = pairs.select(col("p1").as("pk"))
+      .unionByName(pairs.select(col("p2").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("degree"))
+    val ori = graft.queries.GraphOps.orientEdges(pairs, deg).collect()
+    val degMap = deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // invariant: every edge points from lower (degree, id) to higher
+    ori.foreach { r =>
+      val (src, dst) = (r.getLong(0), r.getLong(1))
+      assert(degMap(src) < degMap(dst) ||
+          (degMap(src) == degMap(dst) && src < dst),
+        s"edge $src->$dst not degree-oriented")
+      assert(r.getLong(2) == degMap(dst), "carried ddeg is wrong")
+    }
+    // the max-degree hub emits NO wedges: its out-degree is 0, so the
+    // O(d²) hub fan-out the id-orientation risked cannot occur
+    assert(!ori.exists(_.getLong(0) == 0L),
+      "hub 0 has oriented out-edges — wedge fan-out not degree-capped")
+  }
+
+  test("basketCap: capped == exact at fixture max basket; cap=1 kills all pairs") {
+    val exact = SparkEntry.queries("q_affinity_pairs")(spark, sf).collect()
+    val maxBasket = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    try {
+      // cap at the corpus max basket: a no-op by construction, and the
+      // deterministic (ok, pk) cut must be BIT-identical to uncapped
+      spark.conf.set("spark.graft.basketCap", maxBasket.toString)
+      val capped = SparkEntry.queries("q_affinity_pairs")(spark, sf)
+        .collect()
+      assert(capped.map(_.toString).toSeq == exact.map(_.toString).toSeq,
+        s"cap=$maxBasket (max basket) changed the affinity output")
+      // cap=1 keeps one part per order: no co-purchase pairs can survive
+      spark.conf.set("spark.graft.basketCap", "1")
+      assert(SparkEntry.queries("q_affinity_pairs")(spark, sf).count() == 0,
+        "cap=1 still produced co-purchase pairs")
+    } finally spark.conf.unset("spark.graft.basketCap")
+  }
+
   test("q_markov_transition: rows are a stochastic matrix, edge conservation") {
     val rows = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
     assert(rows.nonEmpty)
