@@ -100,60 +100,40 @@ object GraphOps {
         .orderBy("p1", "p2")
     }),
 
-    // ── PageRank centrality (round 10) ───────────────────────────────
+    // ── PageRank centrality (round 10; dangling mass round 11) ───────
     // Damped PageRank (d=0.85, 8 fixed iterations) over the undirected
     // co-purchase graph — "which parts anchor the catalog": the
     // iterative-fixpoint class next to q_dedup_cluster's label
     // propagation (CC finds the components, PageRank ranks inside
-    // them). The subgraph contract: nodes are parts with >= 1
-    // qualifying edge, so every node has degree >= 1 and there is no
-    // dangling-mass term. Per iteration: one edge-keyed join against
-    // the current rank vector + a two-phase agg on dst — O(edges)
-    // shuffle per round, 8 rounds, localCheckpoint between rounds so
-    // round k's plan never re-embeds k copies of the chain (the
-    // q_dedup_cluster lesson). ALL rank arithmetic is exact integer
-    // PICO-units (rank x 10^12 as long): per-edge contribution =
-    // rp div deg (floor), damping = 0.15-in-pico div n + (85 * sum)
-    // div 100 — no float op and no decimal rounding anywhere in the
-    // iteration, so there is no rounding boundary to fork on (the
-    // first cut of this operator rounded 12dp doubles and forked on
-    // 129/1880 cells at the last digit) and both engines walk the
-    // bit-identical rank sequence. The double `rank` column is derived
-    // once at the end from the same long.
+    // them). Nodes are ALL parts purchased at least once; a part with
+    // no qualifying (co >= 2) edge is DANGLING (degree 0) and its rank
+    // mass redistributes uniformly each round — the canonical
+    // dangling-node term, so the operator no longer leans on the
+    // edge-support floor to guarantee degree >= 1 (round-10 verdict #3:
+    // a graph built from an arbitrary change stream has no such floor).
+    // Per iteration: one edge-keyed join against the current rank
+    // vector + a two-phase agg on dst, plus one O(nodes) filter-agg for
+    // the dangling sum (r carries its degree, so no extra join) —
+    // O(edges) shuffle per round, 8 rounds, localCheckpoint between
+    // rounds so round k's plan never re-embeds k copies of the chain
+    // (the q_dedup_cluster lesson). ALL rank arithmetic is exact
+    // integer PICO-units (rank x 10^12 as long): per-edge contribution
+    // = rp div deg (floor), redistribution = dang div n, damping =
+    // 0.15-in-pico div n + (85 * sum) div 100 — no float op and no
+    // decimal rounding anywhere in the iteration, so there is no
+    // rounding boundary to fork on (the first cut rounded 12dp doubles
+    // and forked on 129/1880 cells at the last digit) and both engines
+    // walk the bit-identical rank sequence. The double `rank` column is
+    // derived once at the end from the same long.
     "q_pagerank" -> ((s, d) => {
-      val (_, pairs) = pairCounts(s, d)
+      val (inc, pairs) = pairCounts(s, d)
       // one pair computation serves all 8 rounds (persistEager: no job
       // and no cache under the DumpPlans escape hatch)
       val edges = persistEager(
         pairs.select(col("p1").as("src"), col("p2").as("dst"))
           .unionByName(pairs.select(col("p2").as("src"),
             col("p1").as("dst"))))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val nDf = deg.agg(count(lit(1)).as("n"))
-      var r = deg.crossJoin(broadcast(nDf))
-        .select(col("src").as("pk"),
-          expr("1000000000000 div n").as("rp"))
-      val skipEager = s.conf
-        .get("spark.graft.skipEagerMaterialize", "false") == "true"
-      for (_ <- 1 to 8) {
-        val next = edges
-          .join(r, edges("src") === r("pk"))
-          .join(deg, "src")
-          .groupBy(col("dst"))
-          .agg(sum(expr("rp div deg")).as("m"))
-          .crossJoin(broadcast(nDf))
-          .select(col("dst").as("pk"),
-            (expr("150000000000 div n")
-              + expr("(85 * m) div 100")).as("rp"))
-        // flatten lineage each round (plan-inspection sessions keep the
-        // lazy chain — 8 rounds of a tiny graph is still dumpable)
-        r = if (skipEager) next else next.localCheckpoint(true)
-      }
-      val out = r.join(deg, r("pk") === deg("src"))
-        .select(col("pk"), col("deg").cast("long").as("degree"),
-          col("rp").as("rank_pico"),
-          (col("rp").cast("double") / lit(1000000000000.0)).as("rank"))
-        .orderBy(col("rank_pico").desc, col("pk").asc)
+      val out = pageRank(inc.select(col("pk")).distinct(), edges)
       materializeAndFree(out, edges)
     }),
 
@@ -197,6 +177,60 @@ object GraphOps {
         .orderBy("part", "rk")
     }),
   )
+
+  /** The PageRank kernel over an explicit node set: `nodes` is one
+    * `pk` column (every vertex, including DANGLING ones with no edge),
+    * `edges` a symmetric (src, dst) list whose endpoints all appear in
+    * `nodes`. Exposed to the spec so a planted dangling node is
+    * testable without fixture surgery. All arithmetic is the integer
+    * pico-unit scheme documented at the q_pagerank entry; per round the
+    * dangling sum is a filter-agg over the checkpointed rank frame
+    * (rank rows carry their degree precisely so this costs no join).
+    * Output: (pk, degree, rank_pico, rank) ordered rank desc, pk. */
+  private[graft] def pageRank(nodes: DataFrame, edges: DataFrame)
+      : DataFrame = {
+    val s = nodes.sparkSession
+    val skipEager = s.conf
+      .get("spark.graft.skipEagerMaterialize", "false") == "true"
+    def cp(df: DataFrame): DataFrame =
+      if (skipEager) df else df.localCheckpoint(true)
+    val edeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (pk, deg) for every node, deg 0 for dangling — checkpointed once,
+    // reused as the spine of all 8 rounds and the final projection
+    val degNodes = cp(nodes
+      .join(edeg.withColumnRenamed("src", "pk"), Seq("pk"), "left")
+      .select(col("pk"), coalesce(col("deg"), lit(0L)).as("deg")))
+    val nDf = degNodes.agg(count(lit(1)).as("n"))
+    var r = degNodes.crossJoin(broadcast(nDf))
+      .select(col("pk"), col("deg"),
+        expr("1000000000000 div n").as("rp"))
+    r = cp(r)
+    for (_ <- 1 to 8) {
+      // mass parked on degree-0 nodes, redistributed uniformly below
+      val dang = r.filter(col("deg") === 0)
+        .agg(coalesce(sum("rp"), lit(0L)).as("dang"))
+      val contrib = edges
+        .join(r, edges("src") === r("pk"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rp div deg")).as("m"))
+        .withColumnRenamed("dst", "pk")
+      val next = degNodes
+        .join(contrib, Seq("pk"), "left")
+        .crossJoin(broadcast(nDf))
+        .crossJoin(broadcast(dang))
+        .select(col("pk"), col("deg"),
+          expr("150000000000 div n + " +
+            "(85 * (coalesce(m, cast(0 as bigint)) + dang div n)) div 100")
+            .as("rp"))
+      // flatten lineage each round (plan-inspection sessions keep the
+      // lazy chain — 8 rounds of a tiny graph is still dumpable)
+      r = cp(next)
+    }
+    r.select(col("pk"), col("deg").cast("long").as("degree"),
+        col("rp").as("rank_pico"),
+        (col("rp").cast("double") / lit(1000000000000.0)).as("rank"))
+      .orderBy(col("rank_pico").desc, col("pk").asc)
+  }
 
   /** Orient the undirected p1<p2 edge list from the LOWER-degree
     * endpoint to the higher ((degree, id) lexicographic — id breaks
@@ -273,16 +307,25 @@ object GraphOps {
     materializeAndFree(out, pairs, ori)
   }
 
+  // AS MATERIALIZED: each iteration reads its predecessor TWICE (the
+  // dangling sum + the edge contributions); DuckDB 1.0 inlines CTEs by
+  // default, which would re-evaluate r(k-1) twice per reference — 2^8
+  // evaluations of the whole chain by r8. Materializing pins the
+  // oracle to the same once-per-round evaluation the Spark side's
+  // localCheckpoint enforces.
   private def rankIterSql(prev: String, k: Int): String =
-    s"""r$k AS (
-       |  SELECT e.dst AS pk,
+    s"""r$k AS MATERIALIZED (
+       |  SELECT nd.pk, nd.deg,
        |    CAST(150000000000 // n.n
-       |      + (85 * SUM(r.rp // d.deg)) // 100 AS BIGINT) AS rp
-       |  FROM edges e
-       |  JOIN $prev r ON r.pk = e.src
-       |  JOIN deg d ON d.src = e.src
+       |      + (85 * (COALESCE(m.m, 0) + dg.d // n.n)) // 100
+       |      AS BIGINT) AS rp
+       |  FROM degnodes nd
        |  CROSS JOIN n
-       |  GROUP BY e.dst, n.n)""".stripMargin
+       |  CROSS JOIN (SELECT COALESCE(SUM(rp), 0) AS d
+       |              FROM $prev WHERE deg = 0) dg
+       |  LEFT JOIN (SELECT e.dst AS pk, SUM(r.rp // r.deg) AS m
+       |             FROM edges e JOIN $prev r ON r.pk = e.src
+       |             GROUP BY e.dst) m ON m.pk = nd.pk)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_affinity_pairs" ->
@@ -366,16 +409,20 @@ object GraphOps {
          |edges AS (
          |  SELECT p1 AS src, p2 AS dst FROM pairs
          |  UNION ALL SELECT p2, p1 FROM pairs),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-         |n AS (SELECT COUNT(*) AS n FROM deg),
-         |r0 AS (
-         |  SELECT src AS pk, CAST(1000000000000 // n.n AS BIGINT) AS rp
-         |  FROM deg CROSS JOIN n),
+         |nodes AS (SELECT DISTINCT pk FROM inc),
+         |edeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |degnodes AS (
+         |  SELECT nd.pk, COALESCE(e.deg, 0) AS deg
+         |  FROM nodes nd LEFT JOIN edeg e ON e.src = nd.pk),
+         |n AS (SELECT COUNT(*) AS n FROM degnodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT pk, deg, CAST(1000000000000 // n.n AS BIGINT) AS rp
+         |  FROM degnodes CROSS JOIN n),
          |$iters
-         |SELECT d.src AS pk, CAST(d.deg AS BIGINT) AS degree,
-         |  r8.rp AS rank_pico,
-         |  CAST(r8.rp AS DOUBLE) / 1000000000000.0 AS rank
-         |FROM r8 JOIN deg d ON d.src = r8.pk
+         |SELECT pk, CAST(deg AS BIGINT) AS degree,
+         |  rp AS rank_pico,
+         |  CAST(rp AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r8
          |ORDER BY rank_pico DESC, pk""".stripMargin
     },
   )

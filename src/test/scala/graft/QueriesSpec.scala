@@ -675,10 +675,17 @@ class QueriesSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     assert(rows.nonEmpty)
     val n = rows.length
+    // nodes are ALL purchased parts — including dangling (degree-0)
+    // parts with no qualifying co-purchase edge (round-11)
+    val allParts = Tables(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(n == allParts, s"pagerank covers $n of $allParts parts")
+    // (the sf0.001 fixture happens to have zero dangling parts; the
+    // dangling-mass path itself is pinned by the planted-kernel spec)
     // every node holds at least the undamped floor (0.15/n in pico)
     val floor = 150000000000L / n
     rows.foreach { r =>
-      assert(r.getLong(1) >= 1, "subgraph nodes all have degree >= 1")
+      assert(r.getLong(1) >= 0)
       assert(r.getLong(2) >= floor,
         s"rank below the damping floor: $r")
       assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e12) < 1e-15)
@@ -752,8 +759,10 @@ class QueriesSpec extends AnyFunSuite {
   test("q_triangle_count: canonical-count identities, coefficient bounds") {
     val rows = SparkEntry.queries("q_triangle_count")(spark, sf).collect()
     assert(rows.nonEmpty)
-    // nodes match q_pagerank's subgraph exactly (same edge definition)
+    // nodes match q_pagerank's degree>=1 subgraph exactly (same edge
+    // definition; pagerank additionally carries the dangling parts)
     val prNodes = SparkEntry.queries("q_pagerank")(spark, sf)
+      .filter(col("degree") >= 1)
       .select("pk").collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet == prNodes)
     rows.foreach { r =>
@@ -771,6 +780,30 @@ class QueriesSpec extends AnyFunSuite {
       "sum of per-node triangle counts must be divisible by 3")
     // the fixture graph genuinely closes triangles
     assert(rows.exists(_.getLong(2) > 0))
+  }
+
+  test("pageRank kernel: planted dangling node receives redistributed mass") {
+    import spark.implicits._
+    // nodes 1,2 joined by one edge; node 3 dangling (no edges at all)
+    val nodes = Seq(1L, 2L, 3L).toDF("pk")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rows = graft.queries.GraphOps.pageRank(nodes, edges).collect()
+    assert(rows.length == 3)
+    val byPk = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byPk(3L).getLong(1) == 0, "node 3 must be degree 0")
+    // symmetric nodes rank identically; the dangling node ranks below
+    // them but ABOVE the bare floor (it receives base + its 1/n share
+    // of its own parked mass each round — with no redistribution it
+    // would pin at exactly 150000000000/3 + 0)
+    val floor = 150000000000L / 3
+    assert(byPk(1L).getLong(2) == byPk(2L).getLong(2))
+    assert(byPk(3L).getLong(2) > floor,
+      s"dangling node got no redistributed mass: ${byPk(3L)}")
+    assert(byPk(3L).getLong(2) < byPk(1L).getLong(2))
+    // mass conservation: total stays ~1.0 modulo integer-floor leaks
+    val mass = rows.map(_.getLong(2)).sum
+    assert(mass <= 1000000000000L && mass >= 950000000000L,
+      s"3-node mass drifted: $mass pico")
   }
 
   test("q_triangle_count wedges key on the lower-degree endpoint (hub-safe)") {
