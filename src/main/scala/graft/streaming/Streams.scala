@@ -181,6 +181,19 @@ object Streams {
     * driver only runs the O(|topics|) create-once pass. */
   def routePublishNet(routed: DataFrame, brokerAddr: String,
     checkpoint: String): StreamingQuery =
+    routePublishNet(routed,
+      Transports.fromSession(routed.sparkSession, brokerAddr), checkpoint)
+
+  /** Transport-generic leg of `s_route_publish_net` (round 11, verdict
+    * #6): the routing/dead-letter/create-once/ack-before-commit logic
+    * is identical for every [[PublishTransport]] — the in-process
+    * NetBroker emulator today, a Kafka / Pub/Sub client in production —
+    * so StreamingSpec exercises THIS method and any real client
+    * inherits the proven delivery contract unchanged. The string-addr
+    * overload above is the config-driven path: it builds the transport
+    * from the session (consuming `spark.graft.credentials`, R15). */
+  def routePublishNet(routed: DataFrame, transport: PublishTransport,
+    checkpoint: String): StreamingQuery =
     routed.observe("route_publish_net",
         count(when(col("tbl") === "404", lit(1))).as("unroutable_404"),
         count(lit(1)).as("rows_seen"))
@@ -192,9 +205,9 @@ object Streams {
           val dead = batch.filter(col("tbl") === "404")
             .select(col("value"), col("path"))
           if (!dead.isEmpty) {
-            NetPublisher.ensureTopic(brokerAddr, "__dead_letter")
+            transport.ensureTopic("__dead_letter")
             dead.foreachPartition { (it: Iterator[Row]) =>
-              NetPublisher.publishPartition(brokerAddr, it.map(r =>
+              transport.publishPartition(it.map(r =>
                 ("__dead_letter", r.getString(0),
                   Map("path" -> r.getString(1),
                     "dl_reason" -> "unroutable_path"))))
@@ -205,9 +218,9 @@ object Streams {
           // driver-side lazy create-once, bounded by topic cardinality
           // (the same collect the dir sink does; publisher.go:99-129)
           ok.select("topic").distinct().collect()
-            .foreach(r => NetPublisher.ensureTopic(brokerAddr, r.getString(0)))
+            .foreach(r => transport.ensureTopic(r.getString(0)))
           ok.foreachPartition { (it: Iterator[Row]) =>
-            NetPublisher.publishPartition(brokerAddr, it.map(r =>
+            transport.publishPartition(it.map(r =>
               (r.getString(0), r.getString(1),
                 Map("path" -> r.getString(2), "table" -> r.getString(3)))))
           }

@@ -161,8 +161,16 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("path").contains("junk.txt")).count() == 1)
   }
 
-  test("s_route_publish_net: TCP publish — acks, attrs, create-once, dead-letter topic") {
-    val in = tmp("cdc-net"); writeCdcDrop(in)
+  /** The s_route_publish_net delivery contract, parameterized over the
+    * transport (round 11, verdict #6): acks, attrs, create-once, and
+    * dead-letter semantics must hold for ANY PublishTransport — the
+    * NetBroker leg runs here; a real Kafka / Pub/Sub client leg would
+    * reuse this same helper but is sandbox-blocked (zero egress, no
+    * client jars), which is exactly why the seam exists. */
+  private def publishContract(tag: String,
+      start: (org.apache.spark.sql.DataFrame, NetBroker, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val in = tmp(s"cdc-net-$tag"); writeCdcDrop(in)
     val broker = new NetBroker()
     NetPublisher.reset()
     try {
@@ -171,7 +179,7 @@ class StreamingSpec extends AnyFunSuite {
           Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
           Set("k1")), "cdc-")
         .select("path", "topic", "tbl", "value", "updated", "op")
-      val q = Streams.routePublishNet(routed, broker.addr, tmp("cdc-net-ckpt"))
+      val q = start(routed, broker, tmp(s"cdc-net-$tag-ckpt"))
       q.processAllAvailable()
       // second delivery: same topic must NOT be created again
       write(in, s"sharedKey=k1/ord_topic/2024-01-02/${ts33(9)}-u9-orders-1.ndjson",
@@ -199,6 +207,80 @@ class StreamingSpec extends AnyFunSuite {
       assert(dead.head.attrs.get("dl_reason").contains("unroutable_path"))
       assert(dead.head.attrs.get("path").exists(_.contains("junk.txt")))
     } finally broker.close()
+  }
+
+  test("s_route_publish_net: TCP publish — acks, attrs, create-once, dead-letter topic") {
+    // config-driven leg: the string-addr overload builds its transport
+    // from the session (the spark.graft.credentials consumption path)
+    publishContract("addr",
+      (routed, broker, ckpt) =>
+        Streams.routePublishNet(routed, broker.addr, ckpt))
+  }
+
+  test("s_route_publish_net: identical contract through an explicit PublishTransport") {
+    publishContract("seam",
+      (routed, broker, ckpt) =>
+        Streams.routePublishNet(routed,
+          graft.streaming.NetTransport(broker.addr), ckpt))
+  }
+
+  test("NetTransport: credentials load fail-fast at construction (R15 end-to-end)") {
+    val broker = new NetBroker()
+    try {
+      // missing file: the constructor throws before any frame is sent
+      val bad = intercept[IllegalArgumentException] {
+        graft.streaming.NetTransport(broker.addr,
+          Some("/definitely/missing/creds.json"))
+      }
+      assert(bad.getMessage.contains("creds.json"))
+      // empty file: equally unusable, equally fatal
+      val empty = java.io.File.createTempFile("creds-empty", ".json")
+      empty.deleteOnExit()
+      intercept[IllegalArgumentException] {
+        graft.streaming.NetTransport(broker.addr,
+          Some(empty.getAbsolutePath))
+      }
+      // usable file: loaded (fingerprint = md5 of the bytes) and the
+      // transport publishes normally
+      val good = java.io.File.createTempFile("creds", ".json")
+      good.deleteOnExit()
+      java.nio.file.Files.write(good.toPath,
+        """{"type":"service_account","id":"fixture"}""".getBytes("UTF-8"))
+      val t = graft.streaming.NetTransport(broker.addr,
+        Some(good.getAbsolutePath))
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(good.toPath))
+        .map(b => f"$b%02x").mkString
+      assert(t.credentialsFingerprint.contains(md5))
+      NetPublisher.reset()
+      t.ensureTopic("t_cred")
+      t.publishPartition(
+        Iterator(("t_cred", "hello", Map.empty[String, String])))
+      assert(broker.messages("t_cred").map(_.data) == Seq("hello"))
+    } finally broker.close()
+  }
+
+  test("s_route_publish_net consumes spark.graft.credentials from the session") {
+    // the config-driven overload must construct its transport through
+    // GraftConfig — an unusable credentials path aborts pipeline START
+    // (before any query exists), not micro-batch N
+    val in = tmp("cdc-net-cred"); writeCdcDrop(in)
+    val broker = new NetBroker()
+    try {
+      spark.conf.set("spark.graft.credentials", "/missing/sink-creds.json")
+      val routed = Streams.route(
+        Streams.authFilter(
+          Streams.parseEnvelope(Streams.ingestLines(spark, in), payload),
+          Set("k1")), "cdc-")
+        .select("path", "topic", "tbl", "value", "updated", "op")
+      val e = intercept[IllegalArgumentException] {
+        Streams.routePublishNet(routed, broker.addr, tmp("cdc-cred-ckpt"))
+      }
+      assert(e.getMessage.contains("sink-creds.json"))
+    } finally {
+      spark.conf.unset("spark.graft.credentials")
+      broker.close()
+    }
   }
 
   test("s_route_publish_net: broker NAK throws — no silent ack (§8-B2)") {
