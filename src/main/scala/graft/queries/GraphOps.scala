@@ -139,6 +139,134 @@ object GraphOps {
 
     "q_triangle_count" -> (graphTriangles _),
 
+    // ── 2-hop link prediction (round 11) ─────────────────────────────
+    // "Parts that SHOULD be co-merchandised but aren't yet": for every
+    // NON-adjacent part pair sharing >= 1 common neighbor, the three
+    // classical link-prediction scores — common-neighbor count, Jaccard
+    // over neighbor sets, Adamic-Adar (sum of 1/ln(deg) over the shared
+    // neighbors, damping hub neighbors) — served as a top-3 per part,
+    // the forward-looking twin of q_recommend_items' observed-lift
+    // table. Determinism: cn/deg are exact integers; the AA terms
+    // pre-round at 12dp into exact decimals (the q_unigram_logprob ln
+    // scheme) so the sum is order-independent; the serving cut orders
+    // by (cn desc, cand asc) — fully integer. Scale shape: wedge
+    // enumeration is the same per-middle-node fan-out as the triangle
+    // pass (deg² at the middle node — bounded by basketCap upstream; a
+    // 100-TB serving build would swap exact neighbor sets for minhash
+    // sketches at this seam), one anti-join against the edge list, one
+    // per-part window with WindowGroupLimit pruning rank > 3.
+    "q_link_predict" -> ((s, d) => {
+      val (_, pairs0) = pairCounts(s, d)
+      val pairs = persistEager(pairs0.select("p1", "p2"))
+      val adj = pairs.select(col("p1").as("w"), col("p2").as("nbr"))
+        .unionByName(pairs.select(col("p2").as("w"), col("p1").as("nbr")))
+      val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+      val adjd = adj.join(deg, "w")
+      val aaTerm = round(lit(1.0) / log(col("a.deg").cast("double")), 12)
+        .cast("decimal(14,12)")
+      val scored = adjd.as("a").join(adjd.as("b"),
+          col("a.w") === col("b.w") && col("a.nbr") < col("b.nbr"))
+        .groupBy(col("a.nbr").as("u"), col("b.nbr").as("v"))
+        .agg(count(lit(1)).as("cn"), sum(aaTerm).as("aa"))
+        .join(pairs, col("u") === col("p1") && col("v") === col("p2"),
+          "left_anti")
+        .join(deg.select(col("w").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("w").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"), col("cn"),
+          round(col("cn").cast("double")
+            / (col("du") + col("dv") - col("cn")), 6).as("jaccard"),
+          round(col("aa"), 6).cast("double").as("adamic_adar"))
+      val dir = scored.select(col("u").as("part"), col("v").as("cand"),
+          col("cn"), col("jaccard"), col("adamic_adar"))
+        .unionByName(scored.select(col("v").as("part"),
+          col("u").as("cand"), col("cn"), col("jaccard"),
+          col("adamic_adar")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("part")
+        .orderBy(col("cn").desc, col("cand").asc)
+      val out = dir.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("part"), col("rk").cast("long").as("rk"), col("cand"),
+          col("cn"), col("jaccard"), col("adamic_adar"))
+        .orderBy("part", "rk")
+      materializeAndFree(out, pairs)
+    }),
+
+    // ── Degree distribution histogram (round 11) ─────────────────────
+    // Log2-binned degree distribution of the co-purchase graph — the
+    // first graph-health read before any centrality/community job ships
+    // (a catalog whose head bucket explodes needs basketCap/salting
+    // BEFORE the wedge pass, and the power-law tail here is the graph
+    // twin of q_zipf_fit's token curve). The bin index is
+    // length(bin(deg)) - 1 = floor(log2(deg)) computed on the BINARY
+    // STRING — both engines render identical minimal binary strings for
+    // positive ints, so the boundary at exact powers of two cannot fork
+    // the way a float log2 would. One node-cardinality agg on an
+    // O(nodes) frame; output is O(log maxdeg) rows at any scale.
+    "q_degree_hist" -> ((s, d) => {
+      val (_, pairs) = pairCounts(s, d)
+      val deg = pairs.select(col("p1").as("pk"))
+        .unionByName(pairs.select(col("p2").as("pk")))
+        .groupBy("pk").agg(count(lit(1)).as("degree"))
+      val tot = deg.agg(count(lit(1)).as("n_nodes_total"))
+      deg.select((length(bin(col("degree"))) - 1).cast("long").as("bucket"),
+          col("degree"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("degree").as("min_degree"), max("degree").as("max_degree"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          expr("shiftleft(1L, cast(bucket as int))").as("bucket_lo"),
+          expr("shiftleft(1L, cast(bucket + 1 as int)) - 1")
+            .as("bucket_hi"),
+          col("n_nodes"), col("min_degree"), col("max_degree"),
+          round(col("n_nodes").cast("double") / col("n_nodes_total"), 6)
+            .as("share"))
+        .orderBy("bucket")
+    }),
+
+    // ── Whole-graph summary statistics (round 11) ────────────────────
+    // The 1-row graph dashboard: node/dangling/edge counts, average
+    // degree, max degree, total triangles, and the GLOBAL clustering
+    // coefficient (3·triangles / wedges — how much of the wedge supply
+    // actually closes), composing the same pairCounts/orientation
+    // machinery as the per-node operators so the numbers can never
+    // disagree with them. Every displayed value is a 6dp ratio of exact
+    // integers; triangles come from the degree-oriented enumeration
+    // (identical total to the oracle's id-ordered one). Scale shape:
+    // everything aggregates node- or triangle-cardinality frames to ONE
+    // row; the only non-trivial work is the wedge pass q_triangle_count
+    // already bounds.
+    "q_graph_stats" -> ((s, d) => {
+      val (inc, pairs0) = pairCounts(s, d)
+      val pairs = persistEager(pairs0.select("p1", "p2"))
+      val deg = pairs.select(col("p1").as("pk"))
+        .unionByName(pairs.select(col("p2").as("pk")))
+        .groupBy("pk").agg(count(lit(1)).as("degree"))
+      val ori = orientEdges(pairs, deg)
+      val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
+        (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+      val triCount = ori.as("e1")
+        .join(ori.as("e2"), col("e1.src") === col("e2.src") && wedgeOrder)
+        .join(ori.as("e3"),
+          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum("degree").as("deg_sum"), max("degree").as("max_degree"),
+        sum(col("degree") * (col("degree") - 1)).as("wedges2"))
+      val nParts = inc.agg(countDistinct(col("pk")).as("n_parts"))
+      val out = degStats.crossJoin(broadcast(triCount))
+        .crossJoin(broadcast(nParts))
+        .select(col("n_nodes"),
+          (col("n_parts") - col("n_nodes")).as("n_dangling"),
+          expr("deg_sum div 2").as("n_edges"),
+          round(col("deg_sum").cast("double") / col("n_nodes"), 6)
+            .as("avg_degree"),
+          col("max_degree"), col("n_triangles"),
+          round(lit(6.0) * col("n_triangles") / col("wedges2"), 6)
+            .as("global_clustering"))
+      materializeAndFree(out, pairs)
+    }),
+
     // ── Item-to-item recommendations (round 10) ──────────────────────
     // The serving view of q_affinity_pairs: per part, the top-3
     // co-purchase partners by lift (count tie-break, then id — a total
@@ -400,6 +528,95 @@ object GraphOps {
          |SELECT part, CAST(rk AS BIGINT) AS rk, rec, co, lift, confidence
          |FROM ranked WHERE rk <= 3
          |ORDER BY part, rk""".stripMargin,
+
+    "q_link_predict" ->
+      s"""WITH $pairsSql,
+         |adj AS (
+         |  SELECT p1 AS w, p2 AS nbr FROM pairs
+         |  UNION ALL SELECT p2, p1 FROM pairs),
+         |deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+         |adjd AS (SELECT a.w, a.nbr, d.deg FROM adj a
+         |         JOIN deg d ON d.w = a.w),
+         |scored0 AS (
+         |  SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS cn,
+         |    SUM(CAST(round(1.0 / ln(CAST(a.deg AS DOUBLE)), 12)
+         |        AS DECIMAL(14,12))) AS aa
+         |  FROM adjd a JOIN adjd b ON a.w = b.w AND a.nbr < b.nbr
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT s.u, s.v, s.cn,
+         |    round(CAST(s.cn AS DOUBLE) / (du.deg + dv.deg - s.cn), 6)
+         |      AS jaccard,
+         |    CAST(round(s.aa, 6) AS DOUBLE) AS adamic_adar
+         |  FROM scored0 s
+         |  JOIN deg du ON du.w = s.u
+         |  JOIN deg dv ON dv.w = s.v
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |                    WHERE p.p1 = s.u AND p.p2 = s.v)),
+         |dir AS (
+         |  SELECT u AS part, v AS cand, cn, jaccard, adamic_adar
+         |  FROM scored
+         |  UNION ALL
+         |  SELECT v, u, cn, jaccard, adamic_adar FROM scored),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY part
+         |    ORDER BY cn DESC, cand ASC) AS rk
+         |  FROM dir)
+         |SELECT part, CAST(rk AS BIGINT) AS rk, cand,
+         |  CAST(cn AS BIGINT) AS cn, jaccard, adamic_adar
+         |FROM ranked WHERE rk <= 3
+         |ORDER BY part, rk""".stripMargin,
+
+    "q_degree_hist" ->
+      s"""WITH $pairsSql,
+         |deg AS (
+         |  SELECT pk, COUNT(*) AS degree FROM (
+         |    SELECT p1 AS pk FROM pairs UNION ALL SELECT p2 FROM pairs)
+         |  GROUP BY pk),
+         |tot AS (SELECT COUNT(*) AS n_nodes_total FROM deg),
+         |binned AS (
+         |  SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+         |    degree
+         |  FROM deg)
+         |SELECT bucket,
+         |  CAST(1 AS BIGINT) << CAST(bucket AS INTEGER) AS bucket_lo,
+         |  (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - 1
+         |    AS bucket_hi,
+         |  COUNT(*) AS n_nodes,
+         |  CAST(MIN(degree) AS BIGINT) AS min_degree,
+         |  CAST(MAX(degree) AS BIGINT) AS max_degree,
+         |  round(CAST(COUNT(*) AS DOUBLE) / tot.n_nodes_total, 6) AS share
+         |FROM binned CROSS JOIN tot
+         |GROUP BY bucket, tot.n_nodes_total
+         |ORDER BY bucket""".stripMargin,
+
+    "q_graph_stats" ->
+      s"""WITH $pairsSql,
+         |e AS (SELECT p1, p2 FROM pairs),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM e e1
+         |  JOIN e e2 ON e1.p2 = e2.p1
+         |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         |deg AS (
+         |  SELECT pk, COUNT(*) AS degree FROM (
+         |    SELECT p1 AS pk FROM e UNION ALL SELECT p2 FROM e)
+         |  GROUP BY pk),
+         |ds AS (
+         |  SELECT COUNT(*) AS n_nodes, SUM(degree) AS deg_sum,
+         |    MAX(degree) AS max_degree,
+         |    SUM(degree * (degree - 1)) AS wedges2
+         |  FROM deg),
+         |np AS (SELECT COUNT(DISTINCT pk) AS n_parts FROM inc)
+         |SELECT CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(np.n_parts - ds.n_nodes AS BIGINT) AS n_dangling,
+         |  CAST(ds.deg_sum // 2 AS BIGINT) AS n_edges,
+         |  round(CAST(ds.deg_sum AS DOUBLE) / ds.n_nodes, 6) AS avg_degree,
+         |  CAST(ds.max_degree AS BIGINT) AS max_degree,
+         |  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+         |  round(6.0 * tri.n_triangles / ds.wedges2, 6)
+         |    AS global_clustering
+         |FROM ds CROSS JOIN tri CROSS JOIN np""".stripMargin,
 
     "q_pagerank" -> {
       val iters = (1 to 8)

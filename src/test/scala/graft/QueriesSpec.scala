@@ -853,6 +853,68 @@ class QueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.basketCap")
   }
 
+  test("q_link_predict: candidates non-adjacent, scores consistent, ranks total") {
+    val rows = SparkEntry.queries("q_link_predict")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // no recommended pair may already be an edge (that is
+    // q_recommend_items' job) — check against the affinity pair list
+    val edges = SparkEntry.queries("q_affinity_pairs")(spark, sf)
+      .select("p1", "p2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (p, c) = (r.getLong(0), r.getLong(2))
+      val key = if (p < c) (p, c) else (c, p)
+      assert(!edges.contains(key), s"predicted pair $key is already an edge")
+      val (cn, jac, aa) = (r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(cn >= 1 && jac > 0 && jac <= 1 && aa > 0)
+      // AA is at most cn/ln(2) (every shared neighbor has deg >= 2)
+      assert(aa <= cn / math.log(2.0) + 1e-6, s"AA above its bound: $r")
+    }
+    // per part: ranks exactly 1..k, k <= 3, cn non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (part, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length) &&
+        rs.length <= 3, s"part $part ranks broken")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) >= b.getLong(3))
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_degree_hist: bucket bounds hold, shares and counts conserve") {
+    val rows = SparkEntry.queries("q_degree_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nNodes = SparkEntry.queries("q_triangle_count")(spark, sf).count()
+    rows.foreach { r =>
+      val (b, lo, hi, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5))
+      assert(lo == (1L << b) && hi == (1L << (b + 1)) - 1)
+      assert(mn >= lo && mx <= hi && mn <= mx,
+        s"degrees escape their bucket: $r")
+    }
+    assert(rows.map(_.getLong(3)).sum == nNodes,
+      "histogram loses/duplicates nodes")
+    assert(math.abs(rows.map(_.getDouble(6)).sum - 1.0) < 1e-4,
+      "bucket shares must sum to ~1")
+  }
+
+  test("q_graph_stats agrees with the per-node graph operators") {
+    val st = SparkEntry.queries("q_graph_stats")(spark, sf).head()
+    val tri = SparkEntry.queries("q_triangle_count")(spark, sf).collect()
+    assert(st.getLong(0) == tri.length, "n_nodes vs triangle_count rows")
+    assert(st.getLong(5) == tri.map(_.getLong(2)).sum / 3,
+      "triangle total disagrees with the per-node operator")
+    assert(st.getLong(4) == tri.map(_.getLong(1)).max, "max_degree")
+    // dangling identity with pagerank's full node set
+    val pr = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    assert(st.getLong(1) == pr.count(_.getLong(1) == 0), "n_dangling")
+    // edges = sum(degree)/2
+    assert(st.getLong(2) == tri.map(_.getLong(1)).sum / 2, "n_edges")
+    val gc = st.getDouble(6)
+    assert(gc > 0 && gc <= 1.0, s"global clustering out of range: $gc")
+  }
+
   test("q_markov_transition: rows are a stochastic matrix, edge conservation") {
     val rows = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
     assert(rows.nonEmpty)
