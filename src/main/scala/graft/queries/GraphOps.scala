@@ -139,6 +139,38 @@ object GraphOps {
 
     "q_triangle_count" -> (graphTriangles _),
 
+    // ── Connected components (round 11) ──────────────────────────────
+    // Co-purchase communities: which parts form one connected cluster
+    // of purchasing behavior — the retail twin of q_dedup_cluster's
+    // near-dup components, REUSING the same pointer-doubling
+    // min-label kernel (AnnOps.propagateMinLabels: O(log n) rounds on
+    // chain-shaped graphs, component-min labels, O(edges) shuffle per
+    // round) so the two operators can never diverge on CC semantics.
+    // Component id = min part id in the component; singleton = a part
+    // with no qualifying edge never enters the loop and labels itself.
+    // Oracle: recursive-CTE transitive closure with MIN-reach — exact,
+    // and cheap here because co-purchase graphs at the support floor
+    // are FRAGMENTED (sf0.1: 2350 components over 5922 nodes).
+    "q_graph_components" -> ((s, d) => {
+      val (inc, pairs0) = pairCounts(s, d)
+      val pairs = persistEager(pairs0.select("p1", "p2"))
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint(true)
+      val (labels, _) = AnnOps.propagateMinLabels(edges)
+      val csz = org.apache.spark.sql.expressions.Window
+        .partitionBy("component_id")
+      val out = inc.select(col("pk")).distinct()
+        .join(labels.withColumnRenamed("doc_id", "pk"), Seq("pk"), "left")
+        .select(col("pk"),
+          coalesce(col("label"), col("pk")).as("component_id"))
+        .withColumn("component_size", count(lit(1)).over(csz))
+        .select(col("pk"), col("component_id"), col("component_size"),
+          (col("pk") === col("component_id")).as("is_canonical"))
+        .orderBy("pk")
+      materializeAndFree(out, pairs)
+    }),
+
     // ── 2-hop link prediction (round 11) ─────────────────────────────
     // "Parts that SHOULD be co-merchandised but aren't yet": for every
     // NON-adjacent part pair sharing >= 1 common neighbor, the three
@@ -528,6 +560,24 @@ object GraphOps {
          |SELECT part, CAST(rk AS BIGINT) AS rk, rec, co, lift, confidence
          |FROM ranked WHERE rk <= 3
          |ORDER BY part, rk""".stripMargin,
+
+    "q_graph_components" ->
+      s"""WITH RECURSIVE $pairsSql,
+         |edges AS (
+         |  SELECT p1 AS a, p2 AS b FROM pairs
+         |  UNION SELECT p2, p1 FROM pairs),
+         |allp AS (SELECT DISTINCT pk FROM inc),
+         |reach(id, r) AS (
+         |  SELECT pk, pk FROM allp
+         |  UNION
+         |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+         |lab AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |csz AS (SELECT comp, COUNT(*) AS component_size
+         |        FROM lab GROUP BY comp)
+         |SELECT l.id AS pk, l.comp AS component_id, c.component_size,
+         |  l.id = l.comp AS is_canonical
+         |FROM lab l JOIN csz c ON c.comp = l.comp
+         |ORDER BY l.id""".stripMargin,
 
     "q_link_predict" ->
       s"""WITH $pairsSql,

@@ -853,6 +853,27 @@ class QueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.basketCap")
   }
 
+  test("q_graph_components: totality, min-labels, sizes, singleton==dangling") {
+    val rows = SparkEntry.queries("q_graph_components")(spark, sf).collect()
+    val pr = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    // same full part universe as pagerank
+    assert(rows.map(_.getLong(0)).toSet == pr.map(_.getLong(0)).toSet)
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, rs) =>
+      // component id is the component's MIN part id and is canonical
+      assert(rs.map(_.getLong(0)).min == comp, s"comp $comp not min-labeled")
+      assert(rs.count(r => r.getBoolean(3)) == 1 &&
+        rs.find(_.getBoolean(3)).get.getLong(0) == comp)
+      // every member agrees on the size, and it is the real size
+      assert(rs.forall(_.getLong(2) == rs.length), s"comp $comp sizes lie")
+    }
+    // a part is a singleton iff it is dangling (degree 0): any edge
+    // puts both endpoints in a >= 2 component
+    val dangling = pr.filter(_.getLong(1) == 0).map(_.getLong(0)).toSet
+    val singletons = rows.filter(_.getLong(2) == 1).map(_.getLong(0)).toSet
+    assert(singletons == dangling, "singleton components != dangling parts")
+  }
+
   test("q_link_predict: candidates non-adjacent, scores consistent, ranks total") {
     val rows = SparkEntry.queries("q_link_predict")(spark, sf).collect()
     assert(rows.nonEmpty)
