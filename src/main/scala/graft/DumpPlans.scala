@@ -15,10 +15,12 @@ object DumpPlans {
     "q_dedup_incremental", "q_ann_ivfpq", "q_source_orc", "q_semdedup",
     "q_record_linkage", "q_dedup_fuzzy_edit", "q_bm25_search",
     "q_rfm_segments", "q_win_rolling_time", "q_distinct_incremental",
-    // graph + series families (q_pagerank stays hand-audited: with the
-    // eager checkpoints disabled for plan dumps its explain is the full
-    // 8-round lazy chain — shape is documented in the bullets instead)
+    // graph + series families (q_pagerank / q_graph_components stay
+    // hand-audited: with the eager checkpoints disabled for plan dumps
+    // their explains are full multi-round lazy chains — shape is
+    // documented in the bullets instead)
     "q_affinity_pairs", "q_triangle_count", "q_recommend_items",
+    "q_link_predict", "q_degree_hist", "q_graph_stats",
     "q_changepoint_cusum", "q_session_features", "q_markov_transition")
 
   def main(args: Array[String]): Unit = {

@@ -193,7 +193,8 @@ object GraphOps {
       val adj = pairs.select(col("p1").as("w"), col("p2").as("nbr"))
         .unionByName(pairs.select(col("p2").as("w"), col("p1").as("nbr")))
       val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
-      val adjd = adj.join(deg, "w")
+      // the wedge self-join reads the degree-carrying adjacency twice
+      val adjd = persistEager(adj.join(deg, "w"))
       val aaTerm = round(lit(1.0) / log(col("a.deg").cast("double")), 12)
         .cast("decimal(14,12)")
       val scored = adjd.as("a").join(adjd.as("b"),
@@ -220,7 +221,7 @@ object GraphOps {
         .select(col("part"), col("rk").cast("long").as("rk"), col("cand"),
           col("cn"), col("jaccard"), col("adamic_adar"))
         .orderBy("part", "rk")
-      materializeAndFree(out, pairs)
+      materializeAndFree(out, pairs, adjd)
     }),
 
     // ── Degree distribution histogram (round 11) ─────────────────────
@@ -235,12 +236,14 @@ object GraphOps {
     // the way a float log2 would. One node-cardinality agg on an
     // O(nodes) frame; output is O(log maxdeg) rows at any scale.
     "q_degree_hist" -> ((s, d) => {
-      val (_, pairs) = pairCounts(s, d)
+      // one pair computation feeds both union branches + the total
+      val pairs = persistEager(pairCounts(s, d)._2.select("p1", "p2"))
       val deg = pairs.select(col("p1").as("pk"))
         .unionByName(pairs.select(col("p2").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("degree"))
       val tot = deg.agg(count(lit(1)).as("n_nodes_total"))
-      deg.select((length(bin(col("degree"))) - 1).cast("long").as("bucket"),
+      val out = deg
+        .select((length(bin(col("degree"))) - 1).cast("long").as("bucket"),
           col("degree"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_nodes"),
@@ -254,6 +257,7 @@ object GraphOps {
           round(col("n_nodes").cast("double") / col("n_nodes_total"), 6)
             .as("share"))
         .orderBy("bucket")
+      materializeAndFree(out, pairs)
     }),
 
     // ── Whole-graph summary statistics (round 11) ────────────────────
@@ -274,7 +278,8 @@ object GraphOps {
       val deg = pairs.select(col("p1").as("pk"))
         .unionByName(pairs.select(col("p2").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("degree"))
-      val ori = orientEdges(pairs, deg)
+      // the tri join reads the oriented list three times
+      val ori = persistEager(orientEdges(pairs, deg))
       val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
         (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
       val triCount = ori.as("e1")
@@ -296,7 +301,7 @@ object GraphOps {
           col("max_degree"), col("n_triangles"),
           round(lit(6.0) * col("n_triangles") / col("wedges2"), 6)
             .as("global_clustering"))
-      materializeAndFree(out, pairs)
+      materializeAndFree(out, pairs, ori)
     }),
 
     // ── Item-to-item recommendations (round 10) ──────────────────────
