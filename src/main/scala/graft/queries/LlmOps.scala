@@ -130,6 +130,65 @@ object LlmOps {
         .limit(20)
     }),
 
+    // ── MMR diversified retrieval (round 11) ─────────────────────────
+    // Maximal Marginal Relevance re-rank of the q_similarity_cosine
+    // candidates: greedy k=10 selection maximizing λ·rel −
+    // (1−λ)·max-sim-to-already-selected (λ=0.7) — the standard
+    // serving-layer answer to "top-k by cosine returns ten copies of
+    // the same document", and the retrieval twin of q_semdedup's
+    // corpus-side diversification. Scale shape: ALL distributed work is
+    // candidate generation (one broadcast-probe corpus pass — at 100 TB
+    // the IVF index slots in at that seam, AnnOps) plus one N×N
+    // candidate self-join for the pairwise sims; the greedy loop then
+    // runs on the DRIVER over serving constants (N=20 candidates, 400
+    // sims, k=10 picks) — the deliberate bounded-collect class next to
+    // the 1-row argmax, never O(corpus). Determinism: rel/sim are the
+    // proven 6dp cosines, and the MMR recurrence itself is EXACT
+    // INTEGER micro-units (score_u = 7·rel6 − 3·maxsim6 on rel×10⁶
+    // longs — no float op after the 6dp round, so no rounding boundary
+    // exists for the engines' argmax to fork on), mirrored term for
+    // term by the oracle's 10 generated CTE iterations.
+    "q_mmr_diversify" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      val cand = graft.queries.persistEager(emb.crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("embedding"),
+          round(graft.functions.CosineSim(s, col("embedding"), col("probe")),
+            6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(20))
+      val simRows = cand.as("a").join(cand.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          round(graft.functions.CosineSim(s, col("a.embedding"),
+            col("b.embedding")), 6).as("sim"))
+        .collect()
+      val rels = cand.select("vec_id", "rel").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      cand.unpersist()
+      val rel6 = rels.map { case (v, r) => v -> math.round(r * 1e6) }.toMap
+      val sim6 = simRows.map(r =>
+        (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e6))
+        .toMap
+      var selected = Vector.empty[(Long, Long)] // (vec_id, score_u)
+      var remaining = rels.map(_._1).toSet
+      for (_ <- 1 to math.min(10, rels.length)) {
+        val scored = remaining.toSeq.map { c =>
+          val ms = selected.map(p => sim6((c, p._1)))
+            .maxOption.getOrElse(0L)
+          (c, 7L * rel6(c) - 3L * ms)
+        }
+        val pick = scored.minBy { case (v, su) => (-su, v) }
+        selected :+= pick
+        remaining -= pick._1
+      }
+      val relMap = rels.toMap
+      import s.implicits._
+      selected.zipWithIndex.map { case ((v, su), i) =>
+        ((i + 1).toLong, v, relMap(v), su.toDouble / 1e7)
+      }.toSeq.toDF("rk", "vec_id", "relevance", "mmr_score")
+    }),
+
     // 5 probes x corpus with broadcast probes, per-probe top-5 window.
     "q_knn_pergroup" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
@@ -427,6 +486,25 @@ object LlmOps {
        |       generate_subscripts(embedding, 1) AS i
        |FROM embeddings $where""".stripMargin
 
+  /** One MMR greedy step as a CTE pair (mirrors the integer micro-unit
+    * recurrence in q_mmr_diversify). MATERIALIZED: each step reads its
+    * predecessor three times, and DuckDB 1.0 would inline the chain
+    * exponentially otherwise. */
+  private def mmrStepSql(k: Int): String = {
+    val prev = s"sel${k - 1}"
+    s"""pick$k AS MATERIALIZED (
+       |  SELECT c.vec_id, $k AS rk, c.rel,
+       |    7 * c.rel6 - 3 * COALESCE((
+       |      SELECT MAX(s.sim6) FROM sims s
+       |      WHERE s.va = c.vec_id
+       |        AND s.vb IN (SELECT vec_id FROM $prev)), 0) AS score_u
+       |  FROM c6 c
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+       |  ORDER BY score_u DESC, c.vec_id LIMIT 1),
+       |sel$k AS MATERIALIZED (
+       |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$k)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_bpe_tokenize" -> bpeOracle(bpeK),
 
@@ -526,6 +604,54 @@ object LlmOps {
          |JOIN norms p ON p.vec_id = 0
          |ORDER BY cos_sim DESC, d.vec_id ASC
          |LIMIT 20""".stripMargin,
+
+    "q_mmr_diversify" -> {
+      val steps = (2 to 10).map(mmrStepSql).mkString(",\n")
+      s"""WITH ce AS (${dotSql("")}),
+         |pe AS (${dotSql("WHERE vec_id = 0")}),
+         |dots AS (
+         |  SELECT ce.vec_id,
+         |         SUM(CAST(ce.v AS DOUBLE) * CAST(pe.v AS DOUBLE)) AS dot
+         |  FROM ce JOIN pe ON ce.i = pe.i GROUP BY ce.vec_id),
+         |norms AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+         |  FROM ce GROUP BY vec_id),
+         |cand AS MATERIALIZED (
+         |  SELECT d.vec_id, round(d.dot / (n.nrm * p.nrm), 6) AS rel
+         |  FROM dots d
+         |  JOIN norms n ON n.vec_id = d.vec_id
+         |  JOIN norms p ON p.vec_id = 0
+         |  ORDER BY rel DESC, d.vec_id ASC
+         |  LIMIT 20),
+         |c6 AS MATERIALIZED (
+         |  SELECT vec_id, rel,
+         |    CAST(round(rel * 1000000) AS BIGINT) AS rel6
+         |  FROM cand),
+         |cemb AS MATERIALIZED (
+         |  SELECT vec_id, v, i FROM ce
+         |  WHERE vec_id IN (SELECT vec_id FROM cand)),
+         |pdots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
+         |  FROM cemb a JOIN cemb b
+         |    ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |sims AS MATERIALIZED (
+         |  SELECT pd.va, pd.vb,
+         |    CAST(round(round(pd.dot / (na.nrm * nb.nrm), 6) * 1000000)
+         |         AS BIGINT) AS sim6
+         |  FROM pdots pd
+         |  JOIN norms na ON na.vec_id = pd.va
+         |  JOIN norms nb ON nb.vec_id = pd.vb),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, 1 AS rk, rel,
+         |    CAST(7 * rel6 AS BIGINT) AS score_u
+         |  FROM c6 ORDER BY rel6 DESC, vec_id LIMIT 1),
+         |$steps
+         |SELECT CAST(rk AS BIGINT) AS rk, vec_id, rel AS relevance,
+         |  CAST(score_u AS DOUBLE) / 10000000.0 AS mmr_score
+         |FROM sel10 ORDER BY rk""".stripMargin
+    },
 
     "q_knn_pergroup" ->
       s"""WITH ce AS (${dotSql("")}),

@@ -853,6 +853,30 @@ class QueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.basketCap")
   }
 
+  test("q_mmr_diversify: rank totality, top-1 identity, membership, monotone scores") {
+    val rows = SparkEntry.queries("q_mmr_diversify")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "ranks not 1..10")
+    assert(rows.map(_.getLong(1)).distinct.length == 10, "duplicate picks")
+    val cos = SparkEntry.queries("q_similarity_cosine")(spark, sf).collect()
+    // the first MMR pick IS the cosine top-1 (no diversity penalty yet)
+    assert(rows.head.getLong(1) == cos.head.getLong(0))
+    // every pick comes from the declared top-20 candidate pool, with the
+    // pool's own relevance value
+    val pool = cos.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(pool.contains(r.getLong(1)), s"pick outside candidates: $r")
+      assert(pool(r.getLong(1)) == r.getDouble(2), s"relevance drifted: $r")
+      // score <= lambda * relevance (the diversity term only subtracts)
+      assert(r.getDouble(3) <= 0.7 * r.getDouble(2) + 1e-9)
+    }
+    // greedy MMR scores are non-increasing (the argmax pool only shrinks
+    // and every candidate's score only decays as the selected set grows)
+    rows.map(_.getDouble(3)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-12, "mmr_score increased")
+      case _ => ()
+    }
+  }
+
   test("q_graph_components: totality, min-labels, sizes, singleton==dangling") {
     val rows = SparkEntry.queries("q_graph_components")(spark, sf).collect()
     val pr = SparkEntry.queries("q_pagerank")(spark, sf).collect()
