@@ -139,6 +139,60 @@ object GraphOps {
 
     "q_triangle_count" -> (graphTriangles _),
 
+    // ── Incremental affinity-index maintenance (round 11) ────────────
+    // The graph family's O(drop) refresh story: the co-purchase pair
+    // index maintained as a persisted materialized view instead of
+    // recomputed from the fact table per refresh. Pair counts are
+    // ALGEBRAIC over disjoint order sets (each order contributes its
+    // pairs independently), so the stored PRE-FLOOR (p1, p2, co)
+    // partials merge with the new drop's pairs by simple sum and the
+    // co >= 2 support floor applies after the merge — giving counts
+    // BIT-IDENTICAL to a full recompute, which is exactly what the
+    // DuckDB twin (full-data pairs) verifies. The drop convention is
+    // the family's modulo split (l_orderkey % 10 = 3); the stored side
+    // is content-addressed (FixtureLayout), and per refresh the fact
+    // table is scanned ONLY with the drop filter (CurationSpec-style
+    // plan pin in QueriesSpec). basketCap composes cleanly: the cut is
+    // per-order, so it caps stored and drop sides identically. At
+    // 100 TB this is how the affinity/recommendation tables stay
+    // O(new orders) per refresh.
+    "q_affinity_incremental" -> ((s, d) => {
+      val dropPred = col("l_orderkey") % 10 === 3
+      val tag = FixtureLayout.contentTag(d, Seq("lineitem"))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_affidx_$tag"
+      def incOf(newSide: Boolean) =
+        Tables(s, d, "lineitem")
+          .filter(if (newSide) dropPred else !dropPred)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+      def pairsOf(i: DataFrame) = i.as("a").join(i.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("co"))
+      val storedPairs = FixtureLayout.ensureDir(s"$base/pairs") { st =>
+        pairsOf(incOf(newSide = false)).write.parquet(st)
+      }
+      val storedTot = FixtureLayout.ensureDir(s"$base/tot") { st =>
+        incOf(newSide = false).agg(countDistinct(col("ok")).as("n_orders"))
+          .coalesce(1).write.parquet(st)
+      }
+      val drop = persistEager(incOf(newSide = true))
+      val merged = s.read.parquet(storedPairs)
+        .unionByName(pairsOf(drop))
+        .groupBy("p1", "p2").agg(sum("co").as("co"))
+        .filter(col("co") >= 2)
+      val tot = s.read.parquet(storedTot)
+        .unionByName(drop.agg(countDistinct(col("ok")).as("n_orders")))
+        .agg(sum("n_orders").as("n_orders"))
+      val out = merged.crossJoin(broadcast(tot))
+        .select(col("p1"), col("p2"), col("co"),
+          round(col("co").cast("double") / col("n_orders"), 6)
+            .as("support"))
+        .orderBy("p1", "p2")
+      materializeAndFree(out, drop)
+    }),
+
     // ── Connected components (round 11) ──────────────────────────────
     // Co-purchase communities: which parts form one connected cluster
     // of purchasing behavior — the retail twin of q_dedup_cluster's
@@ -565,6 +619,16 @@ object GraphOps {
          |SELECT part, CAST(rk AS BIGINT) AS rk, rec, co, lift, confidence
          |FROM ranked WHERE rk <= 3
          |ORDER BY part, rk""".stripMargin,
+
+    // Full-data recompute: the incremental merge must be bit-identical
+    // to it (pair counts are algebraic over disjoint order sets).
+    "q_affinity_incremental" ->
+      s"""WITH $pairsSql,
+         |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM inc)
+         |SELECT p1, p2, CAST(co AS BIGINT) AS co,
+         |  round(CAST(co AS DOUBLE) / tot.n_orders, 6) AS support
+         |FROM pairs CROSS JOIN tot
+         |ORDER BY p1, p2""".stripMargin,
 
     "q_graph_components" ->
       s"""WITH RECURSIVE $pairsSql,

@@ -853,6 +853,33 @@ class QueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.basketCap")
   }
 
+  test("q_affinity_incremental: merge == batch pairs, drop-only fact scans") {
+    // warm the stored index (idempotent), then compare with the batch
+    // operator's pair list: the merged counts must be BIT-identical
+    SparkEntry.queries("q_affinity_incremental")(spark, sf).count()
+    val inc = SparkEntry.queries("q_affinity_incremental")(spark, sf)
+    val incPairs = inc.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("q_affinity_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(incPairs == batch, "incremental merge drifted from full recompute")
+    // plan: the stored partials serve the corpus side; every live
+    // lineitem scan carries the drop filter (fact table re-scanned
+    // zero times per refresh)
+    spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    val plan =
+      try SparkEntry.queries("q_affinity_incremental")(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+    assert(plan.contains("graft_affidx_"),
+      s"stored pair index missing from the refresh plan:\n$plan")
+    val liScans = plan.linesIterator
+      .filter(_.contains("lineitem.parquet")).toSeq
+    assert(liScans.nonEmpty, "drop side must scan lineitem")
+    liScans.foreach(l => assert(l.contains("% 10) = 3"),
+      s"lineitem scan without the drop filter (corpus re-scanned):\n$l"))
+  }
+
   test("q_mmr_diversify: rank totality, top-1 identity, membership, monotone scores") {
     val rows = SparkEntry.queries("q_mmr_diversify")(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "ranks not 1..10")
