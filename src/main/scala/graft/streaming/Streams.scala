@@ -766,6 +766,53 @@ object Streams {
     spark.read.parquet(files: _*)
   }
 
+  /** s_affinity_update (round 11): streaming maintenance of the
+    * co-purchase pair index — the streaming face of
+    * q_affinity_incremental's materialized view. Each micro-batch
+    * computes its orders' PRE-FLOOR pair partials (pair counts are
+    * algebraic over disjoint order sets) and commits them under
+    * `store/epoch=<id>` through the manifest protocol: a batch replay
+    * after a crash hits `ensureManifested`'s already-committed check
+    * and skips, so the at-least-once replay becomes effectively-once
+    * per epoch and counts can never double. [[readAffinityIndex]]
+    * merges committed epochs by sum and applies the co >= 2 floor —
+    * the served view is bit-identical to a batch recompute over the
+    * delivered orders (StreamingSpec golden). Delivery contract: an
+    * ORDER is wholly contained in one delivered file (the directory
+    * source's unit — the same one-file-one-POST unit the reference's
+    * HTTP ingest guarantees), so per-order pairs never split across
+    * epochs. At 100 TB each epoch is one snapshot commit of
+    * O(new-order pairs) rows; compaction folds old epochs exactly like
+    * the export store. */
+  def affinityUpdate(lineRows: DataFrame, store: String,
+      checkpoint: String): StreamingQuery =
+    lineRows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.queries.FixtureLayout.ensureManifested(
+          s"$store/epoch=$epoch") { staging =>
+          val inc = batch
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+            .distinct()
+          inc.as("a").join(inc.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+            .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+            .agg(count(lit(1)).as("co"))
+            .write.parquet(staging)
+        }
+        ()
+      }
+      .start()
+
+  /** Serve side of s_affinity_update: merged pair counts over every
+    * committed epoch, support floor applied post-merge. Reads through
+    * the same committed-manifests-only resolution as the export
+    * reader, so torn epochs are invisible. */
+  def readAffinityIndex(spark: SparkSession, store: String): DataFrame =
+    readManifestedExport(spark, store)
+      .groupBy("p1", "p2").agg(sum("co").as("co"))
+      .filter(col("co") >= 2)
+
   // ------------------------------------------------------------- lifecycle
 
   /** s_console_dump (R10, `--dumpOnly`): log rows instead of publishing. */

@@ -283,6 +283,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s_affinity_update: streamed epochs merge to the batch pair counts; replay is a no-op") {
+    val in = tmp("aff-in"); val store = tmp("aff-store")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def line(ok: Long, pk: Long) = s"""{"l_orderkey":$ok,"l_partkey":$pk}"""
+    // epoch 1: orders 1 (100,200) and 2 (100,200,300)
+    write(in, "drop1.ndjson", Seq(
+      line(1, 100), line(1, 200),
+      line(2, 100), line(2, 200), line(2, 300)))
+    val q = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, tmp("aff-ckpt"))
+    try {
+      q.processAllAvailable()
+      // epoch 2: order 3 (100,200) closes a cross-epoch co=3; order 4
+      // (300,400) only ever co-occurs once => floored out
+      write(in, "drop2.ndjson", Seq(
+        line(3, 100), line(3, 200),
+        line(4, 300), line(4, 400)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // golden: the merged view == the batch pair computation over ALL
+    // delivered rows (pre-floor partials are algebraic over orders)
+    assert(served == Map((100L, 200L) -> 3L),
+      s"served index drifted: $served")
+    // replay: re-committing an existing epoch hits the manifest's
+    // already-committed check — the store and the served view are
+    // byte-for-byte unchanged (counts can never double)
+    graft.queries.FixtureLayout.ensureManifested(s"$store/epoch=0") { st =>
+      fail(s"replayed epoch 0 re-ran its write into $st")
+    }
+    val again = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == served)
+  }
+
   test("s_route_publish_net: broker NAK throws — no silent ack (§8-B2)") {
     val broker = new NetBroker()
     try {
