@@ -372,30 +372,93 @@ object GraphOps {
       val (inc, pairs) = pairCounts(s, d)
       val cnt = inc.groupBy(col("pk")).agg(count(lit(1)).as("c"))
       val tot = inc.agg(countDistinct(col("ok")).as("n_orders"))
-      val sized = pairs
-        .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
-        .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
-        .crossJoin(broadcast(tot))
-      val dir = sized.select(col("p1").as("part"), col("p2").as("rec"),
-          col("co"), col("c1").as("cp"), col("c2").as("cr"),
-          col("n_orders"))
-        .unionByName(sized.select(col("p2").as("part"),
-          col("p1").as("rec"), col("co"), col("c2").as("cp"),
-          col("c1").as("cr"), col("n_orders")))
-        .withColumn("lift",
-          round((col("co").cast("double") * col("n_orders"))
-            / (col("cp").cast("double") * col("cr")), 6))
-        .withColumn("confidence",
-          round(col("co").cast("double") / col("cp"), 6))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("part")
-        .orderBy(col("lift").desc, col("co").desc, col("rec").asc)
-      dir.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("part"), col("rk").cast("long").as("rk"), col("rec"),
-          col("co"), col("lift"), col("confidence"))
-        .orderBy("part", "rk")
+      recommendFrom(pairs, cnt, tot)
+    }),
+
+    // ── Incremental recommendation serving table (round 11) ──────────
+    // The maintained "customers also bought" table: the q_recommend_
+    // items serving view computed from MERGED partials instead of a
+    // fact-table recompute — the composition of q_affinity_incremental
+    // (pair partials) with two more algebraic partials (per-part order
+    // counts and the order total), all sharing ONE content-addressed
+    // store, then the SAME serving helper as the batch operator (the
+    // two literally cannot drift — recommendFrom is one definition).
+    // Oracle = q_recommend_items' full-recompute SQL verbatim, so the
+    // hash gate proves maintained-view == recompute end to end. Per
+    // refresh the fact table is scanned only with the drop filter.
+    "q_recommend_incremental" -> ((s, d) => {
+      val dropPred = col("l_orderkey") % 10 === 3
+      val tag = FixtureLayout.contentTag(d, Seq("lineitem"))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_affidx_$tag"
+      def incOf(newSide: Boolean) =
+        Tables(s, d, "lineitem")
+          .filter(if (newSide) dropPred else !dropPred)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+      def pairsOf(i: DataFrame) = i.as("a").join(i.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("co"))
+      // the pair/tot stores are SHARED with q_affinity_incremental
+      // (same content-addressed paths); cnt is this operator's own
+      val storedPairs = FixtureLayout.ensureDir(s"$base/pairs") { st =>
+        pairsOf(incOf(newSide = false)).write.parquet(st)
+      }
+      val storedTot = FixtureLayout.ensureDir(s"$base/tot") { st =>
+        incOf(newSide = false).agg(countDistinct(col("ok")).as("n_orders"))
+          .coalesce(1).write.parquet(st)
+      }
+      val storedCnt = FixtureLayout.ensureDir(s"$base/cnt") { st =>
+        incOf(newSide = false).groupBy("pk").agg(count(lit(1)).as("c"))
+          .write.parquet(st)
+      }
+      val drop = persistEager(incOf(newSide = true))
+      val pairs = s.read.parquet(storedPairs)
+        .unionByName(pairsOf(drop))
+        .groupBy("p1", "p2").agg(sum("co").as("co"))
+        .filter(col("co") >= 2)
+      val cnt = s.read.parquet(storedCnt)
+        .unionByName(drop.groupBy("pk").agg(count(lit(1)).as("c")))
+        .groupBy("pk").agg(sum("c").as("c"))
+      val tot = s.read.parquet(storedTot)
+        .unionByName(drop.agg(countDistinct(col("ok")).as("n_orders")))
+        .agg(sum("n_orders").as("n_orders"))
+      materializeAndFree(recommendFrom(pairs, cnt, tot), drop)
     }),
   )
+
+  /** The recommendation serving computation: directional projection of
+    * the supported pair list, lift/confidence at 6dp, integer-ordered
+    * top-3 per part. ONE definition shared by q_recommend_items (live
+    * pairCounts input) and q_recommend_incremental (merged partials
+    * input) so the maintained view cannot drift from the batch
+    * semantics. */
+  private def recommendFrom(pairs: DataFrame, cnt: DataFrame,
+      tot: DataFrame): DataFrame = {
+    val sized = pairs
+      .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+      .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+      .crossJoin(broadcast(tot))
+    val dir = sized.select(col("p1").as("part"), col("p2").as("rec"),
+        col("co"), col("c1").as("cp"), col("c2").as("cr"),
+        col("n_orders"))
+      .unionByName(sized.select(col("p2").as("part"),
+        col("p1").as("rec"), col("co"), col("c2").as("cp"),
+        col("c1").as("cr"), col("n_orders")))
+      .withColumn("lift",
+        round((col("co").cast("double") * col("n_orders"))
+          / (col("cp").cast("double") * col("cr")), 6))
+      .withColumn("confidence",
+        round(col("co").cast("double") / col("cp"), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("part")
+      .orderBy(col("lift").desc, col("co").desc, col("rec").asc)
+    dir.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("part"), col("rk").cast("long").as("rk"), col("rec"),
+        col("co"), col("lift"), col("confidence"))
+      .orderBy("part", "rk")
+  }
 
   /** The PageRank kernel over an explicit node set: `nodes` is one
     * `pk` column (every vertex, including DANGLING ones with no edge),
@@ -592,6 +655,37 @@ object GraphOps {
          |ORDER BY d.pk""".stripMargin,
 
     "q_recommend_items" ->
+      s"""WITH $pairsSql,
+         |cnt AS (SELECT pk, COUNT(*) AS c FROM inc GROUP BY pk),
+         |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM inc),
+         |sized AS (
+         |  SELECT p1, p2, co, c1.c AS c1, c2.c AS c2, tot.n_orders
+         |  FROM pairs
+         |  JOIN cnt c1 ON c1.pk = p1
+         |  JOIN cnt c2 ON c2.pk = p2
+         |  CROSS JOIN tot),
+         |dir AS (
+         |  SELECT p1 AS part, p2 AS rec, co, c1 AS cp, c2 AS cr, n_orders
+         |  FROM sized
+         |  UNION ALL
+         |  SELECT p2, p1, co, c2, c1, n_orders FROM sized),
+         |scored AS (
+         |  SELECT part, rec, CAST(co AS BIGINT) AS co,
+         |    round((CAST(co AS DOUBLE) * n_orders)
+         |          / (CAST(cp AS DOUBLE) * cr), 6) AS lift,
+         |    round(CAST(co AS DOUBLE) / cp, 6) AS confidence
+         |  FROM dir),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY part
+         |    ORDER BY lift DESC, co DESC, rec ASC) AS rk
+         |  FROM scored)
+         |SELECT part, CAST(rk AS BIGINT) AS rk, rec, co, lift, confidence
+         |FROM ranked WHERE rk <= 3
+         |ORDER BY part, rk""".stripMargin,
+
+    // Full-data recompute: the maintained serving table must be
+    // bit-identical to q_recommend_items' output.
+    "q_recommend_incremental" ->
       s"""WITH $pairsSql,
          |cnt AS (SELECT pk, COUNT(*) AS c FROM inc GROUP BY pk),
          |tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM inc),

@@ -880,6 +880,24 @@ class QueriesSpec extends AnyFunSuite {
       s"lineitem scan without the drop filter (corpus re-scanned):\n$l"))
   }
 
+  test("q_recommend_incremental: maintained view == batch serving table, drop-only scans") {
+    SparkEntry.queries("q_recommend_incremental")(spark, sf).count() // warm
+    val inc = SparkEntry.queries("q_recommend_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q_recommend_items")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(inc == batch, "maintained serving table drifted from recompute")
+    spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    val plan =
+      try SparkEntry.queries("q_recommend_incremental")(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+    assert(plan.contains("graft_affidx_"), "stored partials missing")
+    plan.linesIterator.filter(_.contains("lineitem.parquet")).foreach(l =>
+      assert(l.contains("% 10) = 3"),
+        s"lineitem scan without the drop filter:\n$l"))
+  }
+
   test("q_mmr_diversify: rank totality, top-1 identity, membership, monotone scores") {
     val rows = SparkEntry.queries("q_mmr_diversify")(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "ranks not 1..10")
