@@ -43,6 +43,85 @@ class PropertiesSpec extends AnyFunSuite {
     assert(digests == d1.count())
   }
 
+  test("propagateMinLabels == brute-force union-find on random graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random graphs (fixed seeds): the distributed
+    // pointer-doubling kernel must agree with a driver-side union-find
+    // on every one — components AND the component-min labeling
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val pairs = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        parent(find(a.toInt)) = find(b.toInt)
+      }
+      val expected = (0 until n).groupBy(find).values
+        .flatMap { grp => val m = grp.map(_.toLong).min
+          grp.map(v => v.toLong -> m) }.toMap
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+        .localCheckpoint(true)
+      val got = graft.queries.AnnOps.propagateMinLabels(edges)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the kernel only labels nodes WITH edges; compare on that set
+      got.foreach { case (v, lbl) =>
+        assert(lbl == expected(v),
+          s"seed $seed: node $v labeled $lbl, union-find says ${expected(v)}")
+      }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(got.keySet == touched, s"seed $seed: node set mismatch")
+    }
+  }
+
+  test("degree-ordered triangle enumeration == id-ordered on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val pairsDf = pairs.toDF("p1", "p2").localCheckpoint(true)
+      val deg = pairsDf.select(col("p1").as("pk"))
+        .unionByName(pairsDf.select(col("p2").as("pk")))
+        .groupBy("pk").agg(count(lit(1)).as("degree"))
+      val ori = graft.queries.GraphOps.orientEdges(pairsDf, deg)
+      // invariant: lower (degree, id) -> higher, one direction per edge
+      val degMap = deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oriRows = ori.collect()
+      assert(oriRows.length == pairs.length)
+      oriRows.foreach { r =>
+        val (s0, d0) = (r.getLong(0), r.getLong(1))
+        assert(degMap(s0) < degMap(d0) ||
+          (degMap(s0) == degMap(d0) && s0 < d0))
+      }
+      // brute-force triangle count on the driver == oriented wedge count
+      val es = pairs.toSet
+      def adj(a: Long, b: Long) =
+        es.contains((math.min(a, b), math.max(a, b)))
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      var brute = 0
+      for (i <- nodes.indices; j <- i + 1 until nodes.length;
+           k <- j + 1 until nodes.length)
+        if (adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) &&
+            adj(nodes(i), nodes(k))) brute += 1
+      val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
+        (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+      val tri = ori.as("e1")
+        .join(ori.as("e2"), col("e1.src") === col("e2.src") && wedgeOrder)
+        .join(ori.as("e3"),
+          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+        .count()
+      assert(tri == brute, s"seed $seed: oriented=$tri brute=$brute")
+    }
+  }
+
   test("q_quantiles_grouped: sketch within 1% relative error of exact per group") {
     val approx = SparkEntry.queries("q_quantiles_grouped")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
