@@ -153,6 +153,39 @@ object CurationOps {
         .orderBy("c_custkey")
     }),
 
+    // ── k-anonymity / l-diversity audit (round 11) ───────────────────
+    // The privacy-release audit next to q_pii_redact's scrubbing: PII
+    // regexes catch direct identifiers, but a release is still
+    // re-identifiable through QUASI-identifier combinations, so this
+    // reports, per (nation, market-segment) equivalence class, the
+    // class size n (k-anonymity: every class must have n >= k, here
+    // k=5), the count of distinct sensitive values (l-diversity over
+    // the $1000 account-balance band — a k-anonymous class whose
+    // members all share one sensitive value still leaks it; l=3), and
+    // the worst-case re-identification risk 1/n. Classes failing
+    // either gate are what a release pipeline suppresses or
+    // generalizes. Determinism: the sensitive band is integer cents
+    // shifted positive then `div` (Spark truncation == DuckDB floor on
+    // positives — a raw div on negative cents would fork the engines);
+    // risk is a 6dp ratio of exact ints. Scale shape: ONE QI-keyed
+    // two-phase agg; the QI space is tiny at any corpus size, and the
+    // suppression verdict broadcasts back onto rows map-side.
+    "q_k_anonymity" -> ((s, d) => {
+      val band = expr(
+        "(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000")
+      Tables(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("band")).as("n_sensitive"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("n_sensitive"),
+          round(lit(1.0) / col("n"), 6).as("reident_risk"),
+          (col("n") >= 5).as("meets_k"),
+          (col("n_sensitive") >= 3).as("meets_l"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // ── Repetition scoring ────────────────────────────────────────────
     // Gopher-style degenerate-repetition signals: per-doc duplicate
     // fraction of tokens and of 2-gram shingles (1 - distinct/total).
@@ -1009,6 +1042,22 @@ object CurationOps {
          |  regexp_replace(regexp_replace(contact, '$emailRe', '<EMAIL>', 'g'),
          |    '$phoneRe', '<PHONE>', 'g') AS redacted
          |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+        |      AS band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT band) AS BIGINT) AS n_sensitive,
+        |  round(1.0 / COUNT(*), 6) AS reident_risk,
+        |  COUNT(*) >= 5 AS meets_k,
+        |  COUNT(DISTINCT band) >= 3 AS meets_l
+        |FROM b
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_repetition_ratio" ->
       """WITH t AS (

@@ -880,6 +880,21 @@ class QueriesSpec extends AnyFunSuite {
       s"lineitem scan without the drop filter (corpus re-scanned):\n$l"))
   }
 
+  test("q_k_anonymity: class totality, risk identity, gate consistency") {
+    val rows = SparkEntry.queries("q_k_anonymity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // classes partition the table: sizes sum to the row count
+    val total = Tables(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (n, nSens) = (r.getLong(2), r.getLong(3))
+      assert(n >= 1 && nSens >= 1 && nSens <= n)
+      assert(math.abs(r.getDouble(4) - 1.0 / n) < 1e-6)
+      assert(r.getBoolean(5) == (n >= 5))
+      assert(r.getBoolean(6) == (nSens >= 3))
+    }
+  }
+
   test("q_recommend_incremental: maintained view == batch serving table, drop-only scans") {
     SparkEntry.queries("q_recommend_incremental")(spark, sf).count() // warm
     val inc = SparkEntry.queries("q_recommend_incremental")(spark, sf)
