@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Scan / filter / project / sort / limit surface (SURVEY §2.3 block 2) plus
@@ -59,6 +60,44 @@ object Relational {
           .as("day"))
         .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
         .orderBy("day")
+    }),
+
+    // ── Z-order layout key (round 11) ────────────────────────────────
+    // The multi-dimensional clustering lever next to partitionBy's
+    // single-column pruning (q_scan_partition_pruned) and bucketing
+    // (q_join_bucketed): Morton-interleave the bits of TWO scan
+    // dimensions so that sorting/bucketing by the one z-value bounds
+    // BOTH dimensions' min/max per file — the property Delta's
+    // OPTIMIZE ZORDER and Iceberg's sort orders buy, which lets a scan
+    // with a predicate on EITHER column prune files by its stats. The
+    // demonstration is the property itself: per 12-bit z-bucket (top 6
+    // interleaved bits of each dimension), the per-bucket span of each
+    // coordinate is < 64 of its 4096-value space — i.e. every bucket
+    // is a tight rectangle, not a stripe (QueriesSpec pins the bound).
+    // The interleave is the classic shift-and-mask spread, pure
+    // integer column ops identical on both engines; at 100 TB the
+    // z-value feeds repartitionByRange + per-file min/max stats, and
+    // scans prune on them for free.
+    "q_zorder_layout" -> ((s, d) => {
+      def spread(c: Column): Column = {
+        val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+        s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      val x = pmod(col("l_partkey"), lit(4096L))
+      val y = pmod(col("l_suppkey"), lit(4096L))
+      Tables(s, d, "lineitem")
+        .select(x.as("x"), y.as("y"))
+        .select(col("x"), col("y"),
+          spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1))
+            .as("zval"))
+        .select(col("x"), col("y"), expr("zval div 4096").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("bucket")
     }),
 
     "q_filter_compound" -> ((s, d) =>
@@ -146,6 +185,37 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH xy AS (
+        |  SELECT l_partkey % 4096 AS x, l_suppkey % 4096 AS y
+        |  FROM lineitem),
+        |s1 AS (
+        |  SELECT x, y,
+        |    ((x | (x << 8)) & 16711935) AS sx,
+        |    ((y | (y << 8)) & 16711935) AS sy
+        |  FROM xy),
+        |s2 AS (
+        |  SELECT x, y,
+        |    ((sx | (sx << 4)) & 252645135) AS sx,
+        |    ((sy | (sy << 4)) & 252645135) AS sy
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT x, y,
+        |    ((sx | (sx << 2)) & 858993459) AS sx,
+        |    ((sy | (sy << 2)) & 858993459) AS sy
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT x, y,
+        |    ((sx | (sx << 1)) & 1431655765) AS sx,
+        |    ((sy | (sy << 1)) & 1431655765) AS sy
+        |  FROM s3),
+        |z AS (
+        |  SELECT x, y, (sx | (sy << 1)) // 4096 AS bucket FROM s4)
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |  CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+        |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount

@@ -880,6 +880,24 @@ class QueriesSpec extends AnyFunSuite {
       s"lineitem scan without the drop filter (corpus re-scanned):\n$l"))
   }
 
+  test("q_zorder_layout: every z-bucket is a tight rectangle in both dims") {
+    val rows = SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // row conservation across buckets
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables(spark, sf, "lineitem").count())
+    rows.foreach { r =>
+      val (minX, maxX, minY, maxY) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // the pruning property: a 12-bit z-bucket fixes the top 6 bits of
+      // each interleaved coordinate, so each spans < 64 of its 4096
+      // space — a rectangle, never a stripe. This is what makes
+      // per-file min/max stats prunable on EITHER predicate column.
+      assert(maxX - minX < 64, s"x-stripe bucket: $r")
+      assert(maxY - minY < 64, s"y-stripe bucket: $r")
+    }
+  }
+
   test("q_k_anonymity: class totality, risk identity, gate consistency") {
     val rows = SparkEntry.queries("q_k_anonymity")(spark, sf).collect()
     assert(rows.nonEmpty)
