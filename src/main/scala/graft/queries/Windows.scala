@@ -17,6 +17,42 @@ object Windows {
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   val q: Map[String, Q] = Map(
+    // ── Pareto skyline (round 11) ────────────────────────────────────
+    // The skyline operator over parts: minimize retail price, maximize
+    // size — a part survives iff NO other part is at-most-equal on
+    // price AND at-least-equal on size with one strict. The naive
+    // formulation is the O(n²) dominance anti-join; this one is the
+    // O(n log n) WINDOW form that scales: sort by price (exact integer
+    // cents), then a part is dominated iff (a) some STRICTLY cheaper
+    // part has size >= its own — a running max over the price-ordered
+    // RANGE frame ending 1 cent before the current row — or (b) an
+    // equal-priced part has strictly larger size (the per-cent group
+    // max). Both are integer max comparisons: nothing to fork engines.
+    // Shuffle shape: one brand-partitioned window pass (skylines are
+    // computed per brand — the real catalog question, and the partition
+    // key that keeps the sort distributed; no global single-partition
+    // window).
+    "q_skyline_pareto" -> ((s, d) => {
+      val cents = expr("cast(round(p_retailprice * 100) as bigint)")
+      val base = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_retailprice"), cents.as("cents"))
+      val wPrev = Window.partitionBy("p_brand").orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wSame = Window.partitionBy("p_brand", "cents")
+      val flagged = base
+        .withColumn("prev_max_size",
+          max(col("p_size")).over(wPrev))
+        .withColumn("same_max_size", max(col("p_size")).over(wSame))
+        .withColumn("dominated",
+          coalesce(col("prev_max_size") >= col("p_size"), lit(false)) ||
+            col("same_max_size") > col("p_size"))
+      flagged.filter(!col("dominated"))
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
     // first/last/nth over an explicit full frame: last_value with the
     // default frame is the CURRENT row — always pin the frame (§7.4).
     "q_win_first_last" -> ((s, d) => {
@@ -460,6 +496,24 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // Deliberately the NAIVE dominance anti-join (NOT EXISTS) — an
+    // independent derivation of the same skyline the window form
+    // computes, so the hash gate cross-checks the formulations.
+    "q_skyline_pareto" ->
+      """SELECT a.p_partkey, a.p_brand, a.p_retailprice,
+        |  CAST(a.p_size AS BIGINT) AS p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_brand = a.p_brand
+        |    AND CAST(round(b.p_retailprice * 100) AS BIGINT)
+        |        <= CAST(round(a.p_retailprice * 100) AS BIGINT)
+        |    AND b.p_size >= a.p_size
+        |    AND (CAST(round(b.p_retailprice * 100) AS BIGINT)
+        |         < CAST(round(a.p_retailprice * 100) AS BIGINT)
+        |         OR b.p_size > a.p_size))
+        |ORDER BY a.p_brand, a.p_partkey""".stripMargin,
+
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -880,6 +880,31 @@ class QueriesSpec extends AnyFunSuite {
       s"lineitem scan without the drop filter (corpus re-scanned):\n$l"))
   }
 
+  test("q_skyline_pareto: skyline is mutually non-dominated and complete") {
+    val sky = SparkEntry.queries("q_skyline_pareto")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100), r.getLong(3)))
+    assert(sky.nonEmpty)
+    def dominates(a: (Long, String, Long, Long),
+        b: (Long, String, Long, Long)): Boolean =
+      a._2 == b._2 && a._3 <= b._3 && a._4 >= b._4 &&
+        (a._3 < b._3 || a._4 > b._4)
+    // no skyline member dominates another
+    for (a <- sky; b <- sky if a._1 != b._1)
+      assert(!dominates(a, b), s"skyline member $a dominates member $b")
+    // completeness: every non-skyline part has a skyline dominator
+    val skyIds = sky.map(_._1).toSet
+    val all = Tables(spark, sf, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        expr("cast(round(p_retailprice * 100) as bigint)"),
+        col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    all.filterNot(p => skyIds.contains(p._1)).foreach { p =>
+      assert(sky.exists(s => dominates(s, p)),
+        s"excluded part $p has no skyline dominator")
+    }
+  }
+
   test("q_zorder_layout: every z-bucket is a tight rectangle in both dims") {
     val rows = SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty)
