@@ -346,9 +346,92 @@ object Joins {
           (col("c_custkey") === col("import_id")).as("correct"))
         .orderBy("import_id")
     }),
+
+    // ── Entity-resolution clustering (round 11) ──────────────────────
+    // q_record_linkage stops at best-match PAIRS; real entity
+    // resolution needs the transitive closure — if A matches B and B
+    // matches C, all three are one entity even when A-C exceeds the
+    // edit threshold. This operator takes the SAME blocked candidate
+    // machinery (nation+segment block, levenshtein <= 2) as an
+    // undirected match graph over customer keys and runs the SHARED
+    // pointer-doubling CC kernel (AnnOps.propagateMinLabels — the one
+    // already proven for near-dup doc clusters and the co-purchase
+    // graph), emitting per record its entity id (cluster-min key),
+    // entity size, and canonical flag. Every record appears; a record
+    // matching nothing but itself is its own singleton entity. Oracle:
+    // recursive MIN-reach closure over the same candidate SQL — cheap
+    // because match clusters are tiny. Scale: candidate generation is
+    // the blocked join (hot blocks would salt); the closure pays
+    // O(log n) rounds on O(match-pairs) edges, never all-pairs.
+    "q_entity_cluster" -> ((s, d) => {
+      val master = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"))
+      val dirty = par(master).select(
+        col("c_custkey").as("import_id"),
+        when(pmod(col("c_custkey"), lit(3)) === 0, upper(col("c_name")))
+          .when(pmod(col("c_custkey"), lit(3)) === 1,
+            substring(col("c_name"), 1, 17))
+          .otherwise(col("c_name")).as("import_name"),
+        col("c_nationkey").as("i_nationkey"),
+        col("c_mktsegment").as("i_mktsegment"))
+      val pairs = dirty.join(master,
+          col("i_nationkey") === col("c_nationkey") &&
+            col("i_mktsegment") === col("c_mktsegment") &&
+            col("import_id") =!= col("c_custkey"))
+        .filter(levenshtein(lower(col("import_name")),
+          lower(col("c_name"))) <= 2)
+        .select(least(col("import_id"), col("c_custkey")).as("a"),
+          greatest(col("import_id"), col("c_custkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+      val (labels, _) = AnnOps.propagateMinLabels(edges)
+      val csz = Window.partitionBy("entity_id")
+      master.select(col("c_custkey"))
+        .join(labels.withColumnRenamed("doc_id", "c_custkey"),
+          Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("label"), col("c_custkey")).as("entity_id"))
+        .withColumn("entity_size", count(lit(1)).over(csz))
+        .select(col("c_custkey"), col("entity_id"), col("entity_size"),
+          (col("c_custkey") === col("entity_id")).as("is_canonical"))
+        .orderBy("c_custkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_entity_cluster" ->
+      """WITH RECURSIVE dirty AS (
+        |  SELECT c_custkey AS import_id,
+        |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |         WHEN c_custkey % 3 = 1 THEN substring(c_name, 1, 17)
+        |         ELSE c_name END AS import_name,
+        |    c_nationkey AS i_nationkey, c_mktsegment AS i_mktsegment
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT DISTINCT least(d.import_id, m.c_custkey) AS a,
+        |    greatest(d.import_id, m.c_custkey) AS b
+        |  FROM dirty d JOIN customer m
+        |    ON d.i_nationkey = m.c_nationkey
+        |   AND d.i_mktsegment = m.c_mktsegment
+        |   AND d.import_id <> m.c_custkey
+        |  WHERE levenshtein(lower(d.import_name), lower(m.c_name)) <= 2),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |nodes AS (SELECT c_custkey AS id FROM customer),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
+        |lab AS (SELECT id, MIN(r) AS ent FROM reach GROUP BY id),
+        |csz AS (SELECT ent, COUNT(*) AS entity_size FROM lab GROUP BY ent)
+        |SELECT l.id AS c_custkey, l.ent AS entity_id, c.entity_size,
+        |  l.id = l.ent AS is_canonical
+        |FROM lab l JOIN csz c ON c.ent = l.ent
+        |ORDER BY l.id""".stripMargin,
+
     "q_record_linkage" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS import_id,

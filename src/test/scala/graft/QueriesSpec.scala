@@ -880,6 +880,26 @@ class QueriesSpec extends AnyFunSuite {
       s"lineitem scan without the drop filter (corpus re-scanned):\n$l"))
   }
 
+  test("q_entity_cluster: totality, min-labels, size consistency, linkage containment") {
+    val rows = SparkEntry.queries("q_entity_cluster")(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "customer").count())
+    rows.groupBy(_.getLong(1)).foreach { case (ent, rs) =>
+      assert(rs.map(_.getLong(0)).min == ent, s"entity $ent not min-labeled")
+      assert(rs.forall(_.getLong(2) == rs.length), s"entity $ent sizes lie")
+      assert(rs.count(_.getBoolean(3)) == 1)
+    }
+    // containment: any record whose best linkage match is ANOTHER record
+    // must share that record's entity (pairs are a subset of the closure)
+    val linked = SparkEntry.queries("q_record_linkage")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter { case (a, b) => a != b }
+    val ent = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    linked.foreach { case (a, b) =>
+      assert(ent(a) == ent(b),
+        s"linked pair ($a,$b) split across entities ${ent(a)}/${ent(b)}")
+    }
+  }
+
   test("q_skyline_pareto: skyline is mutually non-dominated and complete") {
     val sky = SparkEntry.queries("q_skyline_pareto")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1),
