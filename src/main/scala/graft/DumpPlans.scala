@@ -21,7 +21,10 @@ object DumpPlans {
     // documented in the bullets instead)
     "q_affinity_pairs", "q_triangle_count", "q_recommend_items",
     "q_link_predict", "q_degree_hist", "q_graph_stats",
-    "q_changepoint_cusum", "q_session_features", "q_markov_transition")
+    "q_changepoint_cusum", "q_session_features", "q_markov_transition",
+    // round-11 layout/serving/privacy family
+    "q_zorder_layout", "q_skyline_pareto", "q_k_anonymity",
+    "q_affinity_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
