@@ -65,6 +65,59 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(sqlRows == viaDf("q_sample_hash"))
   }
 
+  test("round-11 operators run as pure SQL text (k-anonymity, z-order)") {
+    // k-anonymity: plain relational SQL (Spark dialect: div for the
+    // positive-shifted cents band)
+    val kanon = viaSql(
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (cast(round(c_acctbal * 100) as bigint) + 100000) div 100000
+        |      AS band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT band) AS BIGINT) AS n_sensitive,
+        |  round(1.0D / COUNT(*), 6) AS reident_risk,
+        |  COUNT(*) >= 5 AS meets_k,
+        |  COUNT(DISTINCT band) >= 3 AS meets_l
+        |FROM b
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+    assert(kanon == viaDf("q_k_anonymity"))
+    // z-order: the Morton spread as stepwise SQL bit expressions
+    val zsql = viaSql(
+      """WITH xy AS (
+        |  SELECT pmod(l_partkey, 4096) AS x, pmod(l_suppkey, 4096) AS y
+        |  FROM lineitem),
+        |s1 AS (
+        |  SELECT x, y,
+        |    ((x | shiftleft(x, 8)) & 16711935) AS sx,
+        |    ((y | shiftleft(y, 8)) & 16711935) AS sy
+        |  FROM xy),
+        |s2 AS (
+        |  SELECT x, y,
+        |    ((sx | shiftleft(sx, 4)) & 252645135) AS sx,
+        |    ((sy | shiftleft(sy, 4)) & 252645135) AS sy
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT x, y,
+        |    ((sx | shiftleft(sx, 2)) & 858993459) AS sx,
+        |    ((sy | shiftleft(sy, 2)) & 858993459) AS sy
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT x, y,
+        |    ((sx | shiftleft(sx, 1)) & 1431655765) AS sx,
+        |    ((sy | shiftleft(sy, 1)) & 1431655765) AS sy
+        |  FROM s3),
+        |z AS (SELECT x, y, (sx | shiftleft(sy, 1)) div 4096 AS bucket
+        |      FROM s4)
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  MIN(y) AS min_y, MAX(y) AS max_y
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin)
+    assert(zsql == viaDf("q_zorder_layout"))
+  }
+
   test("registerTables exposes every engine table to SQL text") {
     GraftSql.registerTables(spark, sf)
     Tables.names.foreach { n =>
