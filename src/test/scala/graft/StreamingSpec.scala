@@ -319,6 +319,16 @@ class StreamingSpec extends AnyFunSuite {
     val again = Streams.readAffinityIndex(spark, store).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(again == served)
+    // torn epoch: data files landed but the writer died before its
+    // MANIFEST swap — the reader must not see a single row of it
+    val torn = java.nio.file.Paths.get(store, "epoch=99", "v-dead")
+    java.nio.file.Files.createDirectories(torn)
+    spark.range(1).selectExpr("100L AS p1", "200L AS p2", "50L AS co")
+      .write.parquet(torn.resolve("data").toString)
+    val afterTorn = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterTorn == served,
+      "reader leaked rows from an uncommitted (torn) epoch")
   }
 
   test("s_route_publish_net: broker NAK throws — no silent ack (§8-B2)") {
