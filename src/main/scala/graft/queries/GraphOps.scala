@@ -65,6 +65,46 @@ object GraphOps {
     (inc, pairs)
   }
 
+  /** Shared pieces of the incremental index family (q_affinity_
+    * incremental / q_recommend_incremental): one definition of the
+    * drop split, the per-order basketCap cut, the pre-floor pair
+    * aggregation, and the cap-aware content-addressed store root — so
+    * the two maintained views, and the batch pairCounts they must
+    * merge-match, can never disagree about what an incidence row or a
+    * capped basket is. The cap cut is per-order and orders partition
+    * by the drop split, so capping each side independently equals
+    * capping the whole corpus (spec-pinned). The store root carries
+    * the cap value: partials built under one cap can never silently
+    * serve a session running another. */
+  private def incrementalInc(s: SparkSession, d: String,
+      newSide: Boolean): DataFrame = {
+    val dropPred = col("l_orderkey") % 10 === 3
+    val cap = s.conf.get("spark.graft.basketCap", "0").toInt
+    val i0 = Tables(s, d, "lineitem")
+      .filter(if (newSide) dropPred else !dropPred)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    if (cap <= 0) i0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ok").orderBy("pk")
+      i0.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap).drop("rn")
+    }
+  }
+
+  private def affIdxBase(s: SparkSession, d: String): String = {
+    val cap = s.conf.get("spark.graft.basketCap", "0").toInt
+    val tag = FixtureLayout.contentTag(d, Seq("lineitem"))
+    val capSuffix = if (cap > 0) s"_cap$cap" else ""
+    s"${System.getProperty("java.io.tmpdir")}/graft_affidx_$tag$capSuffix"
+  }
+
+  private def pairsPreFloor(i: DataFrame): DataFrame =
+    i.as("a").join(i.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("co"))
+
   private val incSql =
     "SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem"
   private val pairsSql =
@@ -152,34 +192,27 @@ object GraphOps {
     // the family's modulo split (l_orderkey % 10 = 3); the stored side
     // is content-addressed (FixtureLayout), and per refresh the fact
     // table is scanned ONLY with the drop filter (CurationSpec-style
-    // plan pin in QueriesSpec). basketCap composes cleanly: the cut is
-    // per-order, so it caps stored and drop sides identically. At
-    // 100 TB this is how the affinity/recommendation tables stay
-    // O(new orders) per refresh.
+    // plan pin in QueriesSpec). basketCap composes: incrementalInc
+    // applies the same per-order cut on both sides (orders partition by
+    // the split, so per-side capping == whole-corpus capping,
+    // spec-pinned) and the store root is cap-aware so partials built
+    // under one cap never serve a session running another. At 100 TB
+    // this is how the affinity/recommendation tables stay O(new
+    // orders) per refresh.
     "q_affinity_incremental" -> ((s, d) => {
-      val dropPred = col("l_orderkey") % 10 === 3
-      val tag = FixtureLayout.contentTag(d, Seq("lineitem"))
-      val base =
-        s"${System.getProperty("java.io.tmpdir")}/graft_affidx_$tag"
-      def incOf(newSide: Boolean) =
-        Tables(s, d, "lineitem")
-          .filter(if (newSide) dropPred else !dropPred)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-      def pairsOf(i: DataFrame) = i.as("a").join(i.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("co"))
+      val drop = persistEager(incrementalInc(s, d, newSide = true))
+      val base = affIdxBase(s, d)
       val storedPairs = FixtureLayout.ensureDir(s"$base/pairs") { st =>
-        pairsOf(incOf(newSide = false)).write.parquet(st)
+        pairsPreFloor(incrementalInc(s, d, newSide = false))
+          .write.parquet(st)
       }
       val storedTot = FixtureLayout.ensureDir(s"$base/tot") { st =>
-        incOf(newSide = false).agg(countDistinct(col("ok")).as("n_orders"))
+        incrementalInc(s, d, newSide = false)
+          .agg(countDistinct(col("ok")).as("n_orders"))
           .coalesce(1).write.parquet(st)
       }
-      val drop = persistEager(incOf(newSide = true))
       val merged = s.read.parquet(storedPairs)
-        .unionByName(pairsOf(drop))
+        .unionByName(pairsPreFloor(drop))
         .groupBy("p1", "p2").agg(sum("co").as("co"))
         .filter(col("co") >= 2)
       val tot = s.read.parquet(storedTot)
@@ -387,35 +420,27 @@ object GraphOps {
     // hash gate proves maintained-view == recompute end to end. Per
     // refresh the fact table is scanned only with the drop filter.
     "q_recommend_incremental" -> ((s, d) => {
-      val dropPred = col("l_orderkey") % 10 === 3
-      val tag = FixtureLayout.contentTag(d, Seq("lineitem"))
-      val base =
-        s"${System.getProperty("java.io.tmpdir")}/graft_affidx_$tag"
-      def incOf(newSide: Boolean) =
-        Tables(s, d, "lineitem")
-          .filter(if (newSide) dropPred else !dropPred)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-      def pairsOf(i: DataFrame) = i.as("a").join(i.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("co"))
+      val base = affIdxBase(s, d)
       // the pair/tot stores are SHARED with q_affinity_incremental
-      // (same content-addressed paths); cnt is this operator's own
+      // (same cap-aware content-addressed paths); cnt is this
+      // operator's own
       val storedPairs = FixtureLayout.ensureDir(s"$base/pairs") { st =>
-        pairsOf(incOf(newSide = false)).write.parquet(st)
+        pairsPreFloor(incrementalInc(s, d, newSide = false))
+          .write.parquet(st)
       }
       val storedTot = FixtureLayout.ensureDir(s"$base/tot") { st =>
-        incOf(newSide = false).agg(countDistinct(col("ok")).as("n_orders"))
+        incrementalInc(s, d, newSide = false)
+          .agg(countDistinct(col("ok")).as("n_orders"))
           .coalesce(1).write.parquet(st)
       }
       val storedCnt = FixtureLayout.ensureDir(s"$base/cnt") { st =>
-        incOf(newSide = false).groupBy("pk").agg(count(lit(1)).as("c"))
+        incrementalInc(s, d, newSide = false)
+          .groupBy("pk").agg(count(lit(1)).as("c"))
           .write.parquet(st)
       }
-      val drop = persistEager(incOf(newSide = true))
+      val drop = persistEager(incrementalInc(s, d, newSide = true))
       val pairs = s.read.parquet(storedPairs)
-        .unionByName(pairsOf(drop))
+        .unionByName(pairsPreFloor(drop))
         .groupBy("p1", "p2").agg(sum("co").as("co"))
         .filter(col("co") >= 2)
       val cnt = s.read.parquet(storedCnt)

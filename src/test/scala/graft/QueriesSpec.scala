@@ -880,6 +880,24 @@ class QueriesSpec extends AnyFunSuite {
       s"lineitem scan without the drop filter (corpus re-scanned):\n$l"))
   }
 
+  test("basketCap composes with the incremental index (per-side == whole-corpus cut)") {
+    // capping each split side independently must equal capping the
+    // whole corpus, because the (ok, pk) cut is per-order and orders
+    // partition by the drop split; the cap-aware store root keeps the
+    // capped partials separate from the uncapped ones
+    try {
+      spark.conf.set("spark.graft.basketCap", "3")
+      val inc = SparkEntry.queries("q_affinity_incremental")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val batch = SparkEntry.queries("q_affinity_pairs")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(inc == batch,
+        "capped incremental merge drifted from capped full recompute")
+    } finally spark.conf.unset("spark.graft.basketCap")
+  }
+
   test("q_entity_cluster: totality, min-labels, size consistency, linkage containment") {
     val rows = SparkEntry.queries("q_entity_cluster")(spark, sf).collect()
     assert(rows.length == Tables(spark, sf, "customer").count())
