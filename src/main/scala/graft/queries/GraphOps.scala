@@ -92,11 +92,57 @@ object GraphOps {
     }
   }
 
+  /** Root of the maintained-view partial stores. Defaults to
+    * java.io.tmpdir but is configurable (`spark.graft.indexRoot`,
+    * round-11 advice #3): OS tmp reapers can delete a sub-store between
+    * sessions — or even between the ensureDir commit and the lazy
+    * parquet read of the same refresh — so a deployment that wants the
+    * materialized view durable points this at real storage. The store
+    * stays content-addressed + cap-tagged under whichever root. */
   private def affIdxBase(s: SparkSession, d: String): String = {
     val cap = s.conf.get("spark.graft.basketCap", "0").toInt
+    val root = s.conf.get("spark.graft.indexRoot",
+      System.getProperty("java.io.tmpdir"))
     val tag = FixtureLayout.contentTag(d, Seq("lineitem"))
     val capSuffix = if (cap > 0) s"_cap$cap" else ""
-    s"${System.getProperty("java.io.tmpdir")}/graft_affidx_$tag$capSuffix"
+    s"$root/graft_affidx_$tag$capSuffix"
+  }
+
+  /** Stored-partial read with the DumpPlans escape hatch: a
+    * plan-inspection session (`spark.graft.skipEagerMaterialize=true`)
+    * must run NO jobs at frame-build time, but a cold store would force
+    * full base-side write jobs through ensureDir just to dump a plan
+    * (round-11 advice #4). In those sessions the stored read is
+    * substituted with the EQUIVALENT lazy base-side frame — same rows by
+    * the store's own construction (the store is nothing but `build`
+    * materialized), so the dumped plan is the real pipeline shape, not a
+    * parquet scan of an opaque cache, and the digest is stable whether
+    * or not a prior run warmed the store. An inspection session that
+    * wants the STORED-path plan instead (the refresh shape a production
+    * maintainer runs) sets `spark.graft.requireWarmIndex=true`: the
+    * store must be pre-warmed and is read lazily, and a cold store
+    * fails fast rather than silently running the build jobs.
+    * Harness/production sessions always take the stored path. */
+  private def storedOr(s: SparkSession, path: String)
+      (build: => DataFrame): DataFrame = {
+    val skipEager =
+      s.conf.get("spark.graft.skipEagerMaterialize", "false") == "true"
+    val requireWarm =
+      s.conf.get("spark.graft.requireWarmIndex", "false") == "true"
+    if (skipEager && requireWarm) {
+      if (!new java.io.File(path).isDirectory)
+        throw new IllegalStateException(
+          s"spark.graft.requireWarmIndex=true but the partial store at " +
+            s"$path is cold — pre-warm it with a normal-session refresh " +
+            "before inspecting the stored-path plan")
+      s.read.parquet(path)
+    } else if (skipEager) build
+    else {
+      val bf = () => build
+      s.read.parquet(FixtureLayout.ensureDir(path) { st =>
+        bf().write.parquet(st)
+      })
+    }
   }
 
   private def pairsPreFloor(i: DataFrame): DataFrame =
@@ -202,20 +248,19 @@ object GraphOps {
     "q_affinity_incremental" -> ((s, d) => {
       val drop = persistEager(incrementalInc(s, d, newSide = true))
       val base = affIdxBase(s, d)
-      val storedPairs = FixtureLayout.ensureDir(s"$base/pairs") { st =>
+      val storedPairs = storedOr(s, s"$base/pairs") {
         pairsPreFloor(incrementalInc(s, d, newSide = false))
-          .write.parquet(st)
       }
-      val storedTot = FixtureLayout.ensureDir(s"$base/tot") { st =>
+      val storedTot = storedOr(s, s"$base/tot") {
         incrementalInc(s, d, newSide = false)
           .agg(countDistinct(col("ok")).as("n_orders"))
-          .coalesce(1).write.parquet(st)
+          .coalesce(1)
       }
-      val merged = s.read.parquet(storedPairs)
+      val merged = storedPairs
         .unionByName(pairsPreFloor(drop))
         .groupBy("p1", "p2").agg(sum("co").as("co"))
         .filter(col("co") >= 2)
-      val tot = s.read.parquet(storedTot)
+      val tot = storedTot
         .unionByName(drop.agg(countDistinct(col("ok")).as("n_orders")))
         .agg(sum("n_orders").as("n_orders"))
       val out = merged.crossJoin(broadcast(tot))
@@ -269,22 +314,34 @@ object GraphOps {
     // pre-round at 12dp into exact decimals (the q_unigram_logprob ln
     // scheme) so the sum is order-independent; the serving cut orders
     // by (cn desc, cand asc) — fully integer. Scale shape: wedge
-    // enumeration is the same per-middle-node fan-out as the triangle
-    // pass (deg² at the middle node — bounded by basketCap upstream; a
-    // 100-TB serving build would swap exact neighbor sets for minhash
-    // sketches at this seam), one anti-join against the edge list, one
-    // per-part window with WindowGroupLimit pruning rank > 3.
+    // enumeration is deg² at the MIDDLE node, and unlike the triangle
+    // pass degree-orientation cannot save it (link prediction needs ALL
+    // neighbor pairs of w, not oriented wedges). The seam for that is
+    // `spark.graft.linkDegCap` (round-11 verdict #1): a node above the
+    // cap contributes wedges only from a BOTTOM-K sketch of its
+    // neighbor set (sketchAdjacency — a coordinated KMV sample by one
+    // global hash over neighbor ids), bounding any middle node's
+    // fan-out at cap² candidate rows; nodes at or below the cap stay
+    // EXACT, and cap >= max degree is bit-identical to uncapped
+    // (spec-pinned, so the fixture CORRECTNESS hash cannot move).
+    // Degrees — and therefore Jaccard/AA denominators — are computed
+    // PRE-sketch and stay exact; only cn/aa through over-cap middles
+    // become sampled estimates. Then one anti-join against the edge
+    // list, one per-part window with WindowGroupLimit pruning rank > 3.
+    // The scored frame feeds both direction branches, so the whole
+    // wedge pipeline persists once (round-11 advice #1).
     "q_link_predict" -> ((s, d) => {
       val (_, pairs0) = pairCounts(s, d)
       val pairs = persistEager(pairs0.select("p1", "p2"))
       val adj = pairs.select(col("p1").as("w"), col("p2").as("nbr"))
         .unionByName(pairs.select(col("p2").as("w"), col("p1").as("nbr")))
       val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+      val cap = s.conf.get("spark.graft.linkDegCap", "0").toInt
       // the wedge self-join reads the degree-carrying adjacency twice
-      val adjd = persistEager(adj.join(deg, "w"))
+      val adjd = persistEager(sketchAdjacency(adj, cap).join(deg, "w"))
       val aaTerm = round(lit(1.0) / log(col("a.deg").cast("double")), 12)
         .cast("decimal(14,12)")
-      val scored = adjd.as("a").join(adjd.as("b"),
+      val scored = persistEager(adjd.as("a").join(adjd.as("b"),
           col("a.w") === col("b.w") && col("a.nbr") < col("b.nbr"))
         .groupBy(col("a.nbr").as("u"), col("b.nbr").as("v"))
         .agg(count(lit(1)).as("cn"), sum(aaTerm).as("aa"))
@@ -295,7 +352,7 @@ object GraphOps {
         .select(col("u"), col("v"), col("cn"),
           round(col("cn").cast("double")
             / (col("du") + col("dv") - col("cn")), 6).as("jaccard"),
-          round(col("aa"), 6).cast("double").as("adamic_adar"))
+          round(col("aa"), 6).cast("double").as("adamic_adar")))
       val dir = scored.select(col("u").as("part"), col("v").as("cand"),
           col("cn"), col("jaccard"), col("adamic_adar"))
         .unionByName(scored.select(col("v").as("part"),
@@ -308,7 +365,7 @@ object GraphOps {
         .select(col("part"), col("rk").cast("long").as("rk"), col("cand"),
           col("cn"), col("jaccard"), col("adamic_adar"))
         .orderBy("part", "rk")
-      materializeAndFree(out, pairs, adjd)
+      materializeAndFree(out, pairs, adjd, scored)
     }),
 
     // ── Degree distribution histogram (round 11) ─────────────────────
@@ -367,12 +424,7 @@ object GraphOps {
         .groupBy("pk").agg(count(lit(1)).as("degree"))
       // the tri join reads the oriented list three times
       val ori = persistEager(orientEdges(pairs, deg))
-      val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
-        (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
-      val triCount = ori.as("e1")
-        .join(ori.as("e2"), col("e1.src") === col("e2.src") && wedgeOrder)
-        .join(ori.as("e3"),
-          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      val triCount = orientedTriangles(ori)
         .agg(count(lit(1)).as("n_triangles"))
       val degStats = deg.agg(count(lit(1)).as("n_nodes"),
         sum("degree").as("deg_sum"), max("degree").as("max_degree"),
@@ -424,29 +476,27 @@ object GraphOps {
       // the pair/tot stores are SHARED with q_affinity_incremental
       // (same cap-aware content-addressed paths); cnt is this
       // operator's own
-      val storedPairs = FixtureLayout.ensureDir(s"$base/pairs") { st =>
+      val storedPairs = storedOr(s, s"$base/pairs") {
         pairsPreFloor(incrementalInc(s, d, newSide = false))
-          .write.parquet(st)
       }
-      val storedTot = FixtureLayout.ensureDir(s"$base/tot") { st =>
+      val storedTot = storedOr(s, s"$base/tot") {
         incrementalInc(s, d, newSide = false)
           .agg(countDistinct(col("ok")).as("n_orders"))
-          .coalesce(1).write.parquet(st)
+          .coalesce(1)
       }
-      val storedCnt = FixtureLayout.ensureDir(s"$base/cnt") { st =>
+      val storedCnt = storedOr(s, s"$base/cnt") {
         incrementalInc(s, d, newSide = false)
           .groupBy("pk").agg(count(lit(1)).as("c"))
-          .write.parquet(st)
       }
       val drop = persistEager(incrementalInc(s, d, newSide = true))
-      val pairs = s.read.parquet(storedPairs)
+      val pairs = storedPairs
         .unionByName(pairsPreFloor(drop))
         .groupBy("p1", "p2").agg(sum("co").as("co"))
         .filter(col("co") >= 2)
-      val cnt = s.read.parquet(storedCnt)
+      val cnt = storedCnt
         .unionByName(drop.groupBy("pk").agg(count(lit(1)).as("c")))
         .groupBy("pk").agg(sum("c").as("c"))
-      val tot = s.read.parquet(storedTot)
+      val tot = storedTot
         .unionByName(drop.agg(countDistinct(col("ok")).as("n_orders")))
         .agg(sum("n_orders").as("n_orders"))
       materializeAndFree(recommendFrom(pairs, cnt, tot), drop)
@@ -539,6 +589,29 @@ object GraphOps {
       .orderBy(col("rank_pico").desc, col("pk").asc)
   }
 
+  /** Bottom-k neighbor sketch for the wedge pass (round-11 verdict #1 —
+    * the last acknowledged 100x scale-killer): a node with more than
+    * `cap` neighbors keeps only the `cap` neighbors with the SMALLEST
+    * xxhash64(nbr) (ties broken by id — a total order, so the kept set
+    * is deterministic and repartition-stable). Because every node
+    * samples by the SAME global hash of the neighbor id, the per-node
+    * sketches are coordinated bottom-k (KMV) samples: two hub middles
+    * keep consistent views of a shared neighbor, which is what makes
+    * the sampled common-neighbor counts comparable across pairs. Nodes
+    * at or below the cap are untouched — with cap >= the corpus max
+    * degree the output is bit-identical to the input (spec-pinned).
+    * The row_number window hashes on `w`, the exact exchange the wedge
+    * self-join needs next, so the cut rides the shuffle that was
+    * already being paid — the shingleDfCap/basketCap precedent applied
+    * to adjacency lists. cap <= 0 (the default) disables the sketch. */
+  private[graft] def sketchAdjacency(adj: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) adj else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("w").orderBy(xxhash64(col("nbr")), col("nbr"))
+      adj.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap).drop("rn")
+    }
+
   /** Orient the undirected p1<p2 edge list from the LOWER-degree
     * endpoint to the higher ((degree, id) lexicographic — id breaks
     * ties, so the orientation is a total order and every edge gets
@@ -558,6 +631,24 @@ object GraphOps {
       when(p1Lower, col("p1")).otherwise(col("p2")).as("src"),
       when(p1Lower, col("p2")).otherwise(col("p1")).as("dst"),
       when(p1Lower, col("d2")).otherwise(col("d1")).as("ddeg"))
+  }
+
+  /** ONE definition of the degree-oriented triangle enumeration
+    * (round-11 verdict #7: q_graph_stats had inlined a second copy of
+    * this wedge join, which could silently diverge from the per-node
+    * pass). Wedges pair the out-neighbors of each oriented source in
+    * (ddeg, dst) order and the closing edge is looked up in the same
+    * oriented list; each triangle {a,b,c} appears exactly once, at its
+    * lowest-(degree, id) corner. Output columns (a, b, c). */
+  private[graft] def orientedTriangles(ori: DataFrame): DataFrame = {
+    val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
+      (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+    ori.as("e1")
+      .join(ori.as("e2"), col("e1.src") === col("e2.src") && wedgeOrder)
+      .join(ori.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
   }
 
   /** ── Triangle count + local clustering coefficient (round 10) ─────
@@ -591,15 +682,7 @@ object GraphOps {
     // read three times (both wedge sides + closure): persist the tiny
     // oriented list rather than re-running the two degree joins
     val ori = persistEager(orientEdges(pairs, deg))
-    val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
-      (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
-    val tri = ori.as("e1")
-      .join(ori.as("e2"),
-        col("e1.src") === col("e2.src") && wedgeOrder)
-      .join(ori.as("e3"),
-        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-        col("e2.dst").as("c"))
+    val tri = orientedTriangles(ori)
     val perNode = tri.select(explode(array(col("a"), col("b"), col("c")))
         .as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n_triangles"))

@@ -865,12 +865,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(incPairs == batch, "incremental merge drifted from full recompute")
     // plan: the stored partials serve the corpus side; every live
     // lineitem scan carries the drop filter (fact table re-scanned
-    // zero times per refresh)
+    // zero times per refresh). requireWarmIndex pins the STORED-path
+    // plan (round-12: a plain dump session substitutes the lazy
+    // base-side frame, see storedOr) — the store was warmed above.
     spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    spark.conf.set("spark.graft.requireWarmIndex", "true")
     val plan =
       try SparkEntry.queries("q_affinity_incremental")(spark, sf)
         .queryExecution.executedPlan.toString
-      finally spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+      finally {
+        spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+        spark.conf.unset("spark.graft.requireWarmIndex")
+      }
     assert(plan.contains("graft_affidx_"),
       s"stored pair index missing from the refresh plan:\n$plan")
     val liScans = plan.linesIterator
@@ -984,10 +990,14 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(inc == batch, "maintained serving table drifted from recompute")
     spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    spark.conf.set("spark.graft.requireWarmIndex", "true")
     val plan =
       try SparkEntry.queries("q_recommend_incremental")(spark, sf)
         .queryExecution.executedPlan.toString
-      finally spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+      finally {
+        spark.conf.set("spark.graft.skipEagerMaterialize", "false")
+        spark.conf.unset("spark.graft.requireWarmIndex")
+      }
     assert(plan.contains("graft_affidx_"), "stored partials missing")
     plan.linesIterator.filter(_.contains("lineitem.parquet")).foreach(l =>
       assert(l.contains("% 10) = 3"),
@@ -1066,6 +1076,54 @@ class QueriesSpec extends AnyFunSuite {
         case _ => ()
       }
     }
+  }
+
+  test("linkDegCap: cap >= max degree is bit-identical to uncapped") {
+    // round-12 (r11 verdict #1): the bottom-k neighbor sketch must be a
+    // strict no-op below the cap, so the fixture CORRECTNESS hash for
+    // q_link_predict cannot move when a deployment turns the cap on at
+    // any value covering its max degree
+    val exact = SparkEntry.queries("q_link_predict")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val maxDeg = SparkEntry.queries("q_triangle_count")(spark, sf)
+      .agg(max("degree")).head().getLong(0)
+    try {
+      spark.conf.set("spark.graft.linkDegCap", maxDeg.toString)
+      val capped = SparkEntry.queries("q_link_predict")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(capped == exact,
+        s"linkDegCap=$maxDeg (max degree) changed q_link_predict output")
+    } finally spark.conf.unset("spark.graft.linkDegCap")
+  }
+
+  test("linkDegCap: a planted hub's wedge fan-out is bounded at cap²") {
+    import spark.implicits._
+    // star: hub 0 adjacent to 1..200 — uncapped, the hub middle node
+    // emits 200*199/2 = 19900 wedge rows on ONE join key; the sketch
+    // must cut that to cap*(cap-1)/2 while keeping the kept set a
+    // deterministic bottom-k by the global neighbor hash
+    val cap = 8
+    val adj = (1L to 200L).map(n => (0L, n)).toDF("w", "nbr")
+      .unionByName((1L to 200L).map(n => (n, 0L)).toDF("w", "nbr"))
+    val sk = graft.queries.GraphOps.sketchAdjacency(adj, cap)
+    val hubNbrs = sk.filter(col("w") === 0L).collect()
+      .map(_.getLong(1)).toSet
+    assert(hubNbrs.size == cap, s"hub kept ${hubNbrs.size} != $cap")
+    // determinism + bottom-k semantics: the kept neighbors are exactly
+    // the cap smallest by (xxhash64(nbr), nbr)
+    val hashes = (1L to 200L).toDF("n")
+      .select(col("n"), xxhash64(col("n")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (1L to 200L).sortBy(n => (hashes(n), n)).take(cap).toSet
+    assert(hubNbrs == expect, "kept set is not the deterministic bottom-k")
+    // degree-1 spokes are untouched (below the cap => exact)
+    assert(sk.filter(col("w") =!= 0L).count() == 200)
+    // the wedge join through the hub is bounded at cap choose 2
+    val wedges = sk.as("a").join(sk.as("b"),
+        col("a.w") === col("b.w") && col("a.nbr") < col("b.nbr"))
+      .filter(col("a.w") === 0L).count()
+    assert(wedges == cap.toLong * (cap - 1) / 2,
+      s"hub wedge fan-out $wedges not bounded by cap²")
   }
 
   test("q_degree_hist: bucket bounds hold, shares and counts conserve") {
