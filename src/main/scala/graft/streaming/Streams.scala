@@ -775,25 +775,40 @@ object Streams {
     * after a crash hits `ensureManifested`'s already-committed check
     * and skips, so the at-least-once replay becomes effectively-once
     * per epoch and counts can never double. [[readAffinityIndex]]
-    * merges committed epochs by sum and applies the co >= 2 floor —
+    * merges the folded base (see [[compactAffinityStore]]) with every
+    * unfolded committed epoch by sum and applies the co >= 2 floor —
     * the served view is bit-identical to a batch recompute over the
     * delivered orders (StreamingSpec golden). Delivery contract: an
     * ORDER is wholly contained in one delivered file (the directory
     * source's unit — the same one-file-one-POST unit the reference's
     * HTTP ingest guarantees), so per-order pairs never split across
-    * epochs. At 100 TB each epoch is one snapshot commit of
-    * O(new-order pairs) rows; compaction folds old epochs exactly like
-    * the export store. */
+    * epochs — which is also why `spark.graft.basketCap` composes
+    * per-epoch (round-11 verdict #2): the SAME row_number-over-(ok, pk)
+    * cut the batch twins apply (GraphOps.incrementalInc) runs inside
+    * each micro-batch, and since orders partition by epoch, per-epoch
+    * capping equals whole-corpus capping. The store root is tagged with
+    * the cap it was built under (`_CAP`, written once create-exclusive):
+    * a session running a different cap fails fast on both the write and
+    * the read path, so a capped session's streamed index can never
+    * silently merge-mismatch the capped batch partials. At 100 TB each
+    * epoch is one snapshot commit of O(new-order pairs) rows. */
   def affinityUpdate(lineRows: DataFrame, store: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val cap = basketCap(lineRows.sparkSession)
+    ensureCapTag(store, cap)
     lineRows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         graft.queries.FixtureLayout.ensureManifested(
           s"$store/epoch=$epoch") { staging =>
-          val inc = batch
+          val inc0 = batch
             .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
             .distinct()
+          val inc = if (cap <= 0) inc0 else {
+            val w = Window.partitionBy("ok").orderBy("pk")
+            inc0.withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= cap).drop("rn")
+          }
           inc.as("a").join(inc.as("b"),
               col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
             .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
@@ -803,15 +818,149 @@ object Streams {
         ()
       }
       .start()
+  }
 
-  /** Serve side of s_affinity_update: merged pair counts over every
-    * committed epoch, support floor applied post-merge. Reads through
-    * the same committed-manifests-only resolution as the export
-    * reader, so torn epochs are invisible. */
-  def readAffinityIndex(spark: SparkSession, store: String): DataFrame =
-    readManifestedExport(spark, store)
+  private def basketCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.basketCap", "0").toInt
+
+  /** Write-once cap tag at the store root: partials built under one
+    * basketCap definition must never mix with another's (the batch
+    * stores encode the cap in their content-addressed path; a streaming
+    * store's path is caller-chosen, so the tag travels IN the store).
+    * Create-exclusive via temp + ATOMIC_MOVE; the loser of a race reads
+    * the winner's value, and any mismatch fails fast. */
+  private def ensureCapTag(store: String, cap: Int): Unit = {
+    val dir = new java.io.File(store); dir.mkdirs()
+    val f = new java.io.File(dir, "_CAP")
+    if (!f.isFile) {
+      val tmp = new java.io.File(dir,
+        s"_CAP.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp.toPath, cap.toString.getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the tag race — validate against the winner below
+        case _: java.nio.file.FileSystemException => tmp.delete(); ()
+      }
+    }
+    val stored = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt
+    require(stored == cap,
+      s"affinity store $store was built under basketCap=$stored but this " +
+        s"session runs basketCap=$cap — refusing to mix pair partials " +
+        "across cap definitions (the maintained view would silently " +
+        "drift from the capped batch recompute)")
+  }
+
+  /** Committed, still-unfolded epoch dirs + the folded base state:
+    * (folded epoch names, base parquet files, unfolded committed epoch
+    * dirs, oldest first). Folding state lives INSIDE the base version
+    * (epochs.txt, committed by the same atomic manifest swap as the
+    * data), so a crash anywhere in compaction leaves either the old
+    * base + all epochs or the new base + the remaining epochs — never
+    * a double count. */
+  private def affinityState(store: String)
+      : (Set[String], Seq[String], Seq[java.io.File]) = {
+    val FL = graft.queries.FixtureLayout
+    val baseDir = s"$store/base"
+    val (folded, baseParquet) =
+      if (new java.io.File(baseDir, "MANIFEST").isFile) {
+        val (vroot, files) = FL.manifestedFiles(baseDir)
+        val ep = new java.io.File(vroot, "epochs.txt")
+        val names =
+          if (!ep.isFile) Set.empty[String]
+          else new String(java.nio.file.Files.readAllBytes(ep.toPath),
+            "UTF-8").linesIterator.filter(_.nonEmpty).toSet
+        (names, files.filter(_.endsWith(".parquet")))
+      } else (Set.empty[String], Seq.empty[String])
+    val unfoldedDirs = Option(new java.io.File(store).listFiles())
+      .toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("epoch="))
+      .filter(d => new java.io.File(d, "MANIFEST").isFile)
+      .filterNot(d => folded.contains(d.getName))
+      .sortBy(_.getName)
+    (folded, baseParquet, unfoldedDirs)
+  }
+
+  private def epochParquet(dirs: Seq[java.io.File]): Seq[String] =
+    dirs.flatMap(e => graft.queries.FixtureLayout
+        .manifestedFiles(e.getAbsolutePath)._2)
+      .filter(_.endsWith(".parquet"))
+
+  /** Serve side of s_affinity_update: folded base + every committed
+    * unfolded epoch, merged by sum, support floor applied post-merge.
+    * Reads through committed-manifests-only resolution, so torn epochs
+    * (and torn compactions) are invisible. Fails fast if the session's
+    * basketCap does not match the store's tag. */
+  def readAffinityIndex(spark: SparkSession, store: String): DataFrame = {
+    ensureCapTag(store, basketCap(spark))
+    val (_, baseParquet, unfoldedDirs) = affinityState(store)
+    val all = baseParquet ++ epochParquet(unfoldedDirs)
+    require(all.nonEmpty,
+      s"no committed affinity partials under $store — nothing was published")
+    spark.read.parquet(all: _*)
       .groupBy("p1", "p2").agg(sum("co").as("co"))
       .filter(col("co") >= 2)
+  }
+
+  /** Epoch compaction (round-11 verdict #3): fold every committed epoch
+    * into the base so a long-running maintainer's read cost stays
+    * O(base + recent epochs) instead of O(all epochs ever). The merged
+    * PRE-FLOOR partials and the folded-epoch list commit together as
+    * one new base version through the same fsync + atomic-MANIFEST swap
+    * as any export write (FixtureLayout.publishManifested — the
+    * compactExport precedent), so readers see the old base + all epochs
+    * until the swap and the new base + remaining epochs after it, and a
+    * crash at any point double-counts nothing. Folded epoch dirs keep
+    * their MANIFEST, so a checkpoint replay of a folded epoch still
+    * hits ensureManifested's already-committed check and stays a no-op;
+    * their data files are reclaimable by vacuum once no reader resolves
+    * them. Returns the number of epochs folded by this call (0 = no-op:
+    * nothing new to fold). */
+  def compactAffinityStore(spark: SparkSession, store: String): Int = {
+    ensureCapTag(store, basketCap(spark))
+    val (folded, baseParquet, unfoldedDirs) = affinityState(store)
+    val unfoldedNames = unfoldedDirs.map(_.getName)
+    if (unfoldedNames.isEmpty) return 0
+    val merged = spark.read
+      .parquet((baseParquet ++ epochParquet(unfoldedDirs)): _*)
+      .groupBy("p1", "p2").agg(sum("co").as("co")) // PRE-floor partials
+    graft.queries.FixtureLayout.publishManifested(s"$store/base") {
+      staging =>
+        merged.write.parquet(staging)
+        val body = (folded ++ unfoldedNames).toSeq.sorted
+          .mkString("", "\n", "\n")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(staging, "epochs.txt"),
+          body.getBytes("UTF-8"))
+        ()
+    }
+    unfoldedNames.size
+  }
+
+  /** Reclaim folded epochs' data files: delete each folded epoch's
+    * version dirs while KEEPING its MANIFEST, so a checkpoint replay of
+    * that epoch still hits ensureManifested's already-committed check
+    * (stays a no-op — deleting the whole dir would make the replay
+    * re-publish and double-count into a store whose base already holds
+    * those pairs) but the bytes are reclaimed. Like vacuumExport, run
+    * only after no reader may still hold file paths resolved from a
+    * pre-compaction listing. Returns the deleted version dirs. */
+  def vacuumAffinityStore(store: String): Seq[String] = {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRec)
+      }
+      f.delete(); ()
+    }
+    val (folded, _, _) = affinityState(store)
+    folded.toSeq.sorted.flatMap { name =>
+      val dir = new java.io.File(store, name)
+      val vdirs = Option(dir.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+      vdirs.foreach(deleteRec)
+      vdirs.map(d => s"$name/${d.getName}")
+    }
+  }
 
   // ------------------------------------------------------------- lifecycle
 

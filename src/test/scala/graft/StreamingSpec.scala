@@ -331,6 +331,110 @@ class StreamingSpec extends AnyFunSuite {
       "reader leaked rows from an uncommitted (torn) epoch")
   }
 
+  test("s_affinity_update: basketCap applies per epoch == capped batch; cap tag rejects mixing") {
+    // round-12 (r11 verdict #2): a capped session's streamed index must
+    // be bit-identical to the capped batch pair definition — the same
+    // row_number-over-(ok, pk) cut incrementalInc applies
+    val in = tmp("affcap-in"); val store = tmp("affcap-store")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def line(ok: Long, pk: Long) = s"""{"l_orderkey":$ok,"l_partkey":$pk}"""
+    // orders 1 and 2 have parts (100,200,300): uncapped co(100,200)=
+    // co(100,300)=co(200,300)=2; cap=2 keeps only (100,200) per order
+    val rows = Seq(
+      line(1, 100), line(1, 200), line(1, 300),
+      line(2, 100), line(2, 200), line(2, 300))
+    write(in, "drop1.ndjson", rows.take(3))
+    spark.conf.set("spark.graft.basketCap", "2")
+    try {
+      val q = Streams.affinityUpdate(
+        spark.readStream.schema(schema).json(in), store, tmp("affcap-ckpt"))
+      try {
+        q.processAllAvailable()
+        write(in, "drop2.ndjson", rows.drop(3))
+        q.processAllAvailable()
+      } finally q.stop()
+      val served = Streams.readAffinityIndex(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // capped batch recompute over all delivered rows: only (100,200)
+      // survives the cap (300 is each order's 3rd part) and the floor
+      assert(served == Map((100L, 200L) -> 2L),
+        s"capped streamed index != capped batch recompute: $served")
+      // a session running a DIFFERENT cap must be refused on both paths
+      spark.conf.set("spark.graft.basketCap", "0")
+      val e = intercept[IllegalArgumentException] {
+        Streams.readAffinityIndex(spark, store)
+      }
+      assert(e.getMessage.contains("basketCap=2"))
+      intercept[IllegalArgumentException] {
+        Streams.affinityUpdate(
+          spark.readStream.schema(schema).json(in), store,
+          tmp("affcap-ckpt2"))
+      }
+    } finally spark.conf.unset("spark.graft.basketCap")
+  }
+
+  test("s_affinity_update: compaction folds epochs into base; replay stays no-op; vacuum reclaims") {
+    val in = tmp("affcpt-in"); val store = tmp("affcpt-store")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def line(ok: Long, pk: Long) = s"""{"l_orderkey":$ok,"l_partkey":$pk}"""
+    val ckpt = tmp("affcpt-ckpt")
+    write(in, "d1.ndjson", Seq(line(1, 100), line(1, 200)))
+    val q = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      q.processAllAvailable()
+      write(in, "d2.ndjson", Seq(line(2, 100), line(2, 200)))
+      q.processAllAvailable()
+      write(in, "d3.ndjson", Seq(line(3, 100), line(3, 200), line(3, 300)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(before == Map((100L, 200L) -> 3L), s"pre-compaction view: $before")
+    val epochDirs = new java.io.File(store).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("epoch=")).length
+    assert(epochDirs >= 2, s"need >= 2 epochs to make folding meaningful")
+    // fold: served view must be BIT-identical, reads now resolve base only
+    assert(Streams.compactAffinityStore(spark, store) == epochDirs)
+    val after = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after == before, "compaction changed the served view")
+    // compacting again with nothing new is a no-op
+    assert(Streams.compactAffinityStore(spark, store) == 0)
+    // replay of a folded epoch still hits the already-committed check
+    graft.queries.FixtureLayout.ensureManifested(s"$store/epoch=0") { st =>
+      fail(s"replayed folded epoch 0 re-ran its write into $st")
+    }
+    // a NEW epoch after compaction merges on top of the folded base —
+    // the maintainer restarts from the SAME checkpoint, so only the new
+    // file is delivered (a fresh checkpoint would re-deliver d1-d3
+    // under already-committed epoch ids and drop d4 with them)
+    val q2 = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      write(in, "d4.ndjson", Seq(line(4, 100), line(4, 200)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val grown = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(grown == Map((100L, 200L) -> 4L),
+      s"post-compaction epoch failed to merge onto the base: $grown")
+    // vacuum reclaims the folded epochs' bytes, keeps their MANIFESTs
+    // (so replays stay no-ops), and the served view is untouched
+    val reclaimed = Streams.vacuumAffinityStore(store)
+    assert(reclaimed.nonEmpty, "vacuum reclaimed nothing")
+    graft.queries.FixtureLayout.ensureManifested(s"$store/epoch=0") { st =>
+      fail(s"replayed vacuumed epoch 0 re-ran its write into $st")
+    }
+    val afterVac = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterVac == grown, "vacuum changed the served view")
+  }
+
   test("s_route_publish_net: broker NAK throws — no silent ack (§8-B2)") {
     val broker = new NetBroker()
     try {
