@@ -1,0 +1,222 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** The Kafka leg of [[PublishTransport]] (round-11 verdict #6): the
+  * routing sink's production transport, written against the PUBLISHED
+  * kafka-clients API (org.apache.kafka.clients.producer.KafkaProducer /
+  * admin.AdminClient — the public Apache Kafka client library) so a real
+  * deployment swaps the in-process NetBroker for a Kafka cluster by
+  * adding the kafka-clients dependency and setting
+  * `spark.graft.kafkaBootstrap` — no new code.
+  *
+  * This sandbox has zero egress and no kafka-clients jar, so every
+  * client call goes through cached reflection handles instead of direct
+  * imports: the tree compiles and tests with the jar absent (the
+  * "build flag" is the classpath itself — [[KafkaTransport.clientPresent]]),
+  * and constructing the transport without the jar FAILS FAST with the
+  * exact dependency coordinates, never at micro-batch N. With the jar on
+  * the classpath the reflective handles bind once per JVM and each
+  * publish is one virtual call — not a hot-path cost next to a network
+  * round trip.
+  *
+  * Delivery contract (identical to the NetTransport leg, pinned by the
+  * shared PublishTransportContract spec):
+  *  - Serializable: carries only the bootstrap string + config maps;
+  *    producers are constructed inside [[publishPartition]] on the
+  *    executor (one producer per partition per micro-batch — the same
+  *    connection-per-partition shape as NetPublisher);
+  *  - [[ensureTopic]] is idempotent and create-once per process
+  *    (AdminClient.createTopics; TopicExistsException is success —
+  *    the reference's `pubsub.CreateTopic` + "already exists" flow,
+  *    publisher.go:99-129);
+  *  - every send's future is awaited before [[publishPartition]]
+  *    returns, pipelined in windows of `NetWire.ackWindow` (the
+  *    publish-async/await-futures overlap, publisher.go:182-202); any
+  *    failed future throws → the Spark task fails → Structured
+  *    Streaming replays the batch → at-least-once with no silent-ack
+  *    window (§8-B2).
+  *
+  * `credentialsPath` keeps the R15 fail-fast contract: when set it must
+  * be a readable, non-empty java.util.Properties file at CONSTRUCTION
+  * time, and its entries (sasl.jaas.config, ssl.truststore.*, …) merge
+  * into every producer/admin config — the Kafka-native shape of the
+  * reference's --credentials file (server.go:50-57).
+  */
+final case class KafkaTransport(
+    bootstrapServers: String,
+    credentialsPath: Option[String] = None,
+    extraConfig: Map[String, String] = Map.empty)
+  extends PublishTransport {
+
+  // Both deployment errors surface at construction, before any frame:
+  // a missing client jar and unusable credentials.
+  KafkaTransport.requireClientPresent()
+
+  /** Credential properties loaded and validated at construction
+    * (fail-fast parity with NetTransport.credentialsFingerprint);
+    * serializes to executors as a plain Map. */
+  val credentialProps: Map[String, String] = credentialsPath.map { p =>
+    val f = new java.io.File(p)
+    if (!f.isFile || !f.canRead) throw new IllegalArgumentException(
+      s"credentials file $p is not a readable file — refusing to " +
+        "construct a Kafka publisher with unusable sink credentials " +
+        "(R15 parity: the reference exits fatally on bad --credentials)")
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(f)
+    try props.load(in) finally in.close()
+    if (props.isEmpty) throw new IllegalArgumentException(
+      s"credentials file $p holds no properties — refusing unusable " +
+        "sink credentials")
+    import scala.jdk.CollectionConverters._
+    props.asScala.toMap
+  }.getOrElse(Map.empty)
+
+  private def clientConfig: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.put("bootstrap.servers", bootstrapServers)
+    credentialProps.foreach { case (k, v) => p.put(k, v) }
+    extraConfig.foreach { case (k, v) => p.put(k, v) }
+    p
+  }
+
+  override def ensureTopic(topic: String): Unit =
+    if (KafkaTransport.created.add(s"$bootstrapServers/$topic")) {
+      try KafkaTransport.createTopic(clientConfig, topic)
+      catch {
+        case e: Throwable =>
+          KafkaTransport.created.remove(s"$bootstrapServers/$topic")
+          throw e
+      }
+    }
+
+  override def publishPartition(
+      rows: Iterator[(String, String, Map[String, String])]): Unit = {
+    if (!rows.hasNext) return
+    val p = clientConfig
+    p.put("key.serializer",
+      "org.apache.kafka.common.serialization.StringSerializer")
+    p.put("value.serializer",
+      "org.apache.kafka.common.serialization.StringSerializer")
+    // acks=all: the broker-side durable-before-ack the reference gets
+    // from Pub/Sub's publish future (201-only-after-durable)
+    if (!p.containsKey("acks")) p.put("acks", "all")
+    KafkaTransport.publishWithProducer(p, rows)
+  }
+}
+
+object KafkaTransport {
+  /** The classpath IS the build flag: true iff the published
+    * kafka-clients jar is resolvable by this JVM. */
+  val clientPresent: Boolean =
+    try { Class.forName("org.apache.kafka.clients.producer.KafkaProducer"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private[streaming] def requireClientPresent(): Unit =
+    if (!clientPresent) throw new IllegalStateException(
+      "KafkaTransport requires the published Apache Kafka client " +
+        "library on the classpath — add org.apache.kafka:kafka-clients " +
+        "(3.x) to the deployment and retry. (This sandbox has no " +
+        "network egress, so the jar is deliberately absent and the " +
+        "NetTransport leg carries the contract tests.)")
+
+  /** JVM-global create-once cache — the same double-checked topic
+    * cache as NetPublisher (publisher.go:99-129). */
+  private val created = ConcurrentHashMap.newKeySet[String]()
+  private[graft] def reset(): Unit = created.clear()
+
+  // ── Cached reflection handles (bound once per JVM, executor or
+  // driver; every name below is the published kafka-clients API) ──────
+  private lazy val producerCls =
+    Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+  private lazy val producerCtor =
+    producerCls.getConstructor(classOf[java.util.Properties])
+  private lazy val recordCls =
+    Class.forName("org.apache.kafka.clients.producer.ProducerRecord")
+  private lazy val headerCls =
+    Class.forName("org.apache.kafka.common.header.Header")
+  private lazy val recordHeaderCls =
+    Class.forName("org.apache.kafka.common.header.internals.RecordHeader")
+  private lazy val recordHeaderCtor = recordHeaderCls
+    .getConstructor(classOf[String], classOf[Array[Byte]])
+  // ProducerRecord(topic, partition, key, value, headers) — partition
+  // null => the producer's own partitioner (key-hash / sticky)
+  private lazy val recordCtor = recordCls.getConstructor(
+    classOf[String], classOf[Integer], classOf[Object], classOf[Object],
+    classOf[java.lang.Iterable[_]])
+  private lazy val sendMethod =
+    producerCls.getMethod("send", recordCls)
+  private lazy val closeMethod = producerCls.getMethod("close")
+  private lazy val adminCls =
+    Class.forName("org.apache.kafka.clients.admin.AdminClient")
+  private lazy val adminCreate =
+    adminCls.getMethod("create", classOf[java.util.Properties])
+  private lazy val newTopicCls =
+    Class.forName("org.apache.kafka.clients.admin.NewTopic")
+  // NewTopic(name, numPartitions, replicationFactor) via the Optional
+  // overload so the broker's defaults apply
+  private lazy val newTopicCtor = newTopicCls.getConstructor(
+    classOf[String], classOf[java.util.Optional[_]],
+    classOf[java.util.Optional[_]])
+  private lazy val createTopicsMethod =
+    adminCls.getMethod("createTopics", classOf[java.util.Collection[_]])
+
+  /** AdminClient.createTopics with "already exists" treated as success
+    * (the create-once flow is lazily idempotent, like CreateTopic +
+    * AlreadyExists in the reference). */
+  private def createTopic(cfg: java.util.Properties, topic: String): Unit = {
+    val admin = adminCreate.invoke(null, cfg)
+    try {
+      val nt = newTopicCtor.newInstance(topic,
+        java.util.Optional.empty(), java.util.Optional.empty())
+      val result = createTopicsMethod.invoke(admin,
+        java.util.Collections.singletonList(nt))
+      val all = result.getClass.getMethod("all").invoke(result)
+      try all.getClass.getMethod("get").invoke(all)
+      catch {
+        case e: java.lang.reflect.InvocationTargetException
+            if rootCause(e).getClass.getName ==
+              "org.apache.kafka.common.errors.TopicExistsException" =>
+          () // idempotent create: existing topic is success
+      }
+      ()
+    } finally {
+      adminCls.getMethod("close").invoke(admin); ()
+    }
+  }
+
+  /** One producer per partition per micro-batch; sends pipelined in
+    * `NetWire.ackWindow` windows, every future awaited before return. */
+  private def publishWithProducer(cfg: java.util.Properties,
+      rows: Iterator[(String, String, Map[String, String])]): Unit = {
+    val producer = producerCtor.newInstance(cfg)
+    try {
+      val inFlight =
+        new scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
+      def drain(): Unit = {
+        // a failed send (NAK-equivalent) throws ExecutionException here
+        // → the Spark task fails → batch replay → at-least-once
+        inFlight.foreach(_.get())
+        inFlight.clear()
+      }
+      rows.foreach { case (topic, data, attrs) =>
+        val headers = new java.util.ArrayList[Object](attrs.size)
+        attrs.foreach { case (k, v) =>
+          headers.add(recordHeaderCtor
+            .newInstance(k, v.getBytes("UTF-8")).asInstanceOf[Object])
+        }
+        val record = recordCtor.newInstance(
+          topic, null, null, data, headers)
+        inFlight += sendMethod.invoke(producer, record)
+          .asInstanceOf[java.util.concurrent.Future[_]]
+        if (inFlight.size >= NetWire.ackWindow) drain()
+      }
+      drain()
+    } finally {
+      closeMethod.invoke(producer); ()
+    }
+  }
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+}

@@ -122,11 +122,19 @@ final case class NetTransport(addr: String,
 }
 
 /** Session-driven transport construction: the one place the R15
-  * `spark.graft.credentials` flag meets a client that consumes it. */
+  * `spark.graft.credentials` flag meets a client that consumes it.
+  * `spark.graft.kafkaBootstrap`, when set, selects the [[KafkaTransport]]
+  * leg (production: a dependency bump + one conf; see KafkaSink.scala) —
+  * otherwise the TCP/emulator leg publishes to `addr`. */
 object Transports {
   def fromSession(s: org.apache.spark.sql.SparkSession,
-      addr: String): PublishTransport =
-    NetTransport(addr, graft.GraftConfig.from(s).credentials)
+      addr: String): PublishTransport = {
+    val creds = graft.GraftConfig.from(s).credentials
+    s.conf.get("spark.graft.kafkaBootstrap", "") match {
+      case "" => NetTransport(addr, creds)
+      case bootstrap => KafkaTransport(bootstrap, creds)
+    }
+  }
 }
 
 /** In-process TCP broker: the test/emulator stand-in for the real
