@@ -45,7 +45,7 @@ object GraphOps {
     * window's ok-hash exchange is the same partitioning the self-join
     * needs anyway. With cap >= the corpus max basket the output is
     * bit-identical to uncapped (spec-pinned, QueriesSpec). */
-  private def pairCounts(s: SparkSession, d: String)
+  private[graft] def pairCounts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val cap = s.conf.get("spark.graft.basketCap", "0").toInt
     val incAll = Tables(s, d, "lineitem")
@@ -499,7 +499,7 @@ object GraphOps {
       val tot = storedTot
         .unionByName(drop.agg(countDistinct(col("ok")).as("n_orders")))
         .agg(sum("n_orders").as("n_orders"))
-      materializeAndFree(recommendFrom(pairs, cnt, tot), drop)
+      recommendFrom(pairs, cnt, tot, drop)
     }),
   )
 
@@ -508,13 +508,18 @@ object GraphOps {
     * top-3 per part. ONE definition shared by q_recommend_items (live
     * pairCounts input) and q_recommend_incremental (merged partials
     * input) so the maintained view cannot drift from the batch
-    * semantics. */
+    * semantics. The sized pair frame feeds BOTH direction branches, so
+    * it persists once (round 12 — the same double-execution shape the
+    * r11 advice flagged on q_link_predict's scored frame; before this,
+    * the whole pair pipeline ran twice per serve). `extraHandles` lets
+    * callers hand their own upstream caches to the one
+    * materializeAndFree. */
   private def recommendFrom(pairs: DataFrame, cnt: DataFrame,
-      tot: DataFrame): DataFrame = {
-    val sized = pairs
+      tot: DataFrame, extraHandles: DataFrame*): DataFrame = {
+    val sized = persistEager(pairs
       .join(cnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
       .join(cnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tot)))
     val dir = sized.select(col("p1").as("part"), col("p2").as("rec"),
         col("co"), col("c1").as("cp"), col("c2").as("cr"),
         col("n_orders"))
@@ -528,11 +533,12 @@ object GraphOps {
         round(col("co").cast("double") / col("cp"), 6))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("part")
       .orderBy(col("lift").desc, col("co").desc, col("rec").asc)
-    dir.withColumn("rk", row_number().over(w))
+    val out = dir.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("part"), col("rk").cast("long").as("rk"), col("rec"),
         col("co"), col("lift"), col("confidence"))
       .orderBy("part", "rk")
+    materializeAndFree(out, (sized +: extraHandles): _*)
   }
 
   /** The PageRank kernel over an explicit node set: `nodes` is one

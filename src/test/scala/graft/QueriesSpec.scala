@@ -230,6 +230,64 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a planted-hub co-purchase wedge join (runtime backup to basketCap)") {
+    // round-12 (r11 verdict #8): the graph family's incidence self-join
+    // is the skew-prone key now — one mega-basket puts its whole order
+    // on ONE join key. basketCap is the planned fix; pin that the
+    // runtime complement (AQE skew split) also fires on exactly that
+    // shape, so an uncapped session still cannot wedge one executor.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "3k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val dir = java.nio.file.Files.createTempDirectory("hub-fixture")
+    dir.toFile.deleteOnExit()
+    try {
+      // planted lineitem: order 0 is a 1500-part mega-basket (the hot
+      // join key); 300 background 1-part orders set the median; orders
+      // 9001/9002 share two parts so exactly one pair survives the
+      // co >= 2 floor (end-to-end sanity)
+      val hub = spark.range(1, 1501)
+        .selectExpr("0L AS l_orderkey", "id AS l_partkey")
+      val bg = spark.range(1, 301)
+        .selectExpr("id AS l_orderkey", "id + 100000 AS l_partkey")
+      val closing = spark.range(9001, 9003)
+        .selectExpr("id AS l_orderkey", "200001L AS l_partkey")
+        .unionByName(spark.range(9001, 9003)
+          .selectExpr("id AS l_orderkey", "200002L AS l_partkey"))
+      hub.unionByName(bg).unionByName(closing)
+        .selectExpr("l_orderkey", "l_partkey", "1L AS l_suppkey",
+          "1 AS l_linenumber", "CAST(1.0 AS DOUBLE) AS l_quantity",
+          "CAST(1.0 AS DOUBLE) AS l_extendedprice",
+          "CAST(0.0 AS DOUBLE) AS l_discount",
+          "CAST(0.0 AS DOUBLE) AS l_tax",
+          "'N' AS l_returnflag", "'O' AS l_linestatus",
+          "TIMESTAMP_NTZ '1995-01-01 00:00:00' AS l_shipdate")
+        .write.parquet(s"$dir/lineitem.parquet")
+      val (_, pairs) = graft.queries.GraphOps.pairCounts(spark, dir.toString)
+      val out = pairs.collect()
+      // the floor keeps only the planted closing pair — the hub's 1.1M
+      // wedge rows all have co=1 (they flowed through the split join)
+      assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq == Seq((200001L, 200002L, 2L)),
+        s"planted graph produced ${out.mkString(",")}")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to split the mega-basket's wedge partition:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("q_join_bloom: prefilter reaches the fact side pre-join and is semantics-neutral") {
     val df = SparkEntry.queries("q_join_bloom")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
