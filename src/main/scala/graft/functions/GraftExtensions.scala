@@ -123,5 +123,16 @@ object GraftExtensions {
           s"shingle_hash60 requires exactly 3 arguments, got ${exprs.length}")
         ShingleHash60(exprs.head, exprs(1), exprs(2))
       }))
+    // Width-safe declarative argmax for the exact-NN family (round 12):
+    // max by first long, ties by min second long, full 64-bit ids —
+    // HashAggregate-eligible where max-of-struct would SortAggregate.
+    ext.injectFunction((
+      FunctionIdentifier("max_cos_min_id"),
+      new ExpressionInfo(classOf[MaxCosMinId].getName, "max_cos_min_id"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"max_cos_min_id requires exactly 2 arguments, got ${exprs.length}")
+        MaxCosMinId(exprs.head, exprs(1))
+      }))
   }
 }

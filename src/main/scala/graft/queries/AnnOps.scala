@@ -995,9 +995,10 @@ object AnnOps {
     *  - assignment = argmax over cells of round(dot(x, c)/|c|, 6), ties
     *    to the lower cell id — the 6dp round absorbs double-sum
     *    partial-order ulps exactly as in q_dedup_embedding's argmax;
-    *  - within-cell verify = the q_dedup_embedding packed-long argmax
-    *    ((6dp cosine, inverted mate id) in ONE long, so the per-vector
-    *    best mate survives a codegen'd two-phase max aggregate), over
+    *  - within-cell verify = the q_dedup_embedding declarative argmax
+    *    (MaxCosMinId over (6dp cosine int, mate id): a codegen'd
+    *    two-phase HashAggregate with full 64-bit ids — round 12 replaced
+    *    the 33-bit packed-long max the sf1 leg caught wrapping), over
     *    pairs joined ONLY on the cell key against SMALLER vec_ids (the
     *    candidate canonical each vector would defer to).
     *
@@ -1078,26 +1079,28 @@ object AnnOps {
     "q_semdedup" -> ((s, d) => {
       import graft.functions.DotProduct
       val assigned = semAssigned(s, d)
-      // within-cell best smaller-id mate via the packed-long max
-      val M = 1L << 33
+      // within-cell best smaller-id mate via the width-safe declarative
+      // argmax (round 12: the former 33-bit packed-long max wrapped for
+      // mate ids >= 2^33 — same fix as q_dedup_embedding, caught by the
+      // sf1 leg; MaxCosMinId keeps the codegen'd two-phase HashAggregate
+      // with full 64-bit ids). A vec with no smaller-id mate keeps a null
+      // struct -> null best_mate_id/best_cos, is_semdup false.
+      import graft.functions.MaxCosMinId
       val mates = assigned.select(col("vec_id").as("mid"), col("cell"),
         col("embedding").as("memb"), col("nrm").as("mnrm"))
       val best = assigned.join(mates, "cell")
         .filter(col("vec_id") > col("mid"))
         .select(col("vec_id"),
-          (round(DotProduct(s, col("embedding"), col("memb"))
-            / (col("nrm") * col("mnrm")) * 1e6, 0).cast("long") * M
-            + (lit(M - 1) - col("mid"))).as("packed"))
+          round(DotProduct(s, col("embedding"), col("memb"))
+            / (col("nrm") * col("mnrm")) * 1e6, 0).cast("long").as("ci"),
+          col("mid"))
         .groupBy("vec_id")
-        .agg(max("packed").as("packed"))
+        .agg(MaxCosMinId(s, col("ci"), col("mid")).as("best"))
       assigned.select("vec_id", "cell").join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"),
-          when(col("packed").isNotNull,
-            lit(M - 1) - col("packed").bitwiseAND(M - 1)).as("best_mate_id"),
-          when(col("packed").isNotNull,
-            shiftright(col("packed"), 33).cast("double") / 1e6)
-            .as("best_cos"),
-          coalesce(shiftright(col("packed"), 33) >= 400000L, lit(false))
+          col("best.id").as("best_mate_id"),
+          (col("best.cos").cast("double") / 1e6).as("best_cos"),
+          coalesce(col("best.cos") >= 400000L, lit(false))
             .as("is_semdup"))
         .orderBy("vec_id")
     }),

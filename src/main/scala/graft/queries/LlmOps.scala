@@ -247,25 +247,28 @@ object LlmOps {
       // The argmax must stay a codegen'd two-phase HashAggregate: both
       // max-of-struct AND max_by-with-struct-ordering fall back to
       // SortAggregate, which sorts all n^2 candidate rows before
-      // aggregating. So pack (6dp cosine int, bitwise-inverted nn_id)
-      // into ONE long — max(packed) == (max cosine, then min nn_id) —
-      // and decode after the aggregate. Low 33 bits hold the id
-      // (supports 8.6e9 vectors); arithmetic shift floor-divides
-      // correctly for negative cosines. Output cosine is
-      // cosInt/1e6 in double — the same value round(x, 6) yields.
-      val M = 1L << 33
+      // aggregating. Round 12: the former single-long pack (cosine int
+      // in the high bits, bitwise-inverted id in the low 33) silently
+      // wrapped for ids >= 2^33 — the sf1 leg caught a corrupted
+      // neighbor id and a borrowed-1 cosine on replica ids at 10^10.
+      // MaxCosMinId is the width-safe replacement: a DeclarativeAggregate
+      // over (6dp cosine int, nn_id) with two flat long buffer slots —
+      // still HashAggregate + whole-stage codegen + map-side partials,
+      // now with full 64-bit ids. Output cosine is cosInt/1e6 in double —
+      // the same value round(x, 6) yields.
+      import graft.functions.MaxCosMinId
       emb.crossJoin(broadcast(other))
         .filter(col("vec_id") =!= col("nn_id"))
         .select(col("vec_id"),
-          (round(DotProduct(s, col("embedding"), col("other"))
-            / (col("nrm") * col("onrm")) * 1e6, 0).cast("long") * M
-            + (lit(M - 1) - col("nn_id"))).as("packed"))
+          round(DotProduct(s, col("embedding"), col("other"))
+            / (col("nrm") * col("onrm")) * 1e6, 0).cast("long").as("ci"),
+          col("nn_id").as("ni"))
         .groupBy("vec_id")
-        .agg(max(col("packed")).as("packed"))
+        .agg(MaxCosMinId(s, col("ci"), col("ni")).as("best"))
         .select(col("vec_id"),
-          (lit(M - 1) - col("packed").bitwiseAND(M - 1)).as("nn_id"),
-          (shiftright(col("packed"), 33).cast("double") / 1e6).as("cos_sim"),
-          (shiftright(col("packed"), 33) >= 400000L).as("is_near_dup"))
+          col("best.id").as("nn_id"),
+          (col("best.cos").cast("double") / 1e6).as("cos_sim"),
+          (col("best.cos") >= 400000L).as("is_near_dup"))
         .orderBy("vec_id")
     }),
 

@@ -221,6 +221,66 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_embedding argmax survives 64-bit vec ids (round-12 sf1 catch)") {
+    // The sf1 correctness leg plants replica ids at 10^10 and caught the
+    // former 33-bit packed argmax wrapping there: nn_id came back mod
+    // 2^33 and the cosine lost exactly 1e-6 to the sign borrow. Pin the
+    // fixed contract on a corpus whose ids straddle 2^33: full-width
+    // nn_id, exact 1.0 cosine for identical twins.
+    val dir = java.nio.file.Files.createTempDirectory("emb64-fixture")
+    dir.toFile.deleteOnExit()
+    val big = 10000000000L // > 2^33 = 8.59e9, the sf1 replica offset
+    import spark.implicits._
+    val v1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val v2 = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    Seq((5L, v1, 0), (big + 5L, v1, 0), (7L, v2, 1), (big + 7L, v2, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_dedup_embedding")(spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    assert(out(5L) == ((big + 5L, 1.0, true)),
+      s"vec 5 must pair with its 64-bit twin exactly: ${out(5L)}")
+    assert(out(big + 5L) == ((5L, 1.0, true)))
+    assert(out(7L) == ((big + 7L, 1.0, true)))
+    assert(out(big + 7L) == ((7L, 1.0, true)))
+  }
+
+  test("max_cos_min_id: lexicographic argmax, null skipping, hash-agg plan") {
+    import graft.functions.MaxCosMinId
+    import spark.implicits._
+    val big = (1L << 33) + 3L
+    val df = Seq[(Int, Option[Long], Option[Long])](
+      // group 1: cos tie at 10 -> min id wins, at full 64-bit width
+      (1, Some(10L), Some(big + 4L)), (1, Some(10L), Some(big)),
+      (1, Some(9L), Some(1L)),
+      // group 2: half-null rows are skipped like built-in max
+      (2, None, Some(5L)), (2, Some(3L), None), (2, Some(2L), Some(1L << 40)),
+      // group 3: all rows null -> null struct
+      (3, None, None))
+      .toDF("g", "c", "i")
+    val agg = df.groupBy("g")
+      .agg(MaxCosMinId(spark, col("c"), col("i")).as("best"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"two flat long buffers must stay hash-aggregable:\n$plan")
+    assert(plan.contains("partial_max_cos_min_id"),
+      s"must map-side combine:\n$plan")
+    val rows = agg.selectExpr("g", "best.cos", "best.id").collect()
+      .map(r => r.getInt(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(rows(1) == ((Some(10L), Some(big))))
+    assert(rows(2) == ((Some(2L), Some(1L << 40))))
+    assert(rows(3) == ((None, None)))
+    // SQL front door resolves it too (GraftExtensions injection)
+    df.createOrReplaceTempView("mcmi_t")
+    val viaSql = spark.sql(
+      "SELECT max_cos_min_id(c, i).id FROM mcmi_t WHERE g = 1").collect()
+    assert(viaSql.head.getLong(0) == big)
+  }
+
   test("q_knn_pergroup returns exactly k per probe, self first") {
     val rows = SparkEntry.queries("q_knn_pergroup")(spark, sf).collect()
     val byProbe = rows.groupBy(_.getLong(0))

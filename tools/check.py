@@ -125,8 +125,13 @@ def main():
         spark_tbl = pq.read_table(files)
         spark_df = spark_tbl.to_pandas()
         try:
-            duck_schema = con.sql(sql).arrow().schema
-            duck_df = con.sql(sql).df()
+            # ONE execution per oracle: schema and data from the same
+            # arrow table (round 12: the heavy sf1 oracles made the old
+            # run-twice shape — .arrow() for schema, .df() for data —
+            # pay double on multi-minute queries)
+            duck_tbl = con.sql(sql).arrow()
+            duck_schema = duck_tbl.schema
+            duck_df = duck_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_bad += 1
