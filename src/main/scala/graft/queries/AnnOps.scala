@@ -1303,7 +1303,10 @@ object AnnOps {
       |  JOIN sz s2 ON s2.doc_id = d2
       |  WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6)
       |        >= 0.8),
-      |edges AS (
+      |edges AS MATERIALIZED (
+      |  -- MATERIALIZED (round 12): the recursive term below re-reads
+      |  -- edges every round; inlined, DuckDB would re-run the whole
+      |  -- shingle self-join per round
       |  SELECT d1 AS a, d2 AS b FROM pairs
       |  UNION SELECT d2, d1 FROM pairs),
       |reach(id, r) AS (
@@ -1507,13 +1510,20 @@ object AnnOps {
         |  FROM flat a JOIN flat b
         |    ON a.c = b.c AND a.v = b.v AND a.vec_id <> b.vec_id
         |  WHERE bit_count(xor(a.bits, b.bits)) <= 11),
+        |emb2 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embd
+        |  FROM embeddings),
         |dots AS (
+        |  -- round 12: array-native rerank — the unnest-join form invited
+        |  -- DuckDB to build ce x ce (dims * n^2 rows, 48 GB of spill at
+        |  -- sf1) before the cand filter; list_dot_product is the same
+        |  -- ascending-i multiply-add per candidate pair
         |  SELECT c.vid, c.nid, c.hamming,
-        |         SUM(CAST(ea.v AS DOUBLE) * CAST(eb.v AS DOUBLE)) AS dot
+        |         list_dot_product(ea.embd, eb.embd) AS dot
         |  FROM cand c
-        |  JOIN ce ea ON ea.vec_id = c.vid
-        |  JOIN ce eb ON eb.vec_id = c.nid AND eb.i = ea.i
-        |  GROUP BY 1, 2, 3),
+        |  JOIN emb2 ea ON ea.vec_id = c.vid
+        |  JOIN emb2 eb ON eb.vec_id = c.nid),
         |scored AS (
         |  SELECT d.vid, d.nid, d.hamming,
         |         round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
@@ -1535,13 +1545,21 @@ object AnnOps {
     // best-smaller-mate selection.
     "q_semdedup" ->
       s"""WITH $semAssignCtes,
+        |emb2 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embd
+        |  FROM embeddings),
         |pd AS (
-        |  SELECT a.vec_id AS vid, b.vec_id AS mid,
-        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
-        |  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id > b.vec_id
-        |  JOIN assign ca ON ca.vec_id = a.vec_id
-        |  JOIN assign cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
-        |  GROUP BY 1, 2),
+        |  -- round 12: pair the cell-mates FIRST, then one array-native
+        |  -- dot per pair — the unnest-join form let DuckDB build
+        |  -- ce x ce (dims * n^2/2 rows) before the same-cell filter,
+        |  -- which OOM-killed the sf1 check
+        |  SELECT ca.vec_id AS vid, cb.vec_id AS mid,
+        |         list_dot_product(ea.embd, eb.embd) AS dot
+        |  FROM assign ca
+        |  JOIN assign cb ON cb.cell = ca.cell AND ca.vec_id > cb.vec_id
+        |  JOIN emb2 ea ON ea.vec_id = ca.vec_id
+        |  JOIN emb2 eb ON eb.vec_id = cb.vec_id),
         |scored AS (
         |  SELECT p.vid, p.mid,
         |         round(p.dot / (na.nrm * nb.nrm), 6) AS cos6

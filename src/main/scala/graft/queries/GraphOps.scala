@@ -153,9 +153,15 @@ object GraphOps {
 
   private val incSql =
     "SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem"
+  // pairs is MATERIALIZED (round 12): DuckDB inlines plain CTEs, so any
+  // oracle that references pairs/edges from more than one place — every
+  // iteration CTE of q_pagerank, every round of a recursive closure —
+  // re-evaluates the whole wedge join per reference (the sf1 check spilled
+  // 66 GB on q_pagerank before this). Single-reference oracles are
+  // unaffected: materializing a once-read CTE is plan-neutral.
   private val pairsSql =
     s"""inc AS ($incSql),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS co
        |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
@@ -840,7 +846,7 @@ object GraphOps {
 
     "q_graph_components" ->
       s"""WITH RECURSIVE $pairsSql,
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT p1 AS a, p2 AS b FROM pairs
          |  UNION SELECT p2, p1 FROM pairs),
          |allp AS (SELECT DISTINCT pk FROM inc),
@@ -950,12 +956,12 @@ object GraphOps {
         .map(k => rankIterSql(if (k == 1) "r0" else s"r${k - 1}", k))
         .mkString(",\n")
       s"""WITH $pairsSql,
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT p1 AS src, p2 AS dst FROM pairs
          |  UNION ALL SELECT p2, p1 FROM pairs),
          |nodes AS (SELECT DISTINCT pk FROM inc),
          |edeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-         |degnodes AS (
+         |degnodes AS MATERIALIZED (
          |  SELECT nd.pk, COALESCE(e.deg, 0) AS deg
          |  FROM nodes nd LEFT JOIN edeg e ON e.src = nd.pk),
          |n AS (SELECT COUNT(*) AS n FROM degnodes),

@@ -402,8 +402,26 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
-    "q_entity_cluster" ->
-      """WITH RECURSIVE dirty AS (
+    // Round 12: the recursive MIN-reach closure accumulated
+    // sum-of-component-size^2 rows AND re-ran the levenshtein block per
+    // recursion round (DuckDB inlines plain CTEs into the recursive
+    // term) — unbounded at sf1, where replicas merge components 10x.
+    // Replacement: 32 unrolled MATERIALIZED min-label steps (still a
+    // DIFFERENT formulation from Spark's pointer-doubling kernel — the
+    // cross-formulation twin survives), each one O(edges), plus a
+    // convergence canary — a node whose label still moves at step 32
+    // gets a NULL entity, failing the hash gate LOUDLY instead of
+    // silently under-merging. Hash-validated equivalent at sf0.1 + sf1.
+    "q_entity_cluster" -> {
+      val steps = (1 to 32).map { k =>
+        s"""l$k AS MATERIALIZED (
+           |  SELECT n.id, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl
+           |  FROM l${k - 1} n LEFT JOIN (
+           |    SELECT e.b AS id, MIN(p.lbl) AS mn
+           |    FROM l${k - 1} p JOIN edges e ON e.a = p.id
+           |    GROUP BY e.b) m ON m.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dirty AS (
         |  SELECT c_custkey AS import_id,
         |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
         |         WHEN c_custkey % 3 = 1 THEN substring(c_name, 1, 17)
@@ -418,19 +436,19 @@ object Joins {
         |   AND d.i_mktsegment = m.c_mktsegment
         |   AND d.import_id <> m.c_custkey
         |  WHERE levenshtein(lower(d.import_name), lower(m.c_name)) <= 2),
-        |edges AS (
-        |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-        |nodes AS (SELECT c_custkey AS id FROM customer),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id),
-        |lab AS (SELECT id, MIN(r) AS ent FROM reach GROUP BY id),
+        |edges AS MATERIALIZED (
+        |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |l0 AS (SELECT c_custkey AS id, c_custkey AS lbl FROM customer),
+        |$steps,
+        |lab AS (
+        |  SELECT a.id, CASE WHEN a.lbl = b.lbl THEN a.lbl END AS ent
+        |  FROM l32 a JOIN l31 b USING (id)),
         |csz AS (SELECT ent, COUNT(*) AS entity_size FROM lab GROUP BY ent)
         |SELECT l.id AS c_custkey, l.ent AS entity_id, c.entity_size,
         |  l.id = l.ent AS is_canonical
         |FROM lab l JOIN csz c ON c.ent = l.ent
-        |ORDER BY l.id""".stripMargin,
+        |ORDER BY l.id""".stripMargin
+    },
 
     "q_record_linkage" ->
       """WITH dirty AS (

@@ -514,8 +514,17 @@ object LlmOps {
     // Composed from the individually-proven family twins (each embedded
     // as a subquery), so the dashboard's aggregation is itself
     // hash-checked end-to-end — the q_curation_keep pattern.
+    // Round 12: each family twin is hoisted into ONE MATERIALIZED CTE —
+    // the cluster twin previously appeared twice (clusters + drops) and
+    // DuckDB re-evaluated its whole recursive closure and shingle
+    // pipeline per reference, which is what made the composed dashboard
+    // the most expensive oracle at scale.
     "q_dedup_report" ->
-      s"""SELECT metric, value FROM (
+      s"""WITH jp AS MATERIALIZED (${TextOps.oracle("q_dedup_ngram_jaccard")}),
+         |cp AS MATERIALIZED (${TextOps.oracle("q_dedup_containment")}),
+         |sp AS MATERIALIZED (${AnnOps.oracle("q_dedup_simhash")}),
+         |cl AS MATERIALIZED (${AnnOps.oracle("q_dedup_cluster")})
+         |SELECT metric, value FROM (
          |SELECT 'n_docs' AS metric,
          |  CAST(COUNT(*) AS BIGINT) AS value FROM documents
          |UNION ALL
@@ -524,22 +533,18 @@ object LlmOps {
          |    - (SELECT COUNT(DISTINCT md5(lower(trim(text))))
          |       FROM documents) AS BIGINT)
          |UNION ALL
-         |SELECT 'jaccard_pairs', CAST(COUNT(*) AS BIGINT)
-         |FROM (${TextOps.oracle("q_dedup_ngram_jaccard")}) jp
+         |SELECT 'jaccard_pairs', CAST(COUNT(*) AS BIGINT) FROM jp
          |UNION ALL
-         |SELECT 'containment_pairs', CAST(COUNT(*) AS BIGINT)
-         |FROM (${TextOps.oracle("q_dedup_containment")}) cp
+         |SELECT 'containment_pairs', CAST(COUNT(*) AS BIGINT) FROM cp
          |UNION ALL
-         |SELECT 'simhash_pairs', CAST(COUNT(*) AS BIGINT)
-         |FROM (${AnnOps.oracle("q_dedup_simhash")}) sp
+         |SELECT 'simhash_pairs', CAST(COUNT(*) AS BIGINT) FROM sp
          |UNION ALL
-         |SELECT 'near_dup_clusters', CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
-         |FROM (${AnnOps.oracle("q_dedup_cluster")}) cl
-         |WHERE cluster_size > 1
+         |SELECT 'near_dup_clusters',
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+         |FROM cl WHERE cluster_size > 1
          |UNION ALL
          |SELECT 'near_dup_drop_docs', CAST(COUNT(*) AS BIGINT)
-         |FROM (${AnnOps.oracle("q_dedup_cluster")}) cd
-         |WHERE NOT is_canonical
+         |FROM cl WHERE NOT is_canonical
          |) ORDER BY metric""".stripMargin,
 
     "q_embedding_project" ->
@@ -676,24 +681,25 @@ object LlmOps {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
          |  ORDER BY cos_sim DESC, vec_id ASC) <= 5
          |ORDER BY probe_id ASC, cos_sim DESC, vec_id ASC""".stripMargin,
+    // Round 12: array-native formulation. The original unnest-join dots
+    // CTE (ce a JOIN ce b ON a.i = b.i) materializes |dims| * n^2 rows —
+    // 25.6e9 at sf1 (the check spilled 34 GB and never finished); the
+    // per-pair list_dot_product is the same multiply-add sequence in the
+    // same ascending-i order (hash-validated equivalent at sf0.1 + sf1).
     "q_dedup_embedding" ->
-      s"""WITH ce AS (${dotSql("")}),
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
          |norms AS (
-         |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-         |  FROM ce GROUP BY vec_id),
-         |dots AS (
-         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
-         |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot
-         |  FROM ce a JOIN ce b ON a.i = b.i AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id IN (SELECT vec_id FROM norms WHERE nrm > 0)
-         |    AND b.vec_id IN (SELECT vec_id FROM norms WHERE nrm > 0)
-         |  GROUP BY 1, 2),
+         |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
          |scored AS (
-         |  SELECT d.vec_id, d.nn_id,
-         |         round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
-         |  FROM dots d
-         |  JOIN norms na ON na.vec_id = d.vec_id
-         |  JOIN norms nb ON nb.vec_id = d.nn_id)
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+         |      AS cos_sim
+         |  FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
          |SELECT vec_id, nn_id, cos_sim, cos_sim >= 0.4 AS is_near_dup
          |FROM scored
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
