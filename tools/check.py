@@ -108,6 +108,14 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gverify"
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Per-process spill dir (round 12): an in-memory DuckDB spills large
+    # operators to cwd-relative .tmp/duckdb_temp_storage-N.tmp; parallel
+    # check.py workers sharing one cwd DELETE EACH OTHER'S live spill on
+    # cleanup (serial mystery crashes at sf1). Key by PID so concurrent
+    # checks never share a temp namespace.
+    import os, tempfile
+    tmpdir = os.path.join(tempfile.gettempdir(), f"duckchk_{os.getpid()}")
+    con.execute(f"SET temp_directory = '{tmpdir}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
