@@ -44,6 +44,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys with no query: $missing")
   }
 
+  test("oracle hygiene: CTEs re-read per round are MATERIALIZED") {
+    // Round 12 (sf1 leg): DuckDB inlines plain CTEs, so a CTE referenced
+    // from a recursive term or from every step of an unrolled iteration
+    // chain is RE-EVALUATED per round — q_pagerank's check re-ran its
+    // wedge join 8x (66 GB of spill) until `pairs`/`edges`/`degnodes`
+    // were marked AS MATERIALIZED. Pin the rule textually so a future
+    // oracle edit cannot silently reintroduce the class.
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      // recursive closures walk `edges` every round
+      if (sql.contains("WITH RECURSIVE") && sql.contains("JOIN edges"))
+        assert(sql.contains("edges AS MATERIALIZED"),
+          s"$k: recursive term re-reads a non-MATERIALIZED edges CTE")
+      // unrolled iteration chains (r1../l1.. steps) re-read the shared
+      // graph CTEs from every step
+      if (sql.contains("r1 AS MATERIALIZED") && sql.contains("FROM pairs"))
+        assert(sql.contains("pairs AS MATERIALIZED"),
+          s"$k: iteration chain re-reads a non-MATERIALIZED pairs CTE")
+      if (sql.contains("l1 AS MATERIALIZED") && sql.contains("JOIN edges"))
+        assert(sql.contains("edges AS MATERIALIZED"),
+          s"$k: unrolled min-label chain re-reads non-MATERIALIZED edges")
+    }
+  }
+
   test("only the declared approximate/binary queries lack an oracle") {
     // every other query MUST carry a DuckDB oracle — this pins against
     // silently dropping one (a query absent from the oracle map skips
