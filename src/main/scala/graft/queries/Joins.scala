@@ -438,7 +438,8 @@ object Joins {
         |  WHERE levenshtein(lower(d.import_name), lower(m.c_name)) <= 2),
         |edges AS MATERIALIZED (
         |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |l0 AS (SELECT c_custkey AS id, c_custkey AS lbl FROM customer),
+        |l0 AS MATERIALIZED (
+        |  SELECT c_custkey AS id, c_custkey AS lbl FROM customer),
         |$steps,
         |lab AS (
         |  SELECT a.id, CASE WHEN a.lbl = b.lbl THEN a.lbl END AS ent

@@ -80,12 +80,27 @@ final case class KafkaTransport(
     p
   }
 
+  /** Create-once cache key: bootstrap + a fingerprint of the FULL merged
+    * client config + the topic. Two transports in one JVM pointing at
+    * the same bootstrap but with different credentials/config must not
+    * share a "created" claim (round-12 advice: the second transport
+    * would silently skip its create and never learn its own config
+    * cannot reach the broker). */
+  private def createdKey(topic: String): String = {
+    import scala.jdk.CollectionConverters._
+    val cfg = clientConfig.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$bootstrapServers/${fp.take(16)}/$topic"
+  }
+
   override def ensureTopic(topic: String): Unit =
-    if (KafkaTransport.created.add(s"$bootstrapServers/$topic")) {
+    if (KafkaTransport.created.add(createdKey(topic))) {
       try KafkaTransport.createTopic(clientConfig, topic)
       catch {
         case e: Throwable =>
-          KafkaTransport.created.remove(s"$bootstrapServers/$topic")
+          KafkaTransport.created.remove(createdKey(topic))
           throw e
       }
     }
@@ -94,9 +109,12 @@ final case class KafkaTransport(
       rows: Iterator[(String, String, Map[String, String])]): Unit = {
     if (!rows.hasNext) return
     val p = clientConfig
-    p.put("key.serializer",
+    // defaults, not overrides (round-12 advice): a deployment may set
+    // its own serializers via extraConfig/credentials — match the acks
+    // putIfAbsent handling below instead of clobbering them after merge
+    p.putIfAbsent("key.serializer",
       "org.apache.kafka.common.serialization.StringSerializer")
-    p.put("value.serializer",
+    p.putIfAbsent("value.serializer",
       "org.apache.kafka.common.serialization.StringSerializer")
     // acks=all: the broker-side durable-before-ack the reference gets
     // from Pub/Sub's publish future (201-only-after-durable)

@@ -44,26 +44,78 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys with no query: $missing")
   }
 
-  test("oracle hygiene: CTEs re-read per round are MATERIALIZED") {
-    // Round 12 (sf1 leg): DuckDB inlines plain CTEs, so a CTE referenced
-    // from a recursive term or from every step of an unrolled iteration
-    // chain is RE-EVALUATED per round — q_pagerank's check re-ran its
-    // wedge join 8x (66 GB of spill) until `pairs`/`edges`/`degnodes`
-    // were marked AS MATERIALIZED. Pin the rule textually so a future
-    // oracle edit cannot silently reintroduce the class.
+  test("oracle hygiene: the three sf1 scale-hazard classes stay fixed") {
+    // Round 12's sf1 leg exposed three ORACLE-side hazard classes, each
+    // of which turned a correct-at-sf0.1 oracle into a multi-GB-spill
+    // (or effectively non-terminating) DuckDB run one decade up. The
+    // fixes live in the oracle text, so the guards are textual
+    // tripwires: a future oracle edit that reintroduces a class fails
+    // HERE, not 40 minutes into the next sf1 check. Round-12 advice:
+    // the old triggers keyed on the fixed text itself ("r1 AS
+    // MATERIALIZED"), so removing the fix also disarmed the guard —
+    // triggers now key on the hazard pattern alone.
+    val kernel = "md5(unnest(list_distinct("
+    // oracles whose SECOND unnest(embedding) is a bounded PROBE side
+    // (N<=25 serving constants), not a corpus self-join — the only
+    // shape where a dim-expanded pair join stays O(dims*N*corpus)
+    val probeSideAllowed =
+      Set("q_knn_pergroup", "q_similarity_cosine", "q_mmr_diversify")
     SparkEntry.oracleSql.foreach { case (k, sql) =>
-      // recursive closures walk `edges` every round
+      // ── class 1: CTEs re-read per iteration/recursion round ─────────
+      // DuckDB inlines plain CTEs, so a CTE referenced from a recursive
+      // term or from every step of an unrolled chain is RE-EVALUATED
+      // per round (q_pagerank's check re-ran its wedge join 8x, 66 GB
+      // of spill). Any step CTE [rl]K whose name is read more than once
+      // downstream must be MATERIALIZED (read-once pipeline CTEs like
+      // q_dq_expectations' r1..r6 are exempt — inlining those is free).
+      for (m <- """\b([rl]\d+) AS (MATERIALIZED )?\(""".r
+          .findAllMatchIn(sql)) {
+        val (cte, mat) = (m.group(1), m.group(2) != null)
+        val reads = ("""\b""" + cte + """\b""").r
+          .findAllMatchIn(sql).size - 1 // minus the definition
+        assert(reads <= 1 || mat,
+          s"$k: step CTE $cte is read ${reads}x but not MATERIALIZED — " +
+            "DuckDB will inline and re-evaluate it per reference")
+      }
       if (sql.contains("WITH RECURSIVE") && sql.contains("JOIN edges"))
         assert(sql.contains("edges AS MATERIALIZED"),
           s"$k: recursive term re-reads a non-MATERIALIZED edges CTE")
-      // unrolled iteration chains (r1../l1.. steps) re-read the shared
-      // graph CTEs from every step
-      if (sql.contains("r1 AS MATERIALIZED") && sql.contains("FROM pairs"))
+      if ("""\br1 AS """.r.findFirstIn(sql).isDefined
+          && sql.contains("FROM pairs"))
         assert(sql.contains("pairs AS MATERIALIZED"),
           s"$k: iteration chain re-reads a non-MATERIALIZED pairs CTE")
-      if (sql.contains("l1 AS MATERIALIZED") && sql.contains("JOIN edges"))
+      if ("""\bl1 AS """.r.findFirstIn(sql).isDefined
+          && sql.contains("JOIN edges"))
         assert(sql.contains("edges AS MATERIALIZED"),
           s"$k: unrolled min-label chain re-reads non-MATERIALIZED edges")
+      // ── class 2: unnest-form pairwise dot products ──────────────────
+      // Unnesting BOTH sides of an embedding pair join makes DuckDB
+      // build a dims x n^2 row intermediate; the fix is the pair join +
+      // list_dot_product (same ascending-dim sum order, hash-identical).
+      if (sql.contains("ea.embd") && sql.contains("eb.embd"))
+        assert(sql.contains("list_dot_product"),
+          s"$k: embedding pair join must use list_dot_product, not a " +
+            "per-dim unnest join")
+      val nUnnest = "unnest\\(embedding\\)".r.findAllMatchIn(sql).size
+      assert(nUnnest <= 1 || probeSideAllowed(k),
+        s"$k: ${nUnnest}x unnest(embedding) — a second unnest is only " +
+          "safe on a bounded probe side; use list_dot_product for " +
+          "corpus-side pairs (and extend the allowlist consciously)")
+      // ── class 3: twice-embedded heavyweight twins ───────────────────
+      // The 60-bit shingle kernel is the expensive base scan of the
+      // dedup family; embedding it twice in one oracle (instead of
+      // hoisting to a shared/MATERIALIZED CTE) doubles the dominant
+      // cost silently. Multiple occurrences are legal only when each
+      // one sits under its own AS MATERIALIZED wrapper (q_dedup_report's
+      // composed jp/cp/cl twins — one evaluation each).
+      val kOcc = sql.sliding(kernel.length).zipWithIndex
+        .collect { case (w, i) if w == kernel => i }.toSeq
+      if (kOcc.size > 1) kOcc.foreach { i =>
+        val pre = sql.substring(math.max(0, i - 200), i)
+        assert(pre.contains("MATERIALIZED (WITH"),
+          s"$k: shingle kernel at offset $i is embedded more than once " +
+            "but not under an AS MATERIALIZED wrapper — hoist the twin")
+      }
     }
   }
 

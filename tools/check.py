@@ -111,10 +111,12 @@ def main():
     # Per-process spill dir (round 12): an in-memory DuckDB spills large
     # operators to cwd-relative .tmp/duckdb_temp_storage-N.tmp; parallel
     # check.py workers sharing one cwd DELETE EACH OTHER'S live spill on
-    # cleanup (serial mystery crashes at sf1). Key by PID so concurrent
-    # checks never share a temp namespace.
-    import os, tempfile
-    tmpdir = os.path.join(tempfile.gettempdir(), f"duckchk_{os.getpid()}")
+    # cleanup (serial mystery crashes at sf1). mkdtemp gives each run a
+    # fresh namespace (PIDs recycle), and the atexit hook reclaims the
+    # multi-GB sf1 spill even on a crashed check (round-12 advice).
+    import atexit, shutil, tempfile
+    tmpdir = tempfile.mkdtemp(prefix="duckchk_")
+    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
     con.execute(f"SET temp_directory = '{tmpdir}'")
     for t in TABLES:
         con.execute(
