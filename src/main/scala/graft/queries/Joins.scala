@@ -294,46 +294,35 @@ object Joins {
             .cast("double").as("total_spent"))
         .orderBy("c_custkey")
     }),
-    // ── Record linkage / entity resolution (round 10) ────────────────
+    // ── Record linkage / entity resolution (round 10; re-planned round
+    // 13) ─────────────────────────────────────────────────────────────
     // Master-vs-import entity matching — the join nobody can write as an
     // equi-join because the keys are dirty: a deterministically
     // perturbed "import" of the customer table (1/3 uppercased, 1/3
     // truncated by one char — the q_pii_redact convention: the fixture
     // carries no second feed, so the operator plants one both engines
     // can regenerate) is linked back to the master by the production
-    // three-stage shape: BLOCK on stable attributes (nationkey x
-    // mktsegment — both survive the perturbations, bounding candidates
-    // to block-sized groups instead of n²), SCORE candidates with
-    // case-folded levenshtein <= 2, and ELECT one winner per import row
-    // (min edit distance, master-key tie-break) via a single
+    // four-stage shape: BLOCK on stable attributes (nationkey x
+    // mktsegment — both survive the perturbations), DEDUP each side to
+    // its distinct case-folded names (the levenshtein score depends
+    // only on the folded strings, so replicated rows never repeat the
+    // quadratic work — the round-12 sf1 leg measured the old row-level
+    // verify at 34.7x on 10x data precisely because verbatim replicas
+    // re-verified 100x), generate candidate NAME pairs with the
+    // recall-exact PassJoin segment sub-blocking of [[nameMatchPairs]]
+    // (never all-pairs inside a block when names are diverse), verify
+    // levenshtein <= 2 on the distinct-name pairs, then FAN the tiny
+    // verified pair list back to rows and ELECT one winner per import
+    // row (min edit distance, master-key tie-break) via a single
     // import-keyed window. Self-audit rides along: `correct` compares
     // the elected master to the known source row, so match accuracy is
     // measurable (~96-99% — digit-neighbor names genuinely tie, which
-    // is the point of reporting it). At 100 TB the block key is the
-    // shuffle key (hot blocks would salt like q_join_salted), and the
-    // O(len²) distance runs only inside blocks — never all-pairs.
+    // is the point of reporting it). At 100 TB the (block x segment)
+    // key is the shuffle key, the O(len²) distance runs once per
+    // distinct folded-name pair, and the row fan-out is an equi join
+    // proportional to matches — never all-pairs, never per-replica.
     "q_record_linkage" -> ((s, d) => {
-      val master = Tables(s, d, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_mktsegment"))
-      // probe side carries the per-pair levenshtein work map-side into
-      // the broadcast join — spread the single-row-group fixture scan
-      // (par is a no-op in production, where the scan splits itself)
-      val dirty = par(master).select(
-        col("c_custkey").as("import_id"),
-        when(pmod(col("c_custkey"), lit(3)) === 0, upper(col("c_name")))
-          .when(pmod(col("c_custkey"), lit(3)) === 1,
-            substring(col("c_name"), 1, 17))
-          .otherwise(col("c_name")).as("import_name"),
-        col("c_nationkey").as("i_nationkey"),
-        col("c_mktsegment").as("i_mktsegment"))
-      val cand = dirty.join(master,
-          col("i_nationkey") === col("c_nationkey") &&
-            col("i_mktsegment") === col("c_mktsegment"))
-        .withColumn("lev",
-          levenshtein(lower(col("import_name")), lower(col("c_name")))
-            .cast("long"))
-        .filter(col("lev") <= 2)
+      val cand = linkageCandidates(s, d)
       val w = Window.partitionBy("import_id")
         .orderBy(col("lev").asc, col("c_custkey").asc)
       cand
@@ -351,36 +340,24 @@ object Joins {
     // q_record_linkage stops at best-match PAIRS; real entity
     // resolution needs the transitive closure — if A matches B and B
     // matches C, all three are one entity even when A-C exceeds the
-    // edit threshold. This operator takes the SAME blocked candidate
-    // machinery (nation+segment block, levenshtein <= 2) as an
-    // undirected match graph over customer keys and runs the SHARED
-    // pointer-doubling CC kernel (AnnOps.propagateMinLabels — the one
-    // already proven for near-dup doc clusters and the co-purchase
-    // graph), emitting per record its entity id (cluster-min key),
-    // entity size, and canonical flag. Every record appears; a record
-    // matching nothing but itself is its own singleton entity. Oracle:
-    // recursive MIN-reach closure over the same candidate SQL — cheap
-    // because match clusters are tiny. Scale: candidate generation is
-    // the blocked join (hot blocks would salt); the closure pays
-    // O(log n) rounds on O(match-pairs) edges, never all-pairs.
+    // edit threshold. This operator takes the SAME candidate machinery
+    // (nation+segment block, distinct-name PassJoin sub-blocking,
+    // levenshtein <= 2 — [[linkageCandidates]]) as an undirected match
+    // graph over customer keys and runs the SHARED pointer-doubling CC
+    // kernel (AnnOps.propagateMinLabels — the one already proven for
+    // near-dup doc clusters and the co-purchase graph), emitting per
+    // record its entity id (cluster-min key), entity size, and
+    // canonical flag. Every record appears; a record matching nothing
+    // but itself is its own singleton entity. Oracle: 32 unrolled
+    // min-label steps over the same candidate SQL with a convergence
+    // canary. Scale: candidate generation is the blocked + segment-
+    // keyed join on distinct names; the closure pays O(log n) rounds
+    // on O(match-pairs) edges, never all-pairs (edge COUNT on a
+    // replicated fixture is output-bound — replicas genuinely match
+    // each other — but the levenshtein verify no longer re-pays it).
     "q_entity_cluster" -> ((s, d) => {
-      val master = Tables(s, d, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_mktsegment"))
-      val dirty = par(master).select(
-        col("c_custkey").as("import_id"),
-        when(pmod(col("c_custkey"), lit(3)) === 0, upper(col("c_name")))
-          .when(pmod(col("c_custkey"), lit(3)) === 1,
-            substring(col("c_name"), 1, 17))
-          .otherwise(col("c_name")).as("import_name"),
-        col("c_nationkey").as("i_nationkey"),
-        col("c_mktsegment").as("i_mktsegment"))
-      val pairs = dirty.join(master,
-          col("i_nationkey") === col("c_nationkey") &&
-            col("i_mktsegment") === col("c_mktsegment") &&
-            col("import_id") =!= col("c_custkey"))
-        .filter(levenshtein(lower(col("import_name")),
-          lower(col("c_name"))) <= 2)
+      val pairs = linkageCandidates(s, d)
+        .filter(col("import_id") =!= col("c_custkey"))
         .select(least(col("import_id"), col("c_custkey")).as("a"),
           greatest(col("import_id"), col("c_custkey")).as("b"))
         .distinct()
@@ -389,7 +366,7 @@ object Joins {
         .localCheckpoint(true)
       val (labels, _) = AnnOps.propagateMinLabels(edges)
       val csz = Window.partitionBy("entity_id")
-      master.select(col("c_custkey"))
+      Tables(s, d, "customer").select(col("c_custkey"))
         .join(labels.withColumnRenamed("doc_id", "c_custkey"),
           Seq("c_custkey"), "left")
         .select(col("c_custkey"),
@@ -401,6 +378,170 @@ object Joins {
     }),
   )
 
+  /** Shared candidate machinery for q_record_linkage / q_entity_cluster:
+    * row-level (import_id, c_custkey, lev) candidates with
+    * lev = case-folded levenshtein(import_name, c_name) <= 2, inside the
+    * (nationkey, mktsegment) block.
+    *
+    * Round-13 re-plan (round-12 verdict #1 — the last blocked-quadratic
+    * scale-killer): the old shape joined import ROWS to master ROWS per
+    * block and ran levenshtein on every row pair, so blocked pairs grew
+    * quadratically with block population (sf1: 34.7x on 10x data). The
+    * new shape pays the quadratic-per-pair distance only once per
+    * DISTINCT folded-name pair, and generates those name pairs through
+    * the recall-exact segment sub-blocking of [[nameMatchPairs]] instead
+    * of an in-block cross product. Row counts come back via two equi
+    * joins on (block, fold) — O(rows + matches), shuffle-keyed on the
+    * same composite key. */
+  private[graft] def linkageCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val master = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    // probe side regenerates the planted import feed (par spreads the
+    // single-row-group fixture scan; a no-op in production)
+    val dirty = par(master).select(
+      col("c_custkey").as("import_id"),
+      when(pmod(col("c_custkey"), lit(3)) === 0, upper(col("c_name")))
+        .when(pmod(col("c_custkey"), lit(3)) === 1,
+          substring(col("c_name"), 1, 17))
+        .otherwise(col("c_name")).as("import_name"),
+      col("c_nationkey").as("i_nationkey"),
+      col("c_mktsegment").as("i_mktsegment"))
+    val dN = dirty.select(col("i_nationkey").as("blk_nat"),
+      col("i_mktsegment").as("blk_seg"),
+      lower(col("import_name")).as("d_fold")).distinct()
+    val mN = master.select(col("c_nationkey").as("blk_nat"),
+      col("c_mktsegment").as("blk_seg"),
+      lower(col("c_name")).as("m_fold")).distinct()
+    val pairsN = nameMatchPairs(dN, mN)
+    dirty.select(col("import_id"),
+        col("i_nationkey").as("blk_nat"),
+        col("i_mktsegment").as("blk_seg"),
+        lower(col("import_name")).as("d_fold"))
+      .join(pairsN, Seq("blk_nat", "blk_seg", "d_fold"))
+      .join(master.select(col("c_nationkey").as("blk_nat"),
+          col("c_mktsegment").as("blk_seg"),
+          lower(col("c_name")).as("m_fold"), col("c_custkey")),
+        Seq("blk_nat", "blk_seg", "m_fold"))
+      .select(col("import_id"), col("c_custkey"), col("lev"))
+  }
+
+  /** Verified distinct-name match pairs: [[nameMatchCandidates]] with the
+    * case-folded levenshtein <= 2 predicate applied. Columns:
+    * (blk_nat, blk_seg, d_fold, m_fold, lev).
+    *
+    * Deliberately verifies on the NON-deduplicated candidate stream:
+    * duplicate (d,m) keys (a pair reachable through several segments /
+    * shifts) re-pay only the codegen'd O(len²) distance — far cheaper
+    * than shuffling millions of pre-verify string pairs through a
+    * distinct — and the one distinct that does run shuffles only the
+    * tiny verified pair list. With the index side broadcast, the whole
+    * explode → join → levenshtein pipeline is a single map-side
+    * codegen stage; the verified-pair exchange is the first shuffle.
+    *
+    * The distance itself is the THRESHOLD form levenshtein(d, m, 2):
+    * Spark computes only the 2k+1 diagonal band of the DP matrix and
+    * bails out early once the band exceeds k (returning -1), so the
+    * dominant non-match case pays O(k·len) instead of O(len²) — for
+    * kept pairs (0/1/2) the value is the exact distance, bit-identical
+    * to the oracle's unbanded levenshtein. */
+  private[graft] def nameMatchPairs(dirtyNames: org.apache.spark.sql.DataFrame,
+      masterNames: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    nameMatchCandidates(dirtyNames, masterNames, dedup = false)
+      .withColumn("lev",
+        levenshtein(col("d_fold"), col("m_fold"), 2).cast("long"))
+      .filter(col("lev") >= 0)
+      // The explicit exchange (not a bare .distinct) keeps the dedup's
+      // partial aggregate OUT of the join stage: fused there, it drags
+      // the explode+join+levenshtein pipeline off the fast path (8.6s
+      // -> 1.0s at sf0.1, measured). Partitioning on the pair key is a
+      // strict subset of the distinct key, so exactly one exchange
+      // runs either way.
+      .repartition(col("d_fold"), col("m_fold"))
+      .distinct()
+
+  /** PassJoin-style recall-exact candidate generation for edit distance
+    * <= 2 between two distinct-name frames, inside a (blk_nat, blk_seg)
+    * block. Inputs: (blk_nat, blk_seg, d_fold) / (blk_nat, blk_seg,
+    * m_fold) — already case-folded, already distinct. Output: candidate
+    * (blk_nat, blk_seg, d_fold, m_fold) pairs, a SUPERSET of all pairs
+    * with levenshtein(d_fold, m_fold) <= 2 (callers verify).
+    *
+    * Pigeonhole (Li, Deng & Feng's Pass-Join partitioning, public
+    * literature): split each master name of length L into k+1 = 3
+    * contiguous segments; any string within edit distance k of it has
+    * an optimal alignment in which at least one segment is matched
+    * edit-free, and that segment's aligned start in the probe shifts
+    * from its master position by at most the net indel count before it
+    * (<= k). So the INDEX side emits each master's 3 (i, L, segment)
+    * keys, and the PROBE side emits, for every plausible master length
+    * L in [M-2, M+2] and segment ordinal i, all probe substrings of the
+    * segment's length starting within +-2 of the segment's position —
+    * <= 5x3x5 = 75 keys per distinct probe name, independent of block
+    * population. Segment lengths follow one fixed convention on both
+    * sides (earlier segments take the remainder: l_i = L/3 + (i < L%3),
+    * p_i = i*(L/3) + min(i, L%3)); empty segments (L < 3) degrade
+    * gracefully to length-keyed buckets over the tiny short-name
+    * population. The join key includes the block, so candidates never
+    * cross blocks. On a corpus whose names share a long constant prefix
+    * (TPC-H's "Customer#") the constant segments collide a whole
+    * block's distinct names — recall-exactness forbids dropping them —
+    * but the preceding name-dedup already bounds that to
+    * O(distinct-names²) per block, and on name-diverse data (the
+    * production case, spec-pinned on a planted fixture) segments are
+    * near-unique and candidates collapse to ~matches.
+    *
+    * `dedup = true` (spec/inspection) returns DISTINCT pairs — the
+    * honest candidate count. The hot path passes false: the segment
+    * join (index side broadcast-sized per executor: 3 short rows per
+    * distinct master name) stays map-side, duplicate pairs flow
+    * straight into the levenshtein verify, and no pre-verify shuffle
+    * of O(candidate) string pairs ever happens. */
+  private[graft] def nameMatchCandidates(
+      dirtyNames: org.apache.spark.sql.DataFrame,
+      masterNames: org.apache.spark.sql.DataFrame,
+      dedup: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val idx = masterNames
+      .withColumn("L", length(col("m_fold")))
+      .withColumn("i", explode(expr("sequence(0, 2)")))
+      .withColumn("seg", expr(
+        "substring(m_fold, i * (L div 3) + least(i, L % 3) + 1, " +
+          "(L div 3) + if(i < L % 3, 1, 0))"))
+      .select("blk_nat", "blk_seg", "i", "L", "seg", "m_fold")
+    // The probe explodes <=75 keys per name and the segment join fans
+    // out further, all MAP-SIDE — but the input is a just-aggregated
+    // distinct-name frame small enough that AQE coalesces it to one or
+    // two partitions, which would serialize the entire explode + join +
+    // levenshtein pipeline onto one core. Spreading O(distinct names)
+    // rows before the fan-out is one tiny exchange that buys the whole
+    // verify stage its parallelism — the same reasoning at 1000
+    // executors, where the name frame is still orders of magnitude
+    // smaller than the candidate stream it generates.
+    val prb = dirtyNames
+      .repartition(dirtyNames.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("M", length(col("d_fold")))
+      .withColumn("L",
+        explode(expr("sequence(greatest(M - 2, 0), M + 2)")))
+      .withColumn("i", explode(expr("sequence(0, 2)")))
+      .withColumn("li", expr("(L div 3) + if(i < L % 3, 1, 0)"))
+      .withColumn("pi", expr("i * (L div 3) + least(i, L % 3)"))
+      .withColumn("lo", expr("greatest(pi - 2, 0)"))
+      .withColumn("hi", expr("least(M - li, pi + 2)"))
+      .filter(col("hi") >= col("lo"))
+      .withColumn("st", explode(expr("sequence(lo, hi)")))
+      .withColumn("seg", expr("substring(d_fold, st + 1, li)"))
+      .select("blk_nat", "blk_seg", "i", "L", "seg", "d_fold")
+    val joined = prb.join(idx, Seq("blk_nat", "blk_seg", "i", "L", "seg"))
+      .select("blk_nat", "blk_seg", "d_fold", "m_fold")
+    // same stage-split rationale as nameMatchPairs' dedup exchange
+    if (dedup) joined.repartition(col("d_fold"), col("m_fold")).distinct()
+    else joined
+  }
+
   val oracle: Map[String, String] = Map(
     // Round 12: the recursive MIN-reach closure accumulated
     // sum-of-component-size^2 rows AND re-ran the levenshtein block per
@@ -409,9 +550,13 @@ object Joins {
     // Replacement: 32 unrolled MATERIALIZED min-label steps (still a
     // DIFFERENT formulation from Spark's pointer-doubling kernel — the
     // cross-formulation twin survives), each one O(edges), plus a
-    // convergence canary — a node whose label still moves at step 32
-    // gets a NULL entity, failing the hash gate LOUDLY instead of
-    // silently under-merging. Hash-validated equivalent at sf0.1 + sf1.
+    // convergence canary: if ANY label still moves between steps 31 and
+    // 32 the WHERE clause raises error() and the whole oracle run fails
+    // NAMING the cause (round-12 advice — the earlier per-row NULL
+    // canary was silently dropped by the inner csz join, and a node can
+    // hold a stale-but-locally-stable label while the global min is
+    // still walking toward it, so only the global any-movement test is
+    // sound). Hash-validated equivalent at sf0.1 + sf1.
     "q_entity_cluster" -> {
       val steps = (1 to 32).map { k =>
         s"""l$k AS MATERIALIZED (
@@ -441,13 +586,16 @@ object Joins {
         |l0 AS MATERIALIZED (
         |  SELECT c_custkey AS id, c_custkey AS lbl FROM customer),
         |$steps,
-        |lab AS (
-        |  SELECT a.id, CASE WHEN a.lbl = b.lbl THEN a.lbl END AS ent
-        |  FROM l32 a JOIN l31 b USING (id)),
+        |lab AS (SELECT id, lbl AS ent FROM l32),
         |csz AS (SELECT ent, COUNT(*) AS entity_size FROM lab GROUP BY ent)
         |SELECT l.id AS c_custkey, l.ent AS entity_id, c.entity_size,
         |  l.id = l.ent AS is_canonical
         |FROM lab l JOIN csz c ON c.ent = l.ent
+        |WHERE CASE WHEN EXISTS (
+        |    SELECT 1 FROM l32 x JOIN l31 y USING (id) WHERE x.lbl <> y.lbl)
+        |  THEN error('q_entity_cluster oracle: min-label chain not ' ||
+        |              'converged at step 32 - deepen the unroll')
+        |  ELSE TRUE END
         |ORDER BY l.id""".stripMargin
     },
 

@@ -1314,6 +1314,98 @@ class QueriesSpec extends AnyFunSuite {
       "transitions must number events minus one per user")
   }
 
+  test("linkage candidates: segment sub-blocking == direct blocked join") {
+    // TPC-H parity pin for the round-13 re-plan: the name-distinct +
+    // PassJoin candidate pipeline must produce EXACTLY the candidate
+    // set of the old direct in-block row join (whose shape the oracle
+    // SQL still uses) — same (import_id, c_custkey, lev) triples.
+    val master = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    val dirty = master.select(
+      col("c_custkey").as("import_id"),
+      when(pmod(col("c_custkey"), lit(3)) === 0, upper(col("c_name")))
+        .when(pmod(col("c_custkey"), lit(3)) === 1,
+          substring(col("c_name"), 1, 17))
+        .otherwise(col("c_name")).as("import_name"),
+      col("c_nationkey").as("i_nationkey"),
+      col("c_mktsegment").as("i_mktsegment"))
+    val direct = dirty.join(master,
+        col("i_nationkey") === col("c_nationkey") &&
+          col("i_mktsegment") === col("c_mktsegment"))
+      .withColumn("lev",
+        levenshtein(lower(col("import_name")), lower(col("c_name")))
+          .cast("long"))
+      .filter(col("lev") <= 2)
+      .select("import_id", "c_custkey", "lev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val subBlocked = graft.queries.Joins.linkageCandidates(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct.nonEmpty, "fixture produced no linkage candidates")
+    assert(subBlocked == direct,
+      s"candidate sets differ: missing=${(direct -- subBlocked).take(3)} " +
+        s"extra=${(subBlocked -- direct).take(3)}")
+  }
+
+  test("nameMatchPairs: recall-exact on diverse names, hot block bounded") {
+    // Round-12 verdict #1: the TPC-H fixture can't exercise the segment
+    // sub-blocking (every name shares the "Customer#" prefix, so any
+    // recall-exact key collides the whole block) — so prove it on a
+    // planted name-DIVERSE fixture: 600 deterministic hash-derived
+    // names in ONE (nation, segment) block (the planted hot block),
+    // 1/3 with a planted 1-deletion twin, 1/3 with a planted
+    // 2-substitution twin, 1/3 with an unrelated name.
+    import spark.implicits._
+    def hname(seed: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"name-$seed".getBytes("UTF-8"))
+        .map(b => ('a' + ((b & 0xff) % 26)).toChar).mkString
+      (h + h).substring(0, 12 + seed % 6)
+    }
+    val n = 600
+    val masters = (0 until n).map(i => (0L, "HOT", hname(i)))
+    val dirties = (0 until n).map { i =>
+      val m = hname(i)
+      val d = i % 3 match {
+        case 0 => // one deletion
+          val p = i % m.length
+          m.substring(0, p) + m.substring(p + 1)
+        case 1 => // two substitutions (digits never collide with a-z)
+          val p1 = i % m.length
+          val p2 = (p1 + 1 + i % (m.length - 1)) % m.length
+          m.updated(p1, '0').updated(p2, '1')
+        case _ => hname(i + 100000) // unrelated
+      }
+      (0L, "HOT", d)
+    }
+    val mN = masters.toDF("blk_nat", "blk_seg", "m_fold").distinct()
+    val dN = dirties.toDF("blk_nat", "blk_seg", "d_fold").distinct()
+    // ground truth: brute-force all-pairs levenshtein inside the block
+    val brute = dN.crossJoin(mN.select("m_fold"))
+      .filter(levenshtein(col("d_fold"), col("m_fold")) <= 2)
+      .select("d_fold", "m_fold")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val planted = (0 until n).filter(i => i % 3 != 2)
+      .map(i => (dirties(i)._3, hname(i))).toSet
+    assert(planted.subsetOf(brute), "fixture self-check: planted pairs " +
+      "must genuinely sit within edit distance 2")
+    val got = graft.queries.Joins
+      .nameMatchPairs(dN, mN)
+      .select("d_fold", "m_fold")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute,
+      s"recall/precision break: missing=${(brute -- got).take(3)} " +
+        s"extra=${(got -- brute).take(3)}")
+    // boundedness on the planted hot block: the old scheme generates
+    // n*n candidate pairs (360k); the segment sub-blocking must stay
+    // an order of magnitude under that on diverse names (in practice
+    // ~matches + birthday-collision noise)
+    val cands = graft.queries.Joins.nameMatchCandidates(dN, mN).count()
+    assert(cands >= brute.size.toLong, "candidates must cover matches")
+    assert(cands < (n.toLong * n) / 10,
+      s"hot-block candidates not bounded: $cands vs all-pairs ${n * n}")
+  }
+
   test("q_bm25_search: top-10 contract, tf-monotone scoring, determinism") {
     val rows = SparkEntry.queries("q_bm25_search")(spark, sf).collect()
     assert(rows.length == 10, s"top-10 must return 10 rows, got ${rows.length}")
