@@ -104,6 +104,55 @@ object LlmOps {
       graft.queries.materializeAndFree(out, sh, sized)
     }),
 
+    // ── Dedup pipeline: exact-first ordering as a contract (round 13) ─
+    // The dedup family's declared composition order — EXACT dedup
+    // first, near-dup detection only on the exact-canonical corpus —
+    // as one end-to-end hash-checked operator. The ordering is not
+    // cosmetic: the round-12 sf1 leg measured the near-dup detectors
+    // at 16-22x on 10x data precisely because the replicated fixture
+    // was fed to them raw (every doc had 9 byte-identical copies, so
+    // banded candidate sets grew 100x); running the SAME detectors
+    // after the one-hash-shuffle exact pass returns them to the
+    // distinct-document load. Stages: (1) q_dedup_exact's digest
+    // window — canonical = lowest doc_id per normalized-text digest;
+    // (2) q_dedup_ngram_jaccard's shared shingle machinery
+    // (TextOps.shinglePairSizedOf — the single definition, restricted
+    // to canonicals) at the family's 0.8 bar; (3) per-doc verdict:
+    // keep = exact-canonical with no smaller-id near-dup partner (the
+    // same greedy-by-id rule as the pair convention d1 < d2; the
+    // transitive-closure variant stays q_dedup_cluster's contract).
+    // Scale shape: one digest shuffle over the full corpus, then every
+    // downstream stage runs on distinct documents only.
+    "q_dedup_pipeline" -> ((s, d) => {
+      val w = Window.partitionBy("digest")
+      val tagged = par(Tables(s, d, "documents"))
+        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
+        .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", count(lit(1)).over(w))
+      val (sized, sh) = TextOps.shinglePairSizedOf(s,
+        tagged.filter(col("rn") === 1).select(col("doc_id"), col("text")))
+      val nd = sized.select(col("d1"), col("d2"),
+          round(col("inter").cast("double")
+            / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+      val partners = nd.select(col("d1").as("doc_id"))
+        .unionByName(nd.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("nd_partners"))
+      val droppedNd = nd.select(col("d2").as("doc_id")).distinct()
+        .withColumn("nd_dropped", lit(true))
+      val out = tagged
+        .select(col("doc_id"), col("n_copies"),
+          (col("rn") === 1).as("exact_canonical"))
+        .join(partners, Seq("doc_id"), "left")
+        .join(droppedNd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_copies"), col("exact_canonical"),
+          coalesce(col("nd_partners"), lit(0L)).as("nd_partners"),
+          (col("exact_canonical") &&
+            !coalesce(col("nd_dropped"), lit(false))).as("keep"))
+        .orderBy("doc_id")
+      graft.queries.materializeAndFree(out, sh)
+    }),
+
     // Global token frequency top-50: explode -> two-phase agg -> top-k.
     "q_text_tokens" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -587,6 +636,50 @@ object LlmOps {
         |  FROM documents)
         |SELECT doc_id, digest, lang, source, n_copies
         |FROM h WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Composed from the proven q_dedup_exact window + the
+    // q_dedup_ngram_jaccard shingle/jaccard fragments, with the shingle
+    // base restricted to exact-canonical docs (rn = 1). The keep rule is
+    // pairwise greedy-by-id: d1 < d2 always, so any doc appearing as d2
+    // in a >=0.8 pair is dropped.
+    "q_dedup_pipeline" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+        |      ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(unnest(list_distinct(
+        |      [array_to_string(tok[i+1:i+3], ' ')
+        |       for i in range(len(tok)-2)]))), 1, 15)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tok
+        |        FROM h WHERE rn = 1)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN sz s1 ON s1.doc_id = d1
+        |  JOIN sz s2 ON s2.doc_id = d2
+        |  WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6)
+        |    >= 0.8),
+        |partners AS (
+        |  SELECT doc_id, COUNT(*) AS nd_partners FROM (
+        |    SELECT d1 AS doc_id FROM nd
+        |    UNION ALL SELECT d2 AS doc_id FROM nd)
+        |  GROUP BY doc_id),
+        |dropped AS (SELECT DISTINCT d2 AS doc_id FROM nd)
+        |SELECT h.doc_id, h.n_copies, h.rn = 1 AS exact_canonical,
+        |  CAST(coalesce(p.nd_partners, 0) AS BIGINT) AS nd_partners,
+        |  (h.rn = 1 AND dr.doc_id IS NULL) AS keep
+        |FROM h
+        |LEFT JOIN partners p ON p.doc_id = h.doc_id
+        |LEFT JOIN dropped dr ON dr.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT word, COUNT(*) AS cnt FROM (

@@ -87,10 +87,21 @@ object TextOps {
     */
   private[queries] def shinglePairSized(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    shinglePairSizedOf(s, par(graft.Tables(s, d, "documents")))
+
+  /** [[shinglePairSized]] over a caller-chosen (doc_id, text) frame
+    * instead of the whole documents table — the seam q_dedup_pipeline
+    * uses to run the near-dup detector on the EXACT-DEDUPED canonical
+    * corpus (its declared pipeline order; on a replica-heavy drop the
+    * candidate join collapses from O((r·n)·pairs) to the distinct-doc
+    * load). Same capped/exact machinery, same returned (sized, sh). */
+  private[queries] def shinglePairSizedOf(
+      s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): (DataFrame, DataFrame) = {
     val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
     // eager fill: one md5 pass for all reads
-    val sh = persistEager(par(graft.Tables(s, d, "documents"))
+    val sh = persistEager(docs
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash60(s, col("text"), 3,
           distinct = true)).as("s")))

@@ -356,6 +356,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again)
   }
 
+  test("q_dedup_pipeline: composes exact + near-dup stages consistently") {
+    val rows = SparkEntry.queries("q_dedup_pipeline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getBoolean(4)))
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs, "pipeline verdict must cover every doc")
+    // stage-1 agreement: exact_canonical == q_dedup_exact's keeper set
+    val keepers = SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._3).map(_._1).toSet == keepers,
+      "exact-canonical flags disagree with q_dedup_exact")
+    rows.filterNot(_._3).foreach { case (id, _, _, np, keep) =>
+      assert(np == 0 && !keep,
+        s"doc $id: exact-duplicate must never reach the near-dup stage")
+    }
+    // stage-3 rule: keep == canonical with no smaller-id jaccard partner
+    val canon = rows.filter(_._3)
+    assert(canon.forall(_._5 == true) ||
+      canon.exists(r => !r._5 && r._4 > 0),
+      "a canonical is dropped only for a near-dup partner")
+    canon.filter(!_._5).foreach { case (id, _, _, np, _) =>
+      assert(np > 0, s"doc $id dropped with no recorded partner")
+    }
+    // ordering contract: near-dup candidate volume after exact dedup is
+    // bounded by the q_dedup_ngram_jaccard pair list on the raw corpus
+    val rawPairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .count()
+    val canonPairs = canon.map(_._4).sum / 2
+    assert(canonPairs <= rawPairs,
+      s"canonical-corpus pairs ($canonPairs) exceed raw-corpus ($rawPairs)")
+  }
+
   test("q_bpe_tokenize: merge-order determinism, piece-count invariants") {
     import graft.queries.LlmOps
     // two training runs must produce the SAME ordered merge list (exact
