@@ -37,6 +37,14 @@ import org.apache.spark.sql.SparkSession
   *                                    NetBroker) never consults it; a
   *                                    production Kafka/PubSub swap reads
   *                                    the validated path from here.
+  *  - `spark.graft.maxFilesPerTrigger` — micro-batch size for the file-
+  *                                    drop ingest (0 = unbounded, the
+  *                                    default). The reference has no
+  *                                    analogue (it processes one POST at
+  *                                    a time); micro-batch granularity is
+  *                                    this engine's own degree of freedom,
+  *                                    and the streaming bench records
+  *                                    throughput at two settings of it.
   *  (--projectID remains Google-Cloud-specific with no analogue: topics
   *  here are directories/brokers, not cloud resource names.)
   */
@@ -48,7 +56,8 @@ final case class GraftConfig(
   dumpOnly: Boolean,
   sfDir: String,
   singleRowgroupShim: Boolean,
-  credentials: Option[String])
+  credentials: Option[String],
+  maxFilesPerTrigger: Int)
 
 object GraftConfig {
   def from(spark: SparkSession): GraftConfig = {
@@ -73,6 +82,7 @@ object GraftConfig {
       sfDir = c("sfDir",
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
       singleRowgroupShim = c("singleRowgroupShim", "false").toBoolean,
-      credentials = creds)
+      credentials = creds,
+      maxFilesPerTrigger = c("maxFilesPerTrigger", "0").toInt)
   }
 }

@@ -40,12 +40,23 @@ object Streams {
   // ---------------------------------------------------------------- ingest
 
   /** s_ingest_ndjson (R1+R2, publisher.go:137-202): file-drop ndjson
-    * directory stream, one row per line, with the originating path. */
-  def ingestLines(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("text")
+    * directory stream, one row per line, with the originating path.
+    * `spark.graft.maxFilesPerTrigger` (R15; 0 = unbounded) bounds the
+    * micro-batch: a deep backlog otherwise becomes one giant first batch
+    * whose sink write must all succeed before ANY epoch commits — bounded
+    * triggers keep replay units small and memory flat during catch-up. */
+  def ingestLines(spark: SparkSession, dir: String): DataFrame = {
+    // Read the one knob directly: GraftConfig.from validates the WHOLE
+    // config (incl. credentials fail-fast), and ingest must not abort on
+    // sink-side misconfiguration — that failure belongs to the publish
+    // transport's constructor (spec-pinned), not the source.
+    val mft = spark.conf.get("spark.graft.maxFilesPerTrigger", "0").toInt
+    val rs = spark.readStream.format("text")
       .option("recursiveFileLookup", "true")
+    (if (mft > 0) rs.option("maxFilesPerTrigger", mft) else rs)
       .load(dir)
       .withColumn("path", input_file_name())
+  }
 
   /** Envelope parse of an ingested line stream (same schema family as
     * q_cdc_envelope_parse). */

@@ -161,6 +161,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("path").contains("junk.txt")).count() == 1)
   }
 
+  test("s_ingest_ndjson: maxFilesPerTrigger bounds micro-batches, same rows") {
+    // R15 knob (round-13): a bounded trigger must change ONLY the epoch
+    // granularity — same delivered rows as one unbounded catch-up batch.
+    val in = tmp("cdc-mft"); writeCdcDrop(in) // 5 files
+    spark.conf.set("spark.graft.maxFilesPerTrigger", "1")
+    try {
+      val parsed = Streams.parseEnvelope(Streams.ingestLines(spark, in), payload)
+        .select("op", "updated", "after.o_orderkey")
+      val q = parsed.writeStream.format("memory").queryName("t_mft")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val batches = q.lastProgress.batchId + 1
+      q.stop()
+      assert(batches >= 5, s"expected >=5 one-file micro-batches, got $batches")
+      val golden = sortedRows(
+        Streams.parseEnvelope(batchLines(in), payload)
+          .select("op", "updated", "after.o_orderkey"))
+      assert(sortedRows(spark.table("t_mft")) == golden)
+    } finally spark.conf.unset("spark.graft.maxFilesPerTrigger")
+  }
+
   /** The s_route_publish_net delivery contract, parameterized over the
     * transport (round 11, verdict #6): acks, attrs, create-once, and
     * dead-letter semantics must hold for ANY PublishTransport — the
