@@ -88,8 +88,18 @@ object Bench {
 
     val iters = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
+    // Targeted-key runs (round-13): SPARK_GRAFT_BENCH_ONLY=q_a,q_b times
+    // just those keys — the iteration loop for one operator, and the
+    // scaling-curve probe (BASELINE.md sf3 rows) without a full pass.
+    // Unknown names fail loudly: a silent skip would record an empty run
+    // as a passing one.
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    only.foreach(n => require(SparkEntry.queries.contains(n),
+      s"SPARK_GRAFT_BENCH_ONLY names unknown query '$n'"))
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n)).flatMap { name =>
       try {
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()

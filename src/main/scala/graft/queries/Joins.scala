@@ -336,34 +336,48 @@ object Joins {
         .orderBy("import_id")
     }),
 
-    // ── Entity-resolution clustering (round 11) ──────────────────────
+    // ── Entity-resolution clustering (round 11; hub graph round 13) ──
     // q_record_linkage stops at best-match PAIRS; real entity
     // resolution needs the transitive closure — if A matches B and B
     // matches C, all three are one entity even when A-C exceeds the
     // edit threshold. This operator takes the SAME candidate machinery
     // (nation+segment block, distinct-name PassJoin sub-blocking,
-    // levenshtein <= 2 — [[linkageCandidates]]) as an undirected match
-    // graph over customer keys and runs the SHARED pointer-doubling CC
-    // kernel (AnnOps.propagateMinLabels — the one already proven for
-    // near-dup doc clusters and the co-purchase graph), emitting per
-    // record its entity id (cluster-min key), entity size, and
-    // canonical flag. Every record appears; a record matching nothing
-    // but itself is its own singleton entity. Oracle: 32 unrolled
-    // min-label steps over the same candidate SQL with a convergence
-    // canary. Scale: candidate generation is the blocked + segment-
-    // keyed join on distinct names; the closure pays O(log n) rounds
-    // on O(match-pairs) edges, never all-pairs (edge COUNT on a
-    // replicated fixture is output-bound — replicas genuinely match
-    // each other — but the levenshtein verify no longer re-pays it).
+    // levenshtein <= 2 — [[linkageNameGraph]]) and runs the SHARED
+    // pointer-doubling CC kernel (AnnOps.propagateMinLabels — the one
+    // already proven for near-dup doc clusters and the co-purchase
+    // graph), emitting per record its entity id (cluster-min key),
+    // entity size, and canonical flag. Every record appears; a record
+    // matching nothing but itself is its own singleton entity. Oracle:
+    // 32 unrolled min-label steps over the ROW-level pair SQL with a
+    // convergence canary (a cross-formulation twin).
+    //
+    // Round-13 re-plan (found by the sf3 probe, which OOM'd the 8 GB
+    // bench JVM): materializing row-level match pairs as CC edges is
+    // O(d²) per entity when an entity has d duplicate rows — each
+    // import replica pairs with each master replica — so the edge set
+    // grew quadratically in per-entity duplication (sf1: 120M+ pair
+    // rows hiding inside the 12.4x ratio; sf3: OOM). The closure does
+    // not need those pairs: every verified DISTINCT-name pair
+    // (blk, d_fold, m_fold) becomes one HUB NODE, each import row
+    // attaches to the hubs carrying its folded name, each master row
+    // to the hubs carrying its — row x and row y are hub-connected iff
+    // they are row-pair-connected (any shared-name case routes through
+    // a witness row that the hub also attaches; checked case-by-case
+    // in EntityHubSpec against the row-pair closure), so components
+    // are IDENTICAL while the edge count drops from O(Σ d²) to
+    // O(rows × hubs-per-name) — linear in rows. Hub node ids need no
+    // global counter: a hub's id is the MIN key attached to it, which
+    // can only collide with a key in its own component (the min key
+    // IS attached), so the id-space merge is component-internal and
+    // the component-min label the kernel emits is still the min
+    // CUSTOMER key — the declared entity id. At 100 TB: one groupBy
+    // for hub ids, two equi joins for attachments, closure on
+    // O(rows) edges; per-entity duplication no longer has a
+    // quadratic term anywhere.
     "q_entity_cluster" -> ((s, d) => {
-      val pairs = linkageCandidates(s, d)
-        .filter(col("import_id") =!= col("c_custkey"))
-        .select(least(col("import_id"), col("c_custkey")).as("a"),
-          greatest(col("import_id"), col("c_custkey")).as("b"))
-        .distinct()
-      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
+      val (dirtyRows, masterRows, verified) = linkageNameGraph(s, d)
+      val edges =
+        entityHubEdges(dirtyRows, masterRows, verified).localCheckpoint(true)
       val (labels, _) = AnnOps.propagateMinLabels(edges)
       val csz = Window.partitionBy("entity_id")
       Tables(s, d, "customer").select(col("c_custkey"))
@@ -396,6 +410,56 @@ object Joins {
   private[graft] def linkageCandidates(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
+    val (dirtyRows, masterRows, verified) = linkageNameGraph(s, d)
+    dirtyRows
+      .join(verified, Seq("blk_nat", "blk_seg", "d_fold"))
+      .join(masterRows, Seq("blk_nat", "blk_seg", "m_fold"))
+      .select(col("import_id"), col("c_custkey"), col("lev"))
+  }
+
+  /** Hub-graph CC edges for q_entity_cluster (see the operator's comment
+    * for the full argument): one hub node per verified distinct-name
+    * pair, import rows attach by d_fold, master rows by m_fold, hub id =
+    * min attached key (collision-safe: the min key IS attached, so an
+    * id-space merge is component-internal). Returns (src, dst) in both
+    * directions, self-loops dropped, O(rows × hubs-per-name) edges —
+    * component-identical to the O(Σ dups²) row-pair graph
+    * (EntityHub legs in QueriesSpec prove equality against the row-pair
+    * closure on TPC-H and on a planted replica-heavy fixture). */
+  private[graft] def entityHubEdges(
+      dirtyRows: org.apache.spark.sql.DataFrame,
+      masterRows: org.apache.spark.sql.DataFrame,
+      verified: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hubCols = Seq("blk_nat", "blk_seg", "d_fold", "m_fold")
+    val hubs = verified.select(hubCols.map(col): _*)
+    val att = hubs
+      .join(dirtyRows, Seq("blk_nat", "blk_seg", "d_fold"))
+      .select(hubCols.map(col) :+ col("import_id").as("key"): _*)
+      .unionByName(hubs
+        .join(masterRows, Seq("blk_nat", "blk_seg", "m_fold"))
+        .select(hubCols.map(col) :+ col("c_custkey").as("key"): _*))
+    val hubIds = att.groupBy(hubCols.map(col): _*)
+      .agg(min(col("key")).as("hub_id"))
+    val e = att.join(hubIds, hubCols)
+      .select(col("key").as("src"), col("hub_id").as("dst"))
+      .filter(col("src") =!= col("dst")) // self-loops move no labels
+      .distinct()
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The three shared frames of the linkage machinery:
+    * (dirtyRows, masterRows, verified) =
+    * ((import_id, blk_nat, blk_seg, d_fold),
+    *  (c_custkey, blk_nat, blk_seg, m_fold),
+    *  (blk_nat, blk_seg, d_fold, m_fold, lev)) — row-level folded names
+    * on both sides plus the verified DISTINCT-name match pairs from
+    * [[nameMatchPairs]]. q_record_linkage fans `verified` back to rows;
+    * q_entity_cluster builds its hub graph from the same three frames. */
+  private[graft] def linkageNameGraph(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val master = Tables(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"))
@@ -415,17 +479,15 @@ object Joins {
     val mN = master.select(col("c_nationkey").as("blk_nat"),
       col("c_mktsegment").as("blk_seg"),
       lower(col("c_name")).as("m_fold")).distinct()
-    val pairsN = nameMatchPairs(dN, mN)
-    dirty.select(col("import_id"),
-        col("i_nationkey").as("blk_nat"),
-        col("i_mktsegment").as("blk_seg"),
-        lower(col("import_name")).as("d_fold"))
-      .join(pairsN, Seq("blk_nat", "blk_seg", "d_fold"))
-      .join(master.select(col("c_nationkey").as("blk_nat"),
-          col("c_mktsegment").as("blk_seg"),
-          lower(col("c_name")).as("m_fold"), col("c_custkey")),
-        Seq("blk_nat", "blk_seg", "m_fold"))
-      .select(col("import_id"), col("c_custkey"), col("lev"))
+    val dirtyRows = dirty.select(col("import_id"),
+      col("i_nationkey").as("blk_nat"),
+      col("i_mktsegment").as("blk_seg"),
+      lower(col("import_name")).as("d_fold"))
+    val masterRows = master.select(col("c_custkey"),
+      col("c_nationkey").as("blk_nat"),
+      col("c_mktsegment").as("blk_seg"),
+      lower(col("c_name")).as("m_fold"))
+    (dirtyRows, masterRows, nameMatchPairs(dN, mN))
   }
 
   /** Verified distinct-name match pairs: [[nameMatchCandidates]] with the

@@ -80,11 +80,22 @@ class PlanDigestSpec extends AnyFunSuite {
   /** Spark 4 canonicalizes commutative conjunctions/disjunctions into
     * `multicommutativeop(args..., class, None)` whose operand ORDER
     * follows ExpressionSet hash iteration — unstable across sessions.
-    * Sort each such operand list (innermost first). */
+    * `least(`/`greatest(` children are commutative too and Canonicalize
+    * reorders them BY HASHCODE — and when a child is a
+    * MultiCommutativeOp, that hashCode includes a captured
+    * `java.lang.Class` object whose IDENTITY hash differs per JVM fork,
+    * so the child order is a per-fork coin flip (first seen round 13:
+    * the PassJoin probe's `least(M - li, pi + 2)` flipped between a
+    * standalone digest run and the full suite). Sort every such operand
+    * list (innermost first) — Spark already declared these orders
+    * meaningless by reordering them, so sorting loses no drift
+    * sensitivity. */
+  private val commutativeCalls =
+    Seq("multicommutativeop(", "least(", "greatest(")
   private def normMulti(s: String): String = {
-    val token = "multicommutativeop("
-    val idx = s.indexOf(token)
-    if (idx < 0) return s
+    val hits = commutativeCalls.map(t => (s.indexOf(t), t)).filter(_._1 >= 0)
+    if (hits.isEmpty) return s
+    val (idx, token) = hits.minBy(_._1)
     val open = idx + token.length - 1
     var depth = 0; var end = -1; var j = open
     while (j < s.length && end < 0) {
@@ -114,9 +125,30 @@ class PlanDigestSpec extends AnyFunSuite {
       l.substring(0, m.end) + "{" + toks.mkString(" ") + "}"
     }.getOrElse(l)
 
-  private def normalizeLine(l: String): String = normMulti(l) match {
-    case filterLine(pre, cond) => pre + "(" + sortTopAnds(cond) + ")"
-    case other => tokenBag(other)
+  /** A line carrying a `multicommutativeop(` is one Canonicalize has
+    * already scrambled by unstable hashCodes at EVERY level — operand
+    * lists, least/greatest child order, and even the orientation of a
+    * comparison around it (`A <= B` vs `B >= A` flips per JVM fork via
+    * the captured Class object's identity hash). No textual sort can
+    * reconstruct one orientation, so these lines get the same treatment
+    * as HashAggregate/Expand: a sorted token BAG — still sensitive to a
+    * changed function, column, or constant; insensitive to the
+    * hash-driven permutations. */
+  private val anyNode = "[A-Za-z]+".r
+  private def bagWholeLine(l: String): String =
+    anyNode.findFirstMatchIn(l).map { m =>
+      val toks = l.substring(m.end).split("[^A-Za-z0-9_#.]+")
+        .filter(_.nonEmpty).sorted
+      l.substring(0, m.end) + "{" + toks.mkString(" ") + "}"
+    }.getOrElse(l)
+
+  private def normalizeLine(l: String): String = {
+    val n = normMulti(l)
+    if (n.contains("multicommutativeop(")) bagWholeLine(n)
+    else n match {
+      case filterLine(pre, cond) => pre + "(" + sortTopAnds(cond) + ")"
+      case other => tokenBag(other)
+    }
   }
 
   private def digest(name: String): String = {

@@ -1347,6 +1347,97 @@ class QueriesSpec extends AnyFunSuite {
         s"extra=${(subBlocked -- direct).take(3)}")
   }
 
+  test("entity hub graph: components == row-pair closure on TPC-H") {
+    // Round-13 re-plan pin: the hub-graph edges (one node per verified
+    // name pair, rows attach by folded name) must produce EXACTLY the
+    // entity assignment of the row-level pair closure — the oracle's
+    // formulation, and the shipped operator's own shape before the sf3
+    // probe showed the row-pair edge set is O(dups²) per entity (OOM at
+    // 30x replication in one 8 GB JVM).
+    val pairs = graft.queries.Joins.linkageCandidates(spark, sf)
+      .filter(col("import_id") =!= col("c_custkey"))
+      .select(least(col("import_id"), col("c_custkey")).as("a"),
+        greatest(col("import_id"), col("c_custkey")).as("b"))
+      .distinct()
+    val rowEdges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val (labels, _) = graft.queries.AnnOps.propagateMinLabels(rowEdges)
+    val rowEnt = Tables(spark, sf, "customer").select(col("c_custkey"))
+      .join(labels.withColumnRenamed("doc_id", "c_custkey"),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("label"), col("c_custkey")).as("ent"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hubEnt = SparkEntry.queries("q_entity_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowEnt.nonEmpty && hubEnt.keySet == rowEnt.keySet)
+    val diff = hubEnt.collect {
+      case (k, e) if rowEnt(k) != e => (k, e, rowEnt(k)) }
+    assert(diff.isEmpty, s"entity mismatch (key, hub, rowPair): " +
+      s"${diff.take(5)}")
+  }
+
+  test("entity hub graph: linear edges on a replica-heavy planted fixture") {
+    // The case the sf3 probe hit: an entity with d duplicate rows. The
+    // row-pair graph pays >= d*d edges per entity; the hub graph must
+    // stay linear in rows AND still produce the identical closure.
+    import spark.implicits._
+    val reps = 40 // duplicates per entity — d*d = 1600 vs hub's ~2d
+    val ents = 25 // distinct underlying names
+    // hash-diverse names (pairwise edit distance >> 2; a digit-suffix
+    // scheme would cross-match every name within 2 substitutions)
+    def nm(e: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"entity-$e".getBytes("UTF-8"))
+        .map(b => ('a' + ((b & 0xff) % 26)).toChar).mkString
+      (h + h).substring(0, 14 + e % 5)
+    }
+    // rows: entity e replicated `reps` times; keys unique; every import
+    // name = master name with one deletion (lev 1, always verified);
+    // one shared block.
+    val rows = for (e <- 0 until ents; r <- 0 until reps) yield
+      (e.toLong * 1000 + r, nm(e))
+    val masterRows = rows.toDF("c_custkey", "m_fold")
+      .withColumn("blk_nat", lit(0L)).withColumn("blk_seg", lit("HOT"))
+      .select("c_custkey", "blk_nat", "blk_seg", "m_fold")
+    val dirtyRows = rows.toDF("import_id", "nm")
+      .withColumn("d_fold", expr("substring(nm, 1, length(nm) - 1)"))
+      .withColumn("blk_nat", lit(0L)).withColumn("blk_seg", lit("HOT"))
+      .select("import_id", "blk_nat", "blk_seg", "d_fold")
+    val verified = graft.queries.Joins.nameMatchPairs(
+      dirtyRows.select("blk_nat", "blk_seg", "d_fold").distinct(),
+      masterRows.select("blk_nat", "blk_seg", "m_fold").distinct())
+    val hubEdges = graft.queries.Joins
+      .entityHubEdges(dirtyRows, masterRows, verified)
+    val nEdges = hubEdges.count()
+    val nRows = rows.size.toLong
+    assert(nEdges <= 6 * nRows, // hubs-per-name is tiny on this fixture
+      s"hub edges not linear: $nEdges edges for $nRows rows")
+    // identical closure vs the row-pair formulation
+    val rowPairs = dirtyRows
+      .join(verified, Seq("blk_nat", "blk_seg", "d_fold"))
+      .join(masterRows, Seq("blk_nat", "blk_seg", "m_fold"))
+      .filter(col("import_id") =!= col("c_custkey"))
+      .select(least(col("import_id"), col("c_custkey")).as("a"),
+        greatest(col("import_id"), col("c_custkey")).as("b"))
+      .distinct()
+    assert(rowPairs.count() >= nRows.toLong * (reps - 1) / 2,
+      "fixture self-check: row pairs must be super-linear in rows")
+    val rowEdges = rowPairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(rowPairs.select(col("b").as("src"), col("a").as("dst")))
+    val (rowLab, _) = graft.queries.AnnOps.propagateMinLabels(rowEdges)
+    val (hubLab, _) = graft.queries.AnnOps.propagateMinLabels(hubEdges)
+    val keyIds = rows.map(_._1).toSet
+    def entMap(lab: org.apache.spark.sql.DataFrame) =
+      lab.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .filter(kv => keyIds.contains(kv._1)).toMap
+    val (re, he) = (entMap(rowLab), entMap(hubLab))
+    assert(re.nonEmpty && he == re,
+      s"closure mismatch: ${(he.toSet -- re.toSet).take(5)}")
+    // and the closure is what the fixture planted: one entity per name
+    assert(re.values.toSet.size == ents)
+  }
+
   test("nameMatchPairs: recall-exact on diverse names, hot block bounded") {
     // Round-12 verdict #1: the TPC-H fixture can't exercise the segment
     // sub-blocking (every name shares the "Customer#" prefix, so any
