@@ -39,11 +39,16 @@ object Bench {
     //    loadavg every 10 s until it drops below the warn threshold or
     //    the budget elapses — the cheap way to land a gate run in a
     //    quiet window instead of re-running until lucky. The actual
-    //    seconds waited are recorded (`"waited_quiet_sec"`).
+    //    seconds waited are recorded (`"waited_quiet_sec"`). Defaults
+    //    to 120 s (round-13 verdict #3): the driver's BENCH_r13 started
+    //    at loadavg 4.07 with waited_quiet_sec=0 and the whole record
+    //    needed manual adjudication against quiet medians — a bounded
+    //    default wait gives every caller a quiet window when one exists.
+    //    Opt out with SPARK_GRAFT_BENCH_WAIT_QUIET=0.
     val warnThreshold = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_LOAD_WARN", "2.0").toDouble
     val waitBudgetSec = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_WAIT_QUIET", "0").toLong
+      .getOrElse("SPARK_GRAFT_BENCH_WAIT_QUIET", "120").toLong
     var waitedSec = 0L
     while (waitedSec < waitBudgetSec
         && osBean.getSystemLoadAverage >= warnThreshold) {
@@ -97,6 +102,23 @@ object Bench {
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     only.foreach(n => require(SparkEntry.queries.contains(n),
       s"SPARK_GRAFT_BENCH_ONLY names unknown query '$n'"))
+    // Subset-run output guard (round-13 ADVICE): a targeted probe once
+    // silently clobbered BENCH_LOCAL.json — the canonical full-suite
+    // record — with a single-query sf3 run. Two defenses: subset runs
+    // default to a DIFFERENT file, and pointing one at BENCH_LOCAL.json
+    // explicitly is refused (the full-suite record is only ever written
+    // by a full-suite run). The subset filter is also stamped into the
+    // JSON ("only":[...]) so a partial record can never read as a full
+    // one even if redirected elsewhere.
+    val defaultOut =
+      if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_ONLY_LOCAL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    require(only.isEmpty ||
+        java.nio.file.Paths.get(outPath).getFileName.toString
+          != "BENCH_LOCAL.json",
+      "SPARK_GRAFT_BENCH_ONLY is set: refusing to write a partial run " +
+        "to BENCH_LOCAL.json (the full-suite record); pick another " +
+        "SPARK_GRAFT_BENCH_OUT")
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n)).flatMap { name =>
@@ -133,13 +155,16 @@ object Bench {
     // identical binaries by 4-7x between rounds; loadavg at both ends lets
     // a reader adjudicate "regression vs noisy host" without a judge.
     val loadEnd = osBean.getSystemLoadAverage
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"load_warn_threshold":$warnThreshold,"waited_quiet_sec":$waitedSec,"cpus":$cpus,"sf":"$sfDir"}"""
+    val onlyField =
+      if (only.isEmpty) ""
+      else only.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(",\"only\":[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs$onlyField,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"load_warn_threshold":$warnThreshold,"waited_quiet_sec":$waitedSec,"cpus":$cpus,"sf":"$sfDir"}"""
     // Durable artifact (round-9 ADVICE): BENCH_r09's stdout tail arrived
     // front-truncated, losing half the timing map. The file is the record;
     // stdout is a convenience copy.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
     // last stdout write of the process, so a bounded tail capture keeps it

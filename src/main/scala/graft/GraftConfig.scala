@@ -83,6 +83,20 @@ object GraftConfig {
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")),
       singleRowgroupShim = c("singleRowgroupShim", "false").toBoolean,
       credentials = creds,
-      maxFilesPerTrigger = c("maxFilesPerTrigger", "0").toInt)
+      maxFilesPerTrigger = maxFilesPerTrigger(spark))
+  }
+
+  /** Shared parse for `spark.graft.maxFilesPerTrigger` (round-13 ADVICE):
+    * `ingestLines` reads this knob directly (it must not run `from()`'s
+    * whole-config validation — a bad credentials path is the publish
+    * transport's failure, not the source's), so the parse lives HERE so
+    * the two read paths can never drift on defaults or error shape.
+    * 0 = unbounded (default); negative is rejected rather than silently
+    * meaning unbounded. */
+  def maxFilesPerTrigger(spark: SparkSession): Int = {
+    val v = spark.conf.get("spark.graft.maxFilesPerTrigger", "0").toInt
+    require(v >= 0,
+      s"spark.graft.maxFilesPerTrigger=$v — must be >= 0 (0 = unbounded)")
+    v
   }
 }

@@ -363,7 +363,8 @@ object Joins {
     // to the hubs carrying its — row x and row y are hub-connected iff
     // they are row-pair-connected (any shared-name case routes through
     // a witness row that the hub also attaches; checked case-by-case
-    // in EntityHubSpec against the row-pair closure), so components
+    // against the row-pair closure by the QueriesSpec "entity hub
+    // graph: ..." tests), so components
     // are IDENTICAL while the edge count drops from O(Σ d²) to
     // O(rows × hubs-per-name) — linear in rows. Hub node ids need no
     // global counter: a hub's id is the MIN key attached to it, which

@@ -46,11 +46,12 @@ object Streams {
     * whose sink write must all succeed before ANY epoch commits — bounded
     * triggers keep replay units small and memory flat during catch-up. */
   def ingestLines(spark: SparkSession, dir: String): DataFrame = {
-    // Read the one knob directly: GraftConfig.from validates the WHOLE
-    // config (incl. credentials fail-fast), and ingest must not abort on
-    // sink-side misconfiguration — that failure belongs to the publish
-    // transport's constructor (spec-pinned), not the source.
-    val mft = spark.conf.get("spark.graft.maxFilesPerTrigger", "0").toInt
+    // Shared single-knob parse (GraftConfig.maxFilesPerTrigger): ingest
+    // must not run from()'s whole-config validation — a bad credentials
+    // path belongs to the publish transport's constructor (spec-pinned),
+    // not the source — but the knob's parse/default/negative-rejection
+    // must match GraftConfig's exactly.
+    val mft = graft.GraftConfig.maxFilesPerTrigger(spark)
     val rs = spark.readStream.format("text")
       .option("recursiveFileLookup", "true")
     (if (mft > 0) rs.option("maxFilesPerTrigger", mft) else rs)
@@ -939,12 +940,34 @@ object Streams {
         .manifestedFiles(e.getAbsolutePath)._2)
       .filter(_.endsWith(".parquet"))
 
+  /** The served pair-index schema, for empty-store reads: must match
+    * what [[affinityUpdate]] writes ((p1, p2) part keys, summed count)
+    * so a monitor's downstream plan typechecks identically whether the
+    * store has data yet or not. */
+  private def emptyAffinityFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(Seq(
+        StructField("p1", LongType), StructField("p2", LongType),
+        StructField("co", LongType))))
+
   /** Serve side of s_affinity_update: folded base + every committed
     * unfolded epoch, merged by sum, support floor applied post-merge.
     * Reads through committed-manifests-only resolution, so torn epochs
     * (and torn compactions) are invisible. Fails fast if the session's
-    * basketCap does not match the store's tag. */
+    * basketCap does not match the store's tag.
+    *
+    * Read-before-first-write (round-13 verdict #6): a store DIRECTORY
+    * that does not exist is not a legacy store — it is a maintainer
+    * that has not committed its first epoch yet, a state every monitor
+    * polling at startup hits. That case returns an EMPTY correctly-typed
+    * frame. A directory that EXISTS without a `_CAP` tag is still the
+    * hard legacy/mixing error (it holds bytes whose cap nobody
+    * recorded), and so is a tagged store with zero committed partials
+    * (the tag is stamped by the same call that publishes epoch 0, so
+    * tag-without-partials means a torn or tampered store). */
   def readAffinityIndex(spark: SparkSession, store: String): DataFrame = {
+    if (!new java.io.File(store).exists()) return emptyAffinityFrame(spark)
     requireCapTag(store, basketCap(spark))
     val (_, baseParquet, unfoldedDirs) = affinityState(store)
     val all = baseParquet ++ epochParquet(unfoldedDirs)
@@ -954,6 +977,57 @@ object Streams {
       .groupBy("p1", "p2").agg(sum("co").as("co"))
       .filter(col("co") >= 2)
   }
+
+  /** Time-travel read of the affinity index (round-13 verdict #7) —
+    * parity with the export side's listVersions/readExportVersion: pin
+    * the served view at base-fold version `seq` so a dashboard keeps a
+    * stable denominator while a compaction folds underneath it.
+    *
+    * `seq` indexes the base's committed manifest history
+    * (FixtureLayout.listVersions(store + "/base") — compaction publishes
+    * each fold as a new base version). The pinned view is that base
+    * version's partials PLUS every committed epoch NOT recorded as
+    * folded in that version's `epochs.txt` — i.e. exactly the file set
+    * [[readAffinityIndex]] resolved when that version was latest.
+    * Epochs committed after the pin were equally visible to a live
+    * reader at that time (the epoch stream is append-only; only the
+    * fold point is versioned), so inclusion is the faithful semantics,
+    * not a leak. A pinned version whose base dir — or whose
+    * then-unfolded epochs' data — was reclaimed by
+    * [[vacuumAffinityStore]]/vacuumExport fails loudly naming the
+    * vacuum (the Delta post-vacuum contract), never serves partial
+    * sums. */
+  def readAffinityIndexAt(spark: SparkSession, store: String,
+      seq: Int): DataFrame = {
+    requireCapTag(store, basketCap(spark))
+    val FL = graft.queries.FixtureLayout
+    val (vroot, files) = FL.manifestedFilesAt(s"$store/base", seq)
+    val ep = new java.io.File(vroot, "epochs.txt")
+    val folded =
+      if (!ep.isFile) Set.empty[String]
+      else new String(java.nio.file.Files.readAllBytes(ep.toPath),
+        "UTF-8").linesIterator.filter(_.nonEmpty).toSet
+    val unfoldedDirs = Option(new java.io.File(store).listFiles())
+      .toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("epoch="))
+      .filter(d => new java.io.File(d, "MANIFEST").isFile)
+      .filterNot(d => folded.contains(d.getName))
+      .sortBy(_.getName)
+    val all = files.filter(_.endsWith(".parquet")) ++
+      epochParquet(unfoldedDirs)
+    require(all.nonEmpty,
+      s"base version $seq at $store holds no affinity partials")
+    spark.read.parquet(all: _*)
+      .groupBy("p1", "p2").agg(sum("co").as("co"))
+      .filter(col("co") >= 2)
+  }
+
+  /** Committed base-fold versions of the affinity store, oldest first:
+    * (seq, version-id) — the [[readAffinityIndexAt]] handles. Empty for
+    * a store that has never been compacted (the live view is then the
+    * only view). */
+  def listAffinityVersions(store: String): Seq[(Int, String)] =
+    graft.queries.FixtureLayout.listVersions(s"$store/base")
 
   /** Epoch compaction (round-11 verdict #3): fold every committed epoch
     * into the base so a long-running maintainer's read cost stays

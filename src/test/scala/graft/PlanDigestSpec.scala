@@ -118,12 +118,15 @@ class PlanDigestSpec extends AnyFunSuite {
     * digested as a sorted token BAG — still sensitive to a changed
     * function, key, or type, insensitive to slot order. */
   private val bagNodes = "(HashAggregate|Expand)".r
-  private def tokenBag(l: String): String =
-    bagNodes.findFirstMatchIn(l).map { m =>
+  /** Shared bag-normalizer: keep everything up to the first match of
+    * `node` verbatim, token-bag (split + sort) the rest of the line. */
+  private def bagAfter(node: scala.util.matching.Regex, l: String): String =
+    node.findFirstMatchIn(l).map { m =>
       val toks = l.substring(m.end).split("[^A-Za-z0-9_#.]+")
         .filter(_.nonEmpty).sorted
       l.substring(0, m.end) + "{" + toks.mkString(" ") + "}"
     }.getOrElse(l)
+  private def tokenBag(l: String): String = bagAfter(bagNodes, l)
 
   /** A line carrying a `multicommutativeop(` is one Canonicalize has
     * already scrambled by unstable hashCodes at EVERY level — operand
@@ -135,12 +138,7 @@ class PlanDigestSpec extends AnyFunSuite {
     * changed function, column, or constant; insensitive to the
     * hash-driven permutations. */
   private val anyNode = "[A-Za-z]+".r
-  private def bagWholeLine(l: String): String =
-    anyNode.findFirstMatchIn(l).map { m =>
-      val toks = l.substring(m.end).split("[^A-Za-z0-9_#.]+")
-        .filter(_.nonEmpty).sorted
-      l.substring(0, m.end) + "{" + toks.mkString(" ") + "}"
-    }.getOrElse(l)
+  private def bagWholeLine(l: String): String = bagAfter(anyNode, l)
 
   private def normalizeLine(l: String): String = {
     val n = normMulti(l)

@@ -179,6 +179,18 @@ class StreamingSpec extends AnyFunSuite {
         Streams.parseEnvelope(batchLines(in), payload)
           .select("op", "updated", "after.o_orderkey"))
       assert(sortedRows(spark.table("t_mft")) == golden)
+      // round-13 ADVICE: negative must be rejected by the SHARED parse
+      // (GraftConfig.maxFilesPerTrigger) — not silently mean unbounded —
+      // identically on the source's direct read and the full-config path.
+      spark.conf.set("spark.graft.maxFilesPerTrigger", "-1")
+      val eSrc = intercept[IllegalArgumentException] {
+        Streams.ingestLines(spark, in)
+      }
+      assert(eSrc.getMessage.contains("maxFilesPerTrigger"))
+      val eCfg = intercept[IllegalArgumentException] {
+        graft.GraftConfig.from(spark)
+      }
+      assert(eCfg.getMessage.contains("maxFilesPerTrigger"))
     } finally spark.conf.unset("spark.graft.maxFilesPerTrigger")
   }
 
@@ -454,6 +466,84 @@ class StreamingSpec extends AnyFunSuite {
     val afterVac = Streams.readAffinityIndex(spark, store).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(afterVac == grown, "vacuum changed the served view")
+  }
+
+  test("s_affinity_update: empty-store read is typed-empty; legacy dir still fails; time travel pins a fold version") {
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def line(ok: Long, pk: Long) = s"""{"l_orderkey":$ok,"l_partkey":$pk}"""
+    // (1) round-13 verdict #6: a monitor polling BEFORE the maintainer's
+    // first epoch commits must get an empty, correctly-typed frame — a
+    // nonexistent store dir is "not yet written", not "legacy".
+    val unwritten = tmp("afftt-unwritten") + "/never-created"
+    val empty = Streams.readAffinityIndex(spark, unwritten)
+    assert(empty.schema.fieldNames.toSeq == Seq("p1", "p2", "co"))
+    assert(empty.schema.fields.forall(_.dataType == LongType),
+      s"empty-store schema drifted: ${empty.schema}")
+    assert(empty.count() == 0)
+    // (2) a dir that EXISTS with bytes but no _CAP tag is still the hard
+    // legacy error — returning empty here would hide real data.
+    val legacy = tmp("afftt-legacy")
+    write(legacy, "stale.bin", Seq("pre-cap-protocol bytes"))
+    val eLegacy = intercept[IllegalArgumentException] {
+      Streams.readAffinityIndex(spark, legacy)
+    }
+    assert(eLegacy.getMessage.contains("_CAP"))
+    // (3) round-13 verdict #7: time-travel parity with the export side.
+    val in = tmp("afftt-in"); val store = tmp("afftt-store")
+    val ckpt = tmp("afftt-ckpt")
+    def served(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    write(in, "d1.ndjson", Seq(line(1, 100), line(1, 200)))
+    val q = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      q.processAllAvailable()
+      write(in, "d2.ndjson", Seq(line(2, 100), line(2, 200)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streams.listAffinityVersions(store).isEmpty,
+      "never-compacted store should expose no fold versions")
+    assert(Streams.compactAffinityStore(spark, store) == 2)
+    val versions = Streams.listAffinityVersions(store)
+    assert(versions.map(_._1) == Seq(1),
+      s"one fold should publish base version 1: $versions")
+    // pin version 1, then let an epoch land and a second fold run
+    // underneath the pin — the dashboard's view must stay resolvable
+    // and value-identical throughout (fold preserves sums by design).
+    val pinnedBefore = served(Streams.readAffinityIndexAt(spark, store, 1))
+    assert(pinnedBefore == Map((100L, 200L) -> 2L), s"$pinnedBefore")
+    val q2 = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      write(in, "d3.ndjson", Seq(line(3, 100), line(3, 200)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // mid-fold pin: version 1's base + the not-yet-folded epoch
+    val pinnedMid = served(Streams.readAffinityIndexAt(spark, store, 1))
+    assert(pinnedMid == Map((100L, 200L) -> 3L), s"$pinnedMid")
+    assert(Streams.compactAffinityStore(spark, store) == 1)
+    assert(Streams.listAffinityVersions(store).map(_._1) == Seq(1, 2))
+    // post-fold: the pin still resolves version 1's manifest history
+    // (epoch=2 is folded into v2 but its files are not yet vacuumed)
+    val pinnedAfter = served(Streams.readAffinityIndexAt(spark, store, 1))
+    assert(pinnedAfter == pinnedMid,
+      "pinned version drifted across a compaction underneath it")
+    assert(served(Streams.readAffinityIndexAt(spark, store, 2))
+      == served(Streams.readAffinityIndex(spark, store)))
+    // (4) vacuum horizon: expiring version 1's base dir makes the pinned
+    // read fail LOUDLY naming the vacuum — never partial sums.
+    Streams.vacuumAffinityStore(store)
+    graft.queries.FixtureLayout.vacuumExport(s"$store/base")
+    val eVac = intercept[IllegalStateException] {
+      Streams.readAffinityIndexAt(spark, store, 1).collect()
+    }
+    assert(eVac.getMessage.contains("vacuum"),
+      s"expired pin should name the vacuum: ${eVac.getMessage}")
+    // the live view survives every maintenance op
+    assert(served(Streams.readAffinityIndex(spark, store))
+      == Map((100L, 200L) -> 3L))
   }
 
   test("s_affinity_update: affinityCompactEvery folds automatically mid-stream; replay + serve unchanged") {
