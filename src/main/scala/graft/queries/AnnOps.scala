@@ -1018,11 +1018,21 @@ object AnnOps {
     * hash-seeded Lloyd cell assignment — (vec_id, cell, embedding, nrm).
     * See q_semdedup's Scaladoc for the full determinism contract; the
     * SQL twin of this helper is `semAssignCtes`. */
-  private def semAssigned(s: SparkSession, d: String): DataFrame = {
+  private def semAssigned(s: SparkSession, d: String): DataFrame =
+    semAssignedOf(s, Tables(s, d, "embeddings"))
+
+  /** [[semAssigned]] over an arbitrary (vec_id, embedding) corpus —
+    * round-14: q_semdedup_pipeline runs the SAME assignment over the
+    * exact-deduped vector set, so the helper is parameterized on the
+    * source. By-name so each of the two corpus passes (seed means,
+    * assignment) builds its own plan from the caller's frame. The SQL
+    * twin is `semAssignCtesOf(src)`. */
+  private def semAssignedOf(s: SparkSession,
+      emb0: => DataFrame): DataFrame = {
       import graft.functions.DotProduct
       // live corpus with norms precomputed once (zero-norm rows carry no
       // direction — dropped on both engines, q_dedup_embedding's guard)
-      def emb = Tables(s, d, "embeddings")
+      def emb = emb0
         .select(col("vec_id"), col("embedding"),
           sqrt(DotProduct(s, col("embedding"), col("embedding"))).as("nrm"))
         .filter(col("nrm") > 0)
@@ -1075,33 +1085,80 @@ object AnnOps {
           col("embedding"), col("nrm"))
   }
 
+  /** The q_semdedup verdict over an assigned corpus: within-cell best
+    * smaller-id mate via the width-safe declarative argmax (round 12:
+    * the former 33-bit packed-long max wrapped for mate ids >= 2^33 —
+    * same fix as q_dedup_embedding, caught by the sf1 leg; MaxCosMinId
+    * keeps the codegen'd two-phase HashAggregate with full 64-bit ids).
+    * A vec with no smaller-id mate keeps a null struct -> null
+    * best_mate_id/best_cos, is_semdup false. Shared by q_semdedup and
+    * q_semdedup_pipeline (round 14) — one definition, so the pipeline
+    * cannot disagree with the standalone operator on the stage it
+    * composes. */
+  private def semVerdictsOf(s: SparkSession,
+      assigned: DataFrame): DataFrame = {
+    import graft.functions.{DotProduct, MaxCosMinId}
+    val mates = assigned.select(col("vec_id").as("mid"), col("cell"),
+      col("embedding").as("memb"), col("nrm").as("mnrm"))
+    val best = assigned.join(mates, "cell")
+      .filter(col("vec_id") > col("mid"))
+      .select(col("vec_id"),
+        round(DotProduct(s, col("embedding"), col("memb"))
+          / (col("nrm") * col("mnrm")) * 1e6, 0).cast("long").as("ci"),
+        col("mid"))
+      .groupBy("vec_id")
+      .agg(MaxCosMinId(s, col("ci"), col("mid")).as("best"))
+    assigned.select("vec_id", "cell").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("best.id").as("best_mate_id"),
+        (col("best.cos").cast("double") / 1e6).as("best_cos"),
+        coalesce(col("best.cos") >= 400000L, lit(false))
+          .as("is_semdup"))
+  }
+
   private val semQ: Map[String, Q] = Map(
-    "q_semdedup" -> ((s, d) => {
-      import graft.functions.DotProduct
-      val assigned = semAssigned(s, d)
-      // within-cell best smaller-id mate via the width-safe declarative
-      // argmax (round 12: the former 33-bit packed-long max wrapped for
-      // mate ids >= 2^33 — same fix as q_dedup_embedding, caught by the
-      // sf1 leg; MaxCosMinId keeps the codegen'd two-phase HashAggregate
-      // with full 64-bit ids). A vec with no smaller-id mate keeps a null
-      // struct -> null best_mate_id/best_cos, is_semdup false.
-      import graft.functions.MaxCosMinId
-      val mates = assigned.select(col("vec_id").as("mid"), col("cell"),
-        col("embedding").as("memb"), col("nrm").as("mnrm"))
-      val best = assigned.join(mates, "cell")
-        .filter(col("vec_id") > col("mid"))
-        .select(col("vec_id"),
-          round(DotProduct(s, col("embedding"), col("memb"))
-            / (col("nrm") * col("mnrm")) * 1e6, 0).cast("long").as("ci"),
-          col("mid"))
-        .groupBy("vec_id")
-        .agg(MaxCosMinId(s, col("ci"), col("mid")).as("best"))
-      assigned.select("vec_id", "cell").join(best, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          col("best.id").as("best_mate_id"),
-          (col("best.cos").cast("double") / 1e6).as("best_cos"),
-          coalesce(col("best.cos") >= 400000L, lit(false))
-            .as("is_semdup"))
+    "q_semdedup" -> ((s, d) =>
+      semVerdictsOf(s, semAssigned(s, d)).orderBy("vec_id")),
+
+    // ── SemDeDup pipeline: exact-first ordering as a contract (round 14,
+    // the embedding twin of q_dedup_pipeline) ────────────────────────
+    // The round-13 sf1 leg measured q_semdedup at 17.9x on 10x data for
+    // the same reason the text near-dup family once read 16-22x: the
+    // replicated fixture feeds byte-identical vector copies straight
+    // into the cell pair join, so replica-dense cells grow the
+    // within-cell pair volume quadratically in per-vector duplication.
+    // The declared composition order collapses it: (1) EXACT vector
+    // dedup — group by the embedding array itself (byte-identical
+    // replicas agree on IEEE float equality on both engines; no digest
+    // arithmetic to drift), canonical = lowest vec_id, one hash shuffle
+    // over the corpus; (2) the SAME semAssignedOf + semVerdictsOf
+    // stages q_semdedup runs, restricted to canonical vectors — pair
+    // volume returns to the distinct-vector load; (3) per-vector
+    // verdict: every replica maps to its canonical (canonical_id), and
+    // keep = exact-canonical with no smaller-id semantic mate (the same
+    // greedy-by-id rule as the pair convention). Scale shape: one
+    // array-keyed shuffle over the corpus, then every downstream stage
+    // runs on distinct vectors only.
+    "q_semdedup_pipeline" -> ((s, d) => {
+      val w = Window.partitionBy("embedding")
+      val tagged = par(Tables(s, d, "embeddings"))
+        .select("vec_id", "embedding")
+        .withColumn("rn", row_number().over(w.orderBy("vec_id")))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .withColumn("canonical_id", min("vec_id").over(w))
+      val canon = tagged.filter(col("rn") === 1)
+        .select("vec_id", "embedding")
+      val sem = semVerdictsOf(s, semAssignedOf(s, canon))
+      tagged
+        .select(col("vec_id"), col("n_copies"),
+          (col("rn") === 1).as("exact_canonical"), col("canonical_id"))
+        .join(sem, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("n_copies"), col("exact_canonical"),
+          col("canonical_id"), col("cell"), col("best_mate_id"),
+          col("best_cos"),
+          coalesce(col("is_semdup"), lit(false)).as("is_semdup"),
+          (col("exact_canonical")
+            && !coalesce(col("is_semdup"), lit(false))).as("keep"))
         .orderBy("vec_id")
     }),
 
@@ -1320,11 +1377,15 @@ object AnnOps {
     * (ce/norms/live through assign), embedded by the q_semdedup and
     * q_knn_classify oracles like `clusterCtes` is for the cluster
     * family. */
-  private val semAssignCtes =
-    """ce AS (
+  /** SQL twin of [[semAssignedOf]], parameterized on the source CTE —
+    * `semAssignCtes` (the `embeddings` instance) twins q_semdedup /
+    * q_knn_classify / q_cluster_summary; q_semdedup_pipeline instantiates
+    * it over its exact-deduped `canon` CTE. */
+  private def semAssignCtesOf(src: String) =
+    s"""ce AS (
       |  SELECT vec_id, unnest(embedding) AS v,
       |         generate_subscripts(embedding, 1) AS i
-      |  FROM embeddings),
+      |  FROM $src),
       |norms AS (
       |  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
       |           AS nrm
@@ -1366,6 +1427,8 @@ object AnnOps {
       |            AS rn
       |        FROM dots d0 JOIN cn ON cn.b = d0.cell) d
       |  WHERE d.rn = 1)""".stripMargin
+
+  private val semAssignCtes = semAssignCtesOf("embeddings")
 
   val oracle: Map[String, String] = Map(
     // Shares the exact ground truth: LSH recall at the fixture's J-margin
@@ -1573,6 +1636,52 @@ object AnnOps {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY ca.vec_id
         |  ORDER BY s.cos6 DESC, s.mid ASC) = 1
         |ORDER BY ca.vec_id""".stripMargin,
+
+    // The composition oracle (round 14): exact-first vector dedup as a
+    // window over the embedding list itself, then the SAME assignment +
+    // verdict twins as q_semdedup instantiated over the deduped `canon`
+    // CTE — so the end-to-end ordering contract is hash-checked, not
+    // just its stages.
+    "q_semdedup_pipeline" ->
+      s"""WITH ex AS (
+        |  SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (PARTITION BY embedding ORDER BY vec_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY embedding) AS n_copies,
+        |    MIN(vec_id) OVER (PARTITION BY embedding) AS canonical_id
+        |  FROM embeddings),
+        |canon AS (SELECT vec_id, embedding FROM ex WHERE rn = 1),
+        |${semAssignCtesOf("canon")},
+        |emb2 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embd
+        |  FROM canon),
+        |pd AS (
+        |  SELECT ca.vec_id AS vid, cb.vec_id AS mid,
+        |         list_dot_product(ea.embd, eb.embd) AS dot
+        |  FROM assign ca
+        |  JOIN assign cb ON cb.cell = ca.cell AND ca.vec_id > cb.vec_id
+        |  JOIN emb2 ea ON ea.vec_id = ca.vec_id
+        |  JOIN emb2 eb ON eb.vec_id = cb.vec_id),
+        |scored AS (
+        |  SELECT p.vid, p.mid,
+        |         round(p.dot / (na.nrm * nb.nrm), 6) AS cos6
+        |  FROM pd p
+        |  JOIN norms na ON na.vec_id = p.vid
+        |  JOIN norms nb ON nb.vec_id = p.mid),
+        |sem AS (
+        |  SELECT ca.vec_id, ca.cell, s.mid AS best_mate_id,
+        |         s.cos6 AS best_cos,
+        |         COALESCE(s.cos6 >= 0.4, FALSE) AS is_semdup
+        |  FROM assign ca LEFT JOIN scored s ON s.vid = ca.vec_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY ca.vec_id
+        |    ORDER BY s.cos6 DESC, s.mid ASC) = 1)
+        |SELECT e.vec_id, e.n_copies, e.rn = 1 AS exact_canonical,
+        |       e.canonical_id, m.cell, m.best_mate_id, m.best_cos,
+        |       COALESCE(m.is_semdup, FALSE) AS is_semdup,
+        |       (e.rn = 1 AND NOT COALESCE(m.is_semdup, FALSE)) AS keep
+        |FROM ex e LEFT JOIN sem m ON m.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // k-NN classification twin: identical cell assignment, identical
     // h60-mod-100 split, identical (cos6 desc, id asc) neighbor rank

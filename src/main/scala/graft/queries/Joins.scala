@@ -321,18 +321,35 @@ object Joins {
     // key is the shuffle key, the O(len²) distance runs once per
     // distinct folded-name pair, and the row fan-out is an equi join
     // proportional to matches — never all-pairs, never per-replica.
+    // Round-14 re-plan (r13 verdict #4): the former election ran a
+    // row_number + count window over the ROW-LEVEL candidate stream
+    // (dirtyRows x verified x masterRows), so the shuffled volume grew
+    // with per-entity duplication squared — 3.88x on the 3x sf1->sf3
+    // step purely from counting fanned rows. Every output column is
+    // algebraic at the DISTINCT-NAME level: per verified (d_fold,
+    // m_fold) pair the master-row multiplicity and min key come from
+    // one master-side aggregate, then per d_fold
+    //   n_cand    = SUM(master multiplicity)        (count of row cands)
+    //   best pair = MIN(struct(lev, master min-key)) (lexicographic =
+    //               min lev, then min key — the window's exact order)
+    // and ONE 1:1 equi-join fans the verdict to import rows. No
+    // row-level candidate stream exists anywhere; the only fan-out is
+    // proportional to import rows. Emitted schema and oracle unchanged.
     "q_record_linkage" -> ((s, d) => {
-      val cand = linkageCandidates(s, d)
-      val w = Window.partitionBy("import_id")
-        .orderBy(col("lev").asc, col("c_custkey").asc)
-      cand
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_cand",
-          count(lit(1)).over(Window.partitionBy("import_id")))
-        .filter(col("rn") === 1)
-        .select(col("import_id"), col("c_custkey").as("matched_key"),
-          col("lev").as("best_lev"), col("n_cand"),
-          (col("c_custkey") === col("import_id")).as("correct"))
+      val (dirtyRows, masterRows, verified) = linkageNameGraph(s, d)
+      val mAgg = masterRows
+        .groupBy("blk_nat", "blk_seg", "m_fold")
+        .agg(count(lit(1)).as("m_rows"), min("c_custkey").as("m_min"))
+      val perName = verified
+        .join(mAgg, Seq("blk_nat", "blk_seg", "m_fold"))
+        .groupBy("blk_nat", "blk_seg", "d_fold")
+        .agg(sum("m_rows").as("n_cand"),
+          min(struct(col("lev"), col("m_min"))).as("best"))
+      dirtyRows
+        .join(perName, Seq("blk_nat", "blk_seg", "d_fold"))
+        .select(col("import_id"), col("best.m_min").as("matched_key"),
+          col("best.lev").as("best_lev"), col("n_cand"),
+          (col("best.m_min") === col("import_id")).as("correct"))
         .orderBy("import_id")
     }),
 

@@ -522,6 +522,60 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("q_semdedup_pipeline: degenerates to q_semdedup on a dup-free corpus; replica-invariant kept set") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // fixture precondition for the degeneracy leg: every vector distinct
+    val n = emb.count()
+    assert(emb.select("embedding").distinct().count() == n,
+      "sf0.001 embeddings carry exact duplicates — degeneracy leg void")
+    val pipe = SparkEntry.queries("q_semdedup_pipeline")(spark, sf).collect()
+    assert(pipe.length == n, "one verdict row per vector (incl. zero-norm)")
+    // (1) dup-free degeneracy: the semdedup stage must be EXACTLY the
+    // standalone operator — same cells, mates, cosines, verdicts.
+    val sem = SparkEntry.queries("q_semdedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    pipe.foreach { r =>
+      assert(r.getBoolean(2), "dup-free corpus: every row exact-canonical")
+      assert(r.getLong(1) == 1L && r.getLong(3) == r.getLong(0))
+      sem.get(r.getLong(0)) match {
+        case Some(sr) => // live vector: sem columns must agree
+          assert(r.getLong(4) == sr.getLong(1), s"cell drifted: $r")
+          assert(r.isNullAt(5) == sr.isNullAt(2)
+            && (r.isNullAt(5) || r.getLong(5) == sr.getLong(2)))
+          assert(r.getBoolean(7) == sr.getBoolean(4))
+          assert(r.getBoolean(8) == !sr.getBoolean(4), s"keep rule: $r")
+        case None => // zero-norm: unassigned, never a semdup, kept
+          assert(r.isNullAt(4) && !r.getBoolean(7) && r.getBoolean(8))
+      }
+    }
+    // (2) replica invariance — THE sf1-inflation counter-proof: adding a
+    // byte-identical copy of every vector must change NOTHING about
+    // which vectors are kept, because the semdedup stage runs on the
+    // exact-deduped set (q_dedup_pipeline's 1.04x mechanism, embedding
+    // side).
+    val off = 10000000000L
+    val fix = java.nio.file.Files.createTempDirectory("graft-sempipe")
+      .toString
+    emb.unionByName(emb.withColumn("vec_id", col("vec_id") + off))
+      .coalesce(1).write.parquet(s"$fix/embeddings.parquet")
+    val rep = SparkEntry.queries("q_semdedup_pipeline")(spark, fix)
+      .collect()
+    assert(rep.length == 2 * n)
+    rep.foreach { r =>
+      assert(r.getLong(1) == 2L, s"every group has exactly 2 copies: $r")
+      if (r.getLong(0) >= off) { // replica: dropped by the exact stage
+        assert(!r.getBoolean(2) && !r.getBoolean(8), s"replica kept: $r")
+        assert(r.getLong(3) == r.getLong(0) - off,
+          s"replica maps to its original: $r")
+      }
+    }
+    def kept(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getBoolean(8)).map(_.getLong(0)).toSet
+    assert(kept(rep) == kept(pipe),
+      "replication changed the kept canonical set")
+  }
+
   test("q_knn_classify: split, votes, and prediction mechanics") {
     val rows = SparkEntry.queries("q_knn_classify")(spark, sf).collect()
     assert(rows.nonEmpty)

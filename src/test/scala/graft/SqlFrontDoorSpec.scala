@@ -118,6 +118,123 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(zsql == viaDf("q_zorder_layout"))
   }
 
+  // ── Family completeness sweep (round-13 verdict #5) ────────────────
+  // A migrating user's first question is whether the WHOLE surface is
+  // reachable from SQL text. One representative key per operator family
+  // runs as pure `spark.sql` + GraftExtensions and must be row-identical
+  // to its DataFrame original. Together with the standalone legs above
+  // (relational: q_agg_group; ANN serving: q_similarity_cosine via the
+  // injected cosine_sim; sampling: q_sample_hash via graft_h60;
+  // curation-audit/layout: q_k_anonymity + q_zorder_layout), every
+  // family of SURVEY.md §2 has a SQL-front-door proof.
+  test("family sweep: one representative key per family runs as pure SQL text") {
+    val sweep: Seq[(String, String, String)] = Seq(
+      ("joins", "q_join_anti",
+        """SELECT c_custkey, c_name, c_acctbal
+          |FROM customer
+          |LEFT ANTI JOIN (SELECT o_custkey FROM orders
+          |                WHERE o_totalprice > 400000) o
+          |  ON c_custkey = o.o_custkey
+          |ORDER BY c_custkey""".stripMargin),
+      ("windows", "q_win_lag_lead",
+        """SELECT event_id, user_id,
+          |  date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s, value,
+          |  lag(value, 1, -1.0) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_val,
+          |  lead(value, 1, -1.0) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_val
+          |FROM events
+          |ORDER BY event_id""".stripMargin),
+      ("cdc", "q_cdc_latest_by_key",
+        """WITH o AS (
+          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |  FROM orders),
+          |versions AS (
+          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |         o_orderkey * 10 AS updated, FALSE AS deleted
+          |  FROM o
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey, 'U', o_totalprice + 1000.0D,
+          |         o_orderkey * 10 + 1, FALSE
+          |  FROM o WHERE o_orderkey % 3 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS STRING),
+          |         CAST(NULL AS DOUBLE), o_orderkey * 10 + 2, TRUE
+          |  FROM o WHERE o_orderkey % 10 = 0),
+          |latest AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+          |    ORDER BY updated DESC) AS rn
+          |  FROM versions)
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |       updated
+          |FROM latest WHERE rn = 1 AND NOT deleted
+          |ORDER BY o_orderkey""".stripMargin),
+      ("dedup", "q_dedup_exact",
+        """WITH d AS (
+          |  SELECT doc_id, lang, source,
+          |    md5(CAST(lower(trim(text)) AS BINARY)) AS digest
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, digest, lang, source,
+          |    ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id)
+          |      AS rn,
+          |    COUNT(*) OVER (PARTITION BY digest) AS n_copies
+          |  FROM d)
+          |SELECT doc_id, digest, lang, source, n_copies
+          |FROM w WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin),
+      ("graph", "q_degree_hist",
+        """WITH inc AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem),
+          |pairs AS (
+          |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS co
+          |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+          |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+          |deg AS (
+          |  SELECT pk, COUNT(*) AS degree FROM (
+          |    SELECT p1 AS pk FROM pairs
+          |    UNION ALL SELECT p2 AS pk FROM pairs)
+          |  GROUP BY pk),
+          |tot AS (SELECT COUNT(*) AS n_nodes_total FROM deg),
+          |binned AS (
+          |  SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+          |         degree
+          |  FROM deg)
+          |SELECT bucket,
+          |  shiftleft(1L, CAST(bucket AS INT)) AS bucket_lo,
+          |  shiftleft(1L, CAST(bucket + 1 AS INT)) - 1 AS bucket_hi,
+          |  COUNT(*) AS n_nodes,
+          |  MIN(degree) AS min_degree, MAX(degree) AS max_degree,
+          |  round(CAST(COUNT(*) AS DOUBLE) / n_nodes_total, 6) AS share
+          |FROM binned CROSS JOIN tot
+          |GROUP BY bucket, n_nodes_total
+          |ORDER BY bucket""".stripMargin),
+      ("curation", "q_pii_redact",
+        """WITH t AS (
+          |  SELECT c_custkey,
+          |    concat(c_mktsegment, ' contact ',
+          |      lower(regexp_replace(c_name, '[^A-Za-z0-9]', '')),
+          |      '@mail.example phone 555-',
+          |      lpad(CAST(pmod(c_custkey, 10000) AS STRING), 4, '0'),
+          |      ' ref ', c_name) AS contact
+          |  FROM customer)
+          |SELECT c_custkey,
+          |  CAST(regexp_count(contact, '[a-z0-9.]+@[a-z0-9.]+') AS BIGINT)
+          |    AS n_emails,
+          |  CAST(regexp_count(contact, '555-[0-9]{4}') AS BIGINT)
+          |    AS n_phones,
+          |  regexp_replace(
+          |    regexp_replace(contact, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'),
+          |    '555-[0-9]{4}', '<PHONE>') AS redacted
+          |FROM t
+          |ORDER BY c_custkey""".stripMargin))
+    sweep.foreach { case (family, key, text) =>
+      assert(viaSql(text) == viaDf(key),
+        s"family $family: SQL text for $key drifted from the DataFrame")
+    }
+  }
+
   test("registerTables exposes every engine table to SQL text") {
     GraftSql.registerTables(spark, sf)
     Tables.names.foreach { n =>
