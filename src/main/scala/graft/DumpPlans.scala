@@ -13,7 +13,8 @@ object DumpPlans {
     "q_decontaminate", "q_pack_sequences", "q_outlier_zscore",
     "q_ks_drift", "q_join_bucketed", "q_scan_partition_pruned",
     "q_dedup_incremental", "q_ann_ivfpq", "q_source_orc", "q_semdedup",
-    "q_record_linkage", "q_dedup_fuzzy_edit", "q_bm25_search",
+    "q_record_linkage", "q_semdedup_pipeline", "q_dedup_fuzzy_edit",
+    "q_bm25_search",
     "q_rfm_segments", "q_win_rolling_time", "q_distinct_incremental",
     // graph + series families (q_pagerank / q_graph_components stay
     // hand-audited: with the eager checkpoints disabled for plan dumps

@@ -1138,18 +1138,26 @@ object AnnOps {
     // keep = exact-canonical with no smaller-id semantic mate (the same
     // greedy-by-id rule as the pair convention). Scale shape: one
     // array-keyed shuffle over the corpus, then every downstream stage
-    // runs on distinct vectors only.
+    // runs on distinct vectors only. The tagged frame is persistEager'd
+    // (the q_dedup_minhash convention): the sem stages reference their
+    // input ~5x (seed means, assignment, both pair-join sides, verdict
+    // left side), and over a raw table each reference is a cheap
+    // re-scan, but HERE each would re-run the corpus-wide array-keyed
+    // window — the first dump of this plan showed four full
+    // Exchange+Sort+Window pyramids. With the cache the window executes
+    // once; materializeAndFree releases it behind the checkpointed
+    // verdict rows.
     "q_semdedup_pipeline" -> ((s, d) => {
       val w = Window.partitionBy("embedding")
-      val tagged = par(Tables(s, d, "embeddings"))
+      val tagged = persistEager(par(Tables(s, d, "embeddings"))
         .select("vec_id", "embedding")
         .withColumn("rn", row_number().over(w.orderBy("vec_id")))
         .withColumn("n_copies", count(lit(1)).over(w))
-        .withColumn("canonical_id", min("vec_id").over(w))
+        .withColumn("canonical_id", min("vec_id").over(w)))
       val canon = tagged.filter(col("rn") === 1)
         .select("vec_id", "embedding")
       val sem = semVerdictsOf(s, semAssignedOf(s, canon))
-      tagged
+      val out = tagged
         .select(col("vec_id"), col("n_copies"),
           (col("rn") === 1).as("exact_canonical"), col("canonical_id"))
         .join(sem, Seq("vec_id"), "left")
@@ -1160,6 +1168,7 @@ object AnnOps {
           (col("exact_canonical")
             && !coalesce(col("is_semdup"), lit(false))).as("keep"))
         .orderBy("vec_id")
+      materializeAndFree(out, tagged)
     }),
 
     // Embedding-space label classification (round 7) — the
