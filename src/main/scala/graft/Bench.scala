@@ -61,6 +61,42 @@ object Bench {
     }
     val loadStart = osBean.getSystemLoadAverage
     val loadWarn = loadStart >= warnThreshold
+    // Concurrent-bench detection (round 14): a zombie bench JVM surviving
+    // a killed wrapper script once ran alongside a relaunched gate chain
+    // for 90 minutes — every pass measured ~1.7x slow with QUIET loadavg
+    // at launch (the two JVMs' quiet-wait phases interleaved), and only
+    // process forensics caught it. Loadavg cannot see this reliably, so
+    // the record carries it explicitly: count OTHER JVMs whose cmdline
+    // mentions graft.Bench at measurement start. Readers treat
+    // concurrent_bench > 0 exactly like load_warn=true. Best-effort /proc
+    // scan; on a non-procfs host it records 0 rather than failing a run.
+    // NB the match targets the sbt LAUNCHER cmdline ("runMain
+    // graft.Bench"); the forked measurement JVM itself hides its args in
+    // an @argsfile. Self's own launcher is an ancestor, so the ancestor
+    // chain is excluded rather than just the self pid.
+    val concurrentBench =
+      try {
+        import scala.jdk.CollectionConverters._
+        var ancestors = Set(ProcessHandle.current().pid())
+        var ph = ProcessHandle.current().parent()
+        while (ph.isPresent) {
+          ancestors += ph.get.pid(); ph = ph.get.parent()
+        }
+        java.nio.file.Files.list(java.nio.file.Paths.get("/proc")).iterator
+          .asScala
+          .filter(p => p.getFileName.toString.forall(_.isDigit))
+          .filterNot(p => ancestors.contains(p.getFileName.toString.toLong))
+          .count { p =>
+            try {
+              val cmd = new String(java.nio.file.Files.readAllBytes(
+                p.resolve("cmdline")), "UTF-8")
+              cmd.contains("graft.Bench")
+            } catch { case _: Exception => false }
+          }
+      } catch { case _: Exception => 0 }
+    if (concurrentBench > 0)
+      System.err.println(s"[bench] WARNING: $concurrentBench other " +
+        "graft.Bench JVM(s) running — timings will be contaminated")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -159,7 +195,7 @@ object Bench {
       if (only.isEmpty) ""
       else only.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(",\"only\":[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs$onlyField,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"load_warn_threshold":$warnThreshold,"waited_quiet_sec":$waitedSec,"cpus":$cpus,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs$onlyField,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"load_warn_threshold":$warnThreshold,"waited_quiet_sec":$waitedSec,"concurrent_bench":$concurrentBench,"cpus":$cpus,"sf":"$sfDir"}"""
     // Durable artifact (round-9 ADVICE): BENCH_r09's stdout tail arrived
     // front-truncated, losing half the timing map. The file is the record;
     // stdout is a convenience copy.
