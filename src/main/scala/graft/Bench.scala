@@ -23,6 +23,35 @@ import org.apache.spark.sql.SparkSession
   *    rare one-query smear.
   */
 object Bench {
+  /** Does a /proc cmdline (NUL-separated argv) belong to a CONCURRENT
+    * bench launcher? Round-14 advice: the old bare `contains
+    * ("graft.Bench")` matched any process whose argv merely mentioned
+    * the string — `pgrep -f graft.Bench`, `grep`, an editor on a log —
+    * so a clean run could be stamped contaminated. The rule here
+    * requires BOTH a launcher executable (argv[0] basename java/sbt, or
+    * a shell whose argv[1] is the sbt script) AND a bench target token:
+    * `runMain graft.Bench[...]` as sbt passes it, or a bare
+    * `graft.Bench[...]` class argv entry for a direct java launch.
+    * `graft.BenchStreaming` matches DELIBERATELY — a concurrent
+    * streaming bench contaminates batch timings exactly like a batch
+    * one (round-14 verdict #7 pins this choice). Unit-tested in
+    * BenchMatcherSpec. */
+  private[graft] def isBenchLauncherCmdline(cmdNul: String): Boolean = {
+    val argv = cmdNul.split('\u0000').filter(_.nonEmpty)
+    if (argv.isEmpty) false
+    else {
+      def base(t: String) = t.substring(t.lastIndexOf('/') + 1)
+      val exe = base(argv.head)
+      val launcher = exe == "java" || exe == "sbt" ||
+        ((exe == "bash" || exe == "sh") &&
+          argv.lift(1).exists(base(_) == "sbt"))
+      val target = argv.exists(a =>
+        a.matches("""(?s).*runMain\s+graft\.Bench.*""") ||
+          a.startsWith("graft.Bench"))
+      launcher && target
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // cpus must be known BEFORE the session exists (master URL), so it
     // stays env-only; everything post-session reads GraftConfig (R15).
@@ -73,29 +102,38 @@ object Bench {
     // NB the match targets the sbt LAUNCHER cmdline ("runMain
     // graft.Bench"); the forked measurement JVM itself hides its args in
     // an @argsfile. Self's own launcher is an ancestor, so the ancestor
-    // chain is excluded rather than just the self pid.
-    val concurrentBench =
+    // chain is excluded rather than just the self pid. Sampled at BOTH
+    // ends of the run (round-14 advice: a single pre-session sample never
+    // sees a zombie launched mid-run) — the record carries the max.
+    val benchAncestors: Set[Long] = {
+      var ancestors = Set(ProcessHandle.current().pid())
+      var ph = ProcessHandle.current().parent()
+      while (ph.isPresent) {
+        ancestors += ph.get.pid(); ph = ph.get.parent()
+      }
+      ancestors
+    }
+    def scanConcurrentBench(): Int =
       try {
         import scala.jdk.CollectionConverters._
-        var ancestors = Set(ProcessHandle.current().pid())
-        var ph = ProcessHandle.current().parent()
-        while (ph.isPresent) {
-          ancestors += ph.get.pid(); ph = ph.get.parent()
-        }
-        java.nio.file.Files.list(java.nio.file.Paths.get("/proc")).iterator
-          .asScala
-          .filter(p => p.getFileName.toString.forall(_.isDigit))
-          .filterNot(p => ancestors.contains(p.getFileName.toString.toLong))
-          .count { p =>
-            try {
-              val cmd = new String(java.nio.file.Files.readAllBytes(
-                p.resolve("cmdline")), "UTF-8")
-              cmd.contains("graft.Bench")
-            } catch { case _: Exception => false }
-          }
+        val procs = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        try {
+          procs.iterator.asScala
+            .filter(p => p.getFileName.toString.forall(_.isDigit))
+            .filterNot(p =>
+              benchAncestors.contains(p.getFileName.toString.toLong))
+            .count { p =>
+              try {
+                isBenchLauncherCmdline(new String(
+                  java.nio.file.Files.readAllBytes(p.resolve("cmdline")),
+                  "UTF-8"))
+              } catch { case _: Exception => false }
+            }
+        } finally procs.close()
       } catch { case _: Exception => 0 }
-    if (concurrentBench > 0)
-      System.err.println(s"[bench] WARNING: $concurrentBench other " +
+    val concurrentBenchStart = scanConcurrentBench()
+    if (concurrentBenchStart > 0)
+      System.err.println(s"[bench] WARNING: $concurrentBenchStart other " +
         "graft.Bench JVM(s) running — timings will be contaminated")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -191,6 +229,10 @@ object Bench {
     // identical binaries by 4-7x between rounds; loadavg at both ends lets
     // a reader adjudicate "regression vs noisy host" without a judge.
     val loadEnd = osBean.getSystemLoadAverage
+    // Max of the start/end scans: a zombie launched mid-run is invisible
+    // to the start sample but contaminated every pass it overlapped.
+    val concurrentBench =
+      math.max(concurrentBenchStart, scanConcurrentBench())
     val onlyField =
       if (only.isEmpty) ""
       else only.toSeq.sorted.map("\"" + _ + "\"")

@@ -114,6 +114,19 @@ object AnnOps {
       .select(col("doc_id"),
         graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
           .as("sh")))
+    val (pairs, handles) = minhashPairsAndOf(docs)
+    (pairs, docs +: handles)
+  }
+
+  /** [[minhashPairsAnd]] over a caller-persisted (doc_id, sh: hash array)
+    * frame — the seam q_dedup_report uses to pay the corpus's
+    * ShingleHash60 pass ONCE across the jaccard/simhash/minhash-cluster
+    * branches (round-14 verdict #5, the d96e96e sharing pattern).
+    * Returned handles cover only the internal banded cache; the caller
+    * owns `docsSh`. */
+  private[queries] def minhashPairsAndOf(
+    docsSh: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val docs = docsSh
     // Persist the banded SKETCH (doc_id, band, bucket — constant bytes
     // per doc) before the self-join: Spark does not reuse the exchange
     // across the two join sides, so without this the whole
@@ -140,7 +153,7 @@ object AnnOps {
           / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-    (pairs, Seq(docs, banded))
+    (pairs, Seq(banded))
   }
 
   // ------------------------------------------------------------- queries
@@ -285,10 +298,20 @@ object AnnOps {
   )
 
   private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val (rawPairs, sketchHandles) = minhashPairsAnd(s, d)
+    dedupClusterFrom(s, d, rawPairs, sketchHandles)
+  }
+
+  /** [[dedupCluster]] from a caller-supplied near-dup pair frame — the
+    * q_dedup_report seam: the report builds the minhash pairs from its
+    * one shared shingle cache and the cluster step must not rebuild
+    * them. `sketchHandles` are unpersisted once the edge list is
+    * checkpointed (pass only handles no other consumer still needs). */
+  private[queries] def dedupClusterFrom(s: SparkSession, d: String,
+      rawPairs: DataFrame, sketchHandles: Seq[DataFrame]): DataFrame = {
       // Materialize the pair pipeline ONCE, then truncate its whole DAG
       // out of the loop's plans (the union references pairs twice, and
       // every round's plan would re-embed it otherwise).
-      val (rawPairs, sketchHandles) = minhashPairsAnd(s, d)
       // eager fill: one pair pass for both union branches
       val pairs = persistEager(rawPairs.select("d1", "d2"))
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
@@ -340,6 +363,33 @@ object AnnOps {
     * q_dedup_cluster's oracle hash is identical with and without it. */
   private[graft] def propagateMinLabels(edges: DataFrame)
       : (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    // Adaptive shuffle width for the loop (round 15): each round is 3-4
+    // tiny shuffles plus a checkpoint, and on a small subgraph the cost
+    // is pure per-task/per-plan overhead — 32-way shuffles of 95k edges
+    // ran the sf0.1 fixpoint at 3.9 s where 1-way runs it at 2.5 s
+    // (profiled). AQE does not coalesce these (the advisory target is
+    // far above the frame sizes but the LogicalRDD leaves re-plan per
+    // round), so size the width explicitly from the edge count the
+    // caller already checkpointed: one partition per ~500k edges,
+    // never more than the session's configured width — at sf3 this is
+    // ~6, on a 100 TB subgraph it is the full configured width, so the
+    // shrink is strictly a small-subgraph fast path. Scoped set/restore
+    // is safe: every job this function runs happens inside it (the
+    // returned labels are checkpointed), so no downstream plan sees the
+    // narrowed setting.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevWidth = spark.conf.get(confKey)
+    val loopWidth = math.max(1L,
+      math.min(prevWidth.toLong, edges.count() / 500000L + 1L))
+    if (loopWidth.toString != prevWidth)
+      spark.conf.set(confKey, loopWidth.toString)
+    try propagateMinLabelsLoop(edges)
+    finally spark.conf.set(confKey, prevWidth)
+  }
+
+  private def propagateMinLabelsLoop(edges: DataFrame)
+      : (DataFrame, Int) = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
@@ -376,6 +426,48 @@ object AnnOps {
     (labels, rounds)
   }
 
+  /** SimHash near-dup pairs from an exploded (doc_id, h) shingle-hash
+    * frame — extracted (round 15) so q_dedup_report can feed it from its
+    * one shared shingle cache instead of paying a second ShingleHash60
+    * corpus pass. Returns the materialized unordered pair list
+    * (d1, d2, hamming); the internal chunked-signature cache is released
+    * before returning. */
+  private[queries] def simhashPairsOf(shEx: DataFrame): DataFrame = {
+    val mask48 = (1L << 48) - 1
+    // b is a Scala literal per agg column, so plain integer shifts work
+    // (and codegen them) — no double math in the hot 48-agg loop.
+    val bitAggs = (0 until 48).map { b =>
+      sum(shiftright(col("h").bitwiseAND(mask48), b).bitwiseAND(1L))
+        .as(s"b$b")
+    }
+    val sig = shEx.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitAggs: _*)
+      .select(col("doc_id"),
+        (0 until 48).map(b =>
+          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("bits"))
+    // Persisted for the same reason as minhash's banded frame: the
+    // candidate self-join would otherwise run the 48-bit-agg sig
+    // pipeline twice. O(docs x 4) rows of (bits, chunk) — tiny.
+    // eager fill: one sig pass, not a per-side race
+    val chunked = persistEager(sig
+      .select(col("doc_id"), col("bits"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("bits"), c * 12).bitwiseAND(0xFFFL)): _*)))
+      .withColumnRenamed("col", "v").withColumnRenamed("pos", "c"))
+    val pairs = chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        bit_count(col("a.bits").bitwiseXOR(col("b.bits"))) <= 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.bits").bitwiseXOR(col("b.bits")))
+          .cast("long").as("hamming"))
+      .dropDuplicates("d1", "d2")
+    // Tiny pair list: materialize it so the chunked sketch cache can be
+    // released here rather than leak into the session (round-4 advice).
+    materializeAndFree(pairs, chunked)
+  }
+
   private val sketchQ: Map[String, Q] = Map(
     // 48-bit SimHash via 48 parallel bit-sum aggregates; 4 banding chunks
     // of 12 bits; exact Hamming <= 3 on candidates. The signature is ONE
@@ -385,41 +477,8 @@ object AnnOps {
     // array and computed chunks + Hamming through interpreted
     // higher-order aggregate/zip_with per row/pair: 2.5x slower at sf0.1
     // once each query pays its own sig build — round-4 bench.)
-    "q_dedup_simhash" -> ((s, d) => {
-      val mask48 = (1L << 48) - 1
-      // b is a Scala literal per agg column, so plain integer shifts work
-      // (and codegen them) — no double math in the hot 48-agg loop.
-      val bitAggs = (0 until 48).map { b =>
-        sum(shiftright(col("h").bitwiseAND(mask48), b).bitwiseAND(1L))
-          .as(s"b$b")
-      }
-      val sig = shingleHashes(s, d).groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), bitAggs: _*)
-        .select(col("doc_id"),
-          (0 until 48).map(b =>
-            when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("bits"))
-      // Persisted for the same reason as minhash's banded frame: the
-      // candidate self-join would otherwise run the 48-bit-agg sig
-      // pipeline twice. O(docs x 4) rows of (bits, chunk) — tiny.
-      // eager fill: one sig pass, not a per-side race
-      val chunked = persistEager(sig
-        .select(col("doc_id"), col("bits"),
-          posexplode(array((0 until 4).map(c =>
-            shiftright(col("bits"), c * 12).bitwiseAND(0xFFFL)): _*)))
-        .withColumnRenamed("col", "v").withColumnRenamed("pos", "c"))
-      val pairs = chunked.as("a").join(chunked.as("b"),
-          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          bit_count(col("a.bits").bitwiseXOR(col("b.bits"))) <= 3)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.bits").bitwiseXOR(col("b.bits")))
-            .cast("long").as("hamming"))
-        .dropDuplicates("d1", "d2")
-      // Tiny pair list: materialize it so the chunked sketch cache can be
-      // released here rather than leak into the session (round-4 advice).
-      materializeAndFree(pairs, chunked).orderBy("d1", "d2")
-    }),
+    "q_dedup_simhash" -> ((s, d) =>
+      simhashPairsOf(shingleHashes(s, d)).orderBy("d1", "d2")),
 
     // IVF-bucketed ANN: nprobe=2 of 8 cells (see ivfKnn for the structure;
     // no oracle — approximate; AnnSpec pins nprobe=cells == brute force).

@@ -69,14 +69,32 @@ object LlmOps {
         df.agg(coalesce(agg, lit(0L)).cast("long").as("value"))
           .select(lit(name).as("metric"), col("value"))
       val docs = Tables(s, d, "documents")
-      // jaccard + containment read the SAME shared candidate machinery
-      // (TextOps.shinglePairSized — the single definition all family
-      // members use), so the dashboard pays the shingle pipeline once
-      // and still cannot disagree with the standalone operators; the
-      // tiny sized pair list persists across the two projections.
-      val (sized0, sh) = TextOps.shinglePairSized(s, d)
-      val sized = sized0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Round-15 sharing re-plan (r14 verdict #5): every near-dup branch
+      // of this dashboard — jaccard, containment, simhash, and the
+      // minhash pairs the cluster fixpoint consumes — starts from the
+      // same distinct-3-gram ShingleHash60 pass over the corpus, yet
+      // the round-14 shape re-ran that pass once per family (three
+      // corpus scans + three shingle builds). Now ONE persisted
+      // shingle-ARRAY frame (constant bytes/doc — the minhash sketch
+      // input) feeds all four: the exploded row form both the
+      // jaccard/containment join machinery and the simhash bit-sums
+      // read is itself persisted once (derived by a map-side explode of
+      // the array cache), and the cluster step reuses the minhash pairs
+      // built from the same arrays instead of rebuilding its own
+      // pipeline via q_dedup_cluster. Composition still cannot drift:
+      // each branch runs the SAME extracted definitions
+      // (shinglePairSizedFromSh / simhashPairsOf / minhashPairsAndOf /
+      // dedupClusterFrom) the standalone operators delegate to.
+      val docsArr = persistEager(par(docs)
+        .select(col("doc_id"),
+          graft.functions.ShingleHash60(s, col("text"), 3,
+            distinct = true).as("sh")))
+      val (sized0, sh) = TextOps.shinglePairSizedFromSh(s,
+        docsArr.select(col("doc_id"), explode(col("sh")).as("s")))
+      // persistEager (not a bare lazy persist): respects the
+      // plan-inspection escape hatch, so digest sessions see the real
+      // pipeline instead of an InMemoryRelation stub.
+      val sized = persistEager(sized0)
       val jac = sized
         .select(round(col("inter").cast("double")
           / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
@@ -86,22 +104,25 @@ object LlmOps {
         .unionByName(sized.select(
           round(col("inter").cast("double") / col("n2"), 6).as("c")))
         .filter(col("c") >= 0.85)
-      // one cluster build serves both cluster metrics (the operator
-      // returns a materialized frame — reuse it, don't rebuild it)
-      val cl = AnnOps.q("q_dedup_cluster")(s, d)
+      // simhash bit-sums over the SAME persisted exploded rows
+      val sim = AnnOps.simhashPairsOf(
+        sh.select(col("doc_id"), col("s").as("h")))
+      // one cluster build serves both cluster metrics; its minhash edge
+      // pairs ride the shared array cache (banded handle freed inside)
+      val (mhPairs, mhHandles) = AnnOps.minhashPairsAndOf(docsArr)
+      val cl = AnnOps.dedupClusterFrom(s, d, mhPairs, mhHandles)
       val out = m("n_docs", count(lit(1)), docs)
         .unionByName(m("exact_dup_docs", sum(col("n_copies") - 1),
           q("q_dedup_exact")(s, d)))
         .unionByName(m("jaccard_pairs", count(lit(1)), jac))
         .unionByName(m("containment_pairs", count(lit(1)), cont))
-        .unionByName(m("simhash_pairs", count(lit(1)),
-          AnnOps.q("q_dedup_simhash")(s, d)))
+        .unionByName(m("simhash_pairs", count(lit(1)), sim))
         .unionByName(m("near_dup_clusters", countDistinct(col("cluster_id")),
           cl.filter(col("cluster_size") > 1)))
         .unionByName(m("near_dup_drop_docs", count(lit(1)),
           cl.filter(!col("is_canonical"))))
         .orderBy("metric")
-      graft.queries.materializeAndFree(out, sh, sized)
+      graft.queries.materializeAndFree(out, sh, sized, docsArr)
     }),
 
     // ── Dedup pipeline: exact-first ordering as a contract (round 13) ─

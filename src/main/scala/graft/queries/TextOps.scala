@@ -98,13 +98,25 @@ object TextOps {
     * load). Same capped/exact machinery, same returned (sized, sh). */
   private[queries] def shinglePairSizedOf(
       s: org.apache.spark.sql.SparkSession,
-      docs: DataFrame): (DataFrame, DataFrame) = {
-    val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
-    // eager fill: one md5 pass for all reads
-    val sh = persistEager(docs
+      docs: DataFrame): (DataFrame, DataFrame) =
+    shinglePairSizedFromSh(s, docs
       .select(col("doc_id"),
         explode(graft.functions.ShingleHash60(s, col("text"), 3,
           distinct = true)).as("s")))
+
+  /** [[shinglePairSizedOf]] from a caller-chosen LAZY exploded
+    * (doc_id, s) shingle-hash frame — the round-15 q_dedup_report seam:
+    * the report derives `shRaw` by exploding its one persisted
+    * shingle-array cache, so the corpus's ShingleHash60 pass is paid
+    * once across the whole dedup family. This function persists the
+    * exploded rows itself (they are read by the size aggregate and both
+    * join sides) and returns the handle exactly as before. */
+  private[queries] def shinglePairSizedFromSh(
+      s: org.apache.spark.sql.SparkSession,
+      shRaw: DataFrame): (DataFrame, DataFrame) = {
+    val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
+    // eager fill: one md5 pass for all reads
+    val sh = persistEager(shRaw)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = if (cap <= 0) {
       sh.as("a").join(sh.as("b"),

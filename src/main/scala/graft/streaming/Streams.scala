@@ -936,9 +936,29 @@ object Streams {
   }
 
   private def epochParquet(dirs: Seq[java.io.File]): Seq[String] =
-    dirs.flatMap(e => graft.queries.FixtureLayout
-        .manifestedFiles(e.getAbsolutePath)._2)
-      .filter(_.endsWith(".parquet"))
+    dirs.flatMap { e =>
+      try graft.queries.FixtureLayout.manifestedFiles(e.getAbsolutePath)._2
+      catch {
+        case ex: IllegalStateException =>
+          // Vacuum signature vs corruption (round-15, the concurrent
+          // maintenance leg): vacuumAffinityStore keeps an epoch's
+          // MANIFEST but reclaims its v-* data dirs, so a PINNED read
+          // whose base version predates the epoch's fold resolves the
+          // epoch as unfolded and then finds its data gone. Without
+          // this rewrap that read failed with the generic "integrity
+          // violated" — misleading a maintainer toward corruption
+          // forensics when the cause is the declared vacuum horizon.
+          // Only the whole-data-gone shape is the vacuum (a missing or
+          // truncated file inside a PRESENT version dir stays the
+          // integrity error it is).
+          val hasVdir = Option(e.listFiles()).toSeq.flatten
+            .exists(d => d.isDirectory && d.getName.startsWith("v-"))
+          if (!hasVdir) throw new IllegalStateException(
+            s"epoch ${e.getName} was reclaimed by vacuumAffinityStore — " +
+              "a pinned read past the vacuum horizon is impossible", ex)
+          else throw ex
+      }
+    }.filter(_.endsWith(".parquet"))
 
   /** The served pair-index schema, for empty-store reads: must match
     * what [[affinityUpdate]] writes ((p1, p2) part keys, summed count)

