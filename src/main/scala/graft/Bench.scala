@@ -40,17 +40,45 @@ object Bench {
     val argv = cmdNul.split('\u0000').filter(_.nonEmpty)
     if (argv.isEmpty) false
     else {
-      def base(t: String) = t.substring(t.lastIndexOf('/') + 1)
-      val exe = base(argv.head)
+      val exe = baseName(argv.head)
       val launcher = exe == "java" || exe == "sbt" ||
         ((exe == "bash" || exe == "sh") &&
-          argv.lift(1).exists(base(_) == "sbt"))
+          argv.lift(1).exists(baseName(_) == "sbt"))
       val target = argv.exists(a =>
         a.matches("""(?s).*runMain\s+graft\.Bench.*""") ||
           a.startsWith("graft.Bench"))
       launcher && target
     }
   }
+
+  private def baseName(t: String): String =
+    t.substring(t.lastIndexOf('/') + 1)
+
+  /** Forked-measurement-JVM rule (round-15 review): the MOST dangerous
+    * zombie is an orphaned forked JVM whose sbt launcher chain died —
+    * its cmdline is just `java @/tmp/sbt-args….tmp`, carrying no
+    * graft.Bench token, so the launcher rule above calls it clean while
+    * it burns every core (observed live this round: the measurement JVM
+    * is exactly `java @/tmp/sbt-args<digits>.tmp`). Classify by reading
+    * the @argsfile (reader injected for unit tests): exe must be java
+    * AND some argsfile that still exists mentions graft.Bench. A
+    * deleted argsfile stays undetectable — best effort, like the rest
+    * of the /proc scan. */
+  private[graft] def isBenchForkCmdline(cmdNul: String,
+      readArgsfile: String => Option[String]): Boolean = {
+    val argv = cmdNul.split('\u0000').filter(_.nonEmpty)
+    argv.headOption.exists(h => baseName(h) == "java") &&
+      argv.exists(a => a.startsWith("@") && a.length > 1 &&
+        readArgsfile(a.substring(1)).exists(_.contains("graft.Bench")))
+  }
+
+  /** The full concurrent-bench process rule: launcher OR orphaned fork. */
+  private[graft] def isBenchProcess(cmdNul: String): Boolean =
+    isBenchLauncherCmdline(cmdNul) ||
+      isBenchForkCmdline(cmdNul, p =>
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8"))
+        catch { case _: Exception => None })
 
   def main(args: Array[String]): Unit = {
     // cpus must be known BEFORE the session exists (master URL), so it
@@ -99,10 +127,12 @@ object Bench {
     // mentions graft.Bench at measurement start. Readers treat
     // concurrent_bench > 0 exactly like load_warn=true. Best-effort /proc
     // scan; on a non-procfs host it records 0 rather than failing a run.
-    // NB the match targets the sbt LAUNCHER cmdline ("runMain
-    // graft.Bench"); the forked measurement JVM itself hides its args in
-    // an @argsfile. Self's own launcher is an ancestor, so the ancestor
-    // chain is excluded rather than just the self pid. Sampled at BOTH
+    // NB the match covers the sbt LAUNCHER cmdline ("runMain
+    // graft.Bench") AND orphaned forked measurement JVMs (java
+    // @argsfile — classified by reading the argsfile; see
+    // isBenchProcess). Self's own launcher is an ancestor, so the
+    // ancestor chain is excluded rather than just the self pid (self IS
+    // the forked JVM). Sampled at BOTH
     // ends of the run (round-14 advice: a single pre-session sample never
     // sees a zombie launched mid-run) — the record carries the max.
     val benchAncestors: Set[Long] = {
@@ -124,7 +154,7 @@ object Bench {
               benchAncestors.contains(p.getFileName.toString.toLong))
             .count { p =>
               try {
-                isBenchLauncherCmdline(new String(
+                isBenchProcess(new String(
                   java.nio.file.Files.readAllBytes(p.resolve("cmdline")),
                   "UTF-8"))
               } catch { case _: Exception => false }

@@ -110,13 +110,22 @@ object AnnOps {
     // exactly the oracle's semantics: its `inter` CTE equi-joins the
     // hashes too, so the (negligible) collision case matches engines.
     // eager fill before the two verify-join reads
-    val docs = persistEager(par(Tables(s, d, "documents"))
-      .select(col("doc_id"),
-        graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
-          .as("sh")))
+    val docs = persistEager(shingleArrays(s, d))
     val (pairs, handles) = minhashPairsAndOf(docs)
     (pairs, docs +: handles)
   }
+
+  /** (doc_id, sh: distinct 3-gram 60-bit hash array) — THE shingle-array
+    * frame of the dedup family, one definition shared by
+    * [[minhashPairsAnd]] and q_dedup_report's shared cache (round-15
+    * review: two copies of this literal would let the report's metrics
+    * drift from the standalone operators if the shingle parameters ever
+    * changed in one place). Callers persist. */
+  private[queries] def shingleArrays(s: SparkSession, d: String): DataFrame =
+    par(Tables(s, d, "documents"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
+          .as("sh"))
 
   /** [[minhashPairsAnd]] over a caller-persisted (doc_id, sh: hash array)
     * frame — the seam q_dedup_report uses to pay the corpus's
@@ -361,34 +370,19 @@ object AnnOps {
     * frame), so the lookup is a left self-join; the fixpoint —
     * component-min — is unchanged by the shortcut, which is why
     * q_dedup_cluster's oracle hash is identical with and without it. */
+  // NB round 15 briefly narrowed spark.sql.shuffle.partitions for the
+  // loop (one partition per ~500k edges) on the strength of a profiled
+  // 3.9s->2.5s win for the entity-cluster fixpoint on a LOADED host.
+  // The quiet full-suite gate refuted it: every consumer of the MINHASH
+  // cluster fixpoint (q_dedup_cluster, q_dedup_report, q_curation_keep)
+  // regressed ~2x band-normalized while non-narrowed graph loops sat at
+  // the host band — width-1 rounds serialize the per-round edge join on
+  // one core, and the per-task overhead the narrowing saves is smaller
+  // than the parallelism it forfeits. Reverted; it also mutated
+  // session-global conf mid-build (round-15 review finding). Lesson
+  // pinned here: adjudicate loop-width experiments on quiet full-suite
+  // medians, never a targeted-run profile.
   private[graft] def propagateMinLabels(edges: DataFrame)
-      : (DataFrame, Int) = {
-    val spark = edges.sparkSession
-    // Adaptive shuffle width for the loop (round 15): each round is 3-4
-    // tiny shuffles plus a checkpoint, and on a small subgraph the cost
-    // is pure per-task/per-plan overhead — 32-way shuffles of 95k edges
-    // ran the sf0.1 fixpoint at 3.9 s where 1-way runs it at 2.5 s
-    // (profiled). AQE does not coalesce these (the advisory target is
-    // far above the frame sizes but the LogicalRDD leaves re-plan per
-    // round), so size the width explicitly from the edge count the
-    // caller already checkpointed: one partition per ~500k edges,
-    // never more than the session's configured width — at sf3 this is
-    // ~6, on a 100 TB subgraph it is the full configured width, so the
-    // shrink is strictly a small-subgraph fast path. Scoped set/restore
-    // is safe: every job this function runs happens inside it (the
-    // returned labels are checkpointed), so no downstream plan sees the
-    // narrowed setting.
-    val confKey = "spark.sql.shuffle.partitions"
-    val prevWidth = spark.conf.get(confKey)
-    val loopWidth = math.max(1L,
-      math.min(prevWidth.toLong, edges.count() / 500000L + 1L))
-    if (loopWidth.toString != prevWidth)
-      spark.conf.set(confKey, loopWidth.toString)
-    try propagateMinLabelsLoop(edges)
-    finally spark.conf.set(confKey, prevWidth)
-  }
-
-  private def propagateMinLabelsLoop(edges: DataFrame)
       : (DataFrame, Int) = {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))

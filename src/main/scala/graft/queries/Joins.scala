@@ -396,6 +396,11 @@ object Joins {
       val (dirtyRows, masterRows, verified) = linkageNameGraph(s, d)
       // entityHubEdges returns an eagerly-checkpointed frame (its
       // internal caches are freed there), so no extra checkpoint here.
+      // Under the plan-inspection escape hatch it stays LAZY instead
+      // (materializeAndFree no-ops), so a digest session re-executes
+      // the un-cached hub pipeline per fixpoint round — acceptable: the
+      // digest reads the labels' LogicalRDD either way and the digest
+      // fixture is sf0.001.
       val edges = entityHubEdges(dirtyRows, masterRows, verified)
       val (labels, _) = AnnOps.propagateMinLabels(edges)
       val csz = Window.partitionBy("entity_id")

@@ -85,10 +85,7 @@ object LlmOps {
       // each branch runs the SAME extracted definitions
       // (shinglePairSizedFromSh / simhashPairsOf / minhashPairsAndOf /
       // dedupClusterFrom) the standalone operators delegate to.
-      val docsArr = persistEager(par(docs)
-        .select(col("doc_id"),
-          graft.functions.ShingleHash60(s, col("text"), 3,
-            distinct = true).as("sh")))
+      val docsArr = persistEager(AnnOps.shingleArrays(s, d))
       val (sized0, sh) = TextOps.shinglePairSizedFromSh(s,
         docsArr.select(col("doc_id"), explode(col("sh")).as("s")))
       // persistEager (not a bare lazy persist): respects the

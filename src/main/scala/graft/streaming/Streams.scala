@@ -940,22 +940,24 @@ object Streams {
       try graft.queries.FixtureLayout.manifestedFiles(e.getAbsolutePath)._2
       catch {
         case ex: IllegalStateException =>
-          // Vacuum signature vs corruption (round-15, the concurrent
-          // maintenance leg): vacuumAffinityStore keeps an epoch's
-          // MANIFEST but reclaims its v-* data dirs, so a PINNED read
-          // whose base version predates the epoch's fold resolves the
-          // epoch as unfolded and then finds its data gone. Without
-          // this rewrap that read failed with the generic "integrity
-          // violated" — misleading a maintainer toward corruption
-          // forensics when the cause is the declared vacuum horizon.
-          // Only the whole-data-gone shape is the vacuum (a missing or
-          // truncated file inside a PRESENT version dir stays the
-          // integrity error it is).
-          val hasVdir = Option(e.listFiles()).toSeq.flatten
-            .exists(d => d.isDirectory && d.getName.startsWith("v-"))
-          if (!hasVdir) throw new IllegalStateException(
-            s"epoch ${e.getName} was reclaimed by vacuumAffinityStore — " +
-              "a pinned read past the vacuum horizon is impossible", ex)
+          // Vacuum vs corruption (round-15, the concurrent maintenance
+          // leg): vacuumAffinityStore keeps an epoch's MANIFEST but
+          // reclaims its v-* data dirs, so a PINNED read whose base
+          // version predates the epoch's fold resolves the epoch as
+          // unfolded and then finds its data gone. Without this rewrap
+          // that read failed with the generic "integrity violated" —
+          // misleading a maintainer toward corruption forensics when
+          // the cause is the declared vacuum horizon. Classification is
+          // by the VACUUMED tombstone the vacuum records (round-15
+          // review: inferring from "no v-* dirs" would blame genuine
+          // all-data-loss corruption on the vacuum); a reader racing
+          // the delete before the tombstone lands still sees the
+          // integrity error — the documented no-long-lived-readers
+          // window, transient by construction.
+          if (new java.io.File(e, "VACUUMED").isFile)
+            throw new IllegalStateException(
+              s"epoch ${e.getName} was reclaimed by vacuumAffinityStore " +
+                "— a pinned read past the vacuum horizon is impossible", ex)
           else throw ex
       }
     }.filter(_.endsWith(".parquet"))
@@ -1105,6 +1107,15 @@ object Streams {
       val vdirs = Option(dir.listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName.startsWith("v-"))
       vdirs.foreach(deleteRec)
+      // Tombstone AFTER the delete: the fact epochParquet classifies a
+      // pinned read's failure by. Recording what was reclaimed (not
+      // inferring it later from absence) keeps genuine data-loss
+      // corruption distinguishable from the declared vacuum horizon.
+      if (vdirs.nonEmpty)
+        java.nio.file.Files.write(
+          new java.io.File(dir, "VACUUMED").toPath,
+          vdirs.map(_.getName).sorted.mkString("", "\n", "\n")
+            .getBytes("UTF-8"))
       vdirs.map(d => s"$name/${d.getName}")
     }
   }

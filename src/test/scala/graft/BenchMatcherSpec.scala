@@ -77,4 +77,46 @@ class BenchMatcherSpec extends AnyFunSuite {
     assert(!Bench.isBenchLauncherCmdline(""))
     assert(!Bench.isBenchLauncherCmdline(NUL))
   }
+
+  // ── Orphaned forked-JVM rule (round-15 review finding) ─────────────
+
+  private val benchArgs = Some("-cp a.jar:b.jar xsbt.boot.Boot " +
+    "graft.Bench")
+  private val otherArgs = Some("-cp a.jar:b.jar graft.Verify")
+
+  test("orphaned fork: java @argsfile mentioning graft.Bench matches") {
+    assert(Bench.isBenchForkCmdline(
+      cmd("/usr/lib/jvm/java-17/bin/java", "@/tmp/sbt-args123.tmp"),
+      { p => assert(p == "/tmp/sbt-args123.tmp"); benchArgs }))
+  }
+
+  test("fork rule: argsfile for a DIFFERENT main does NOT match") {
+    assert(!Bench.isBenchForkCmdline(
+      cmd("java", "@/tmp/sbt-args1.tmp"), _ => otherArgs))
+  }
+
+  test("fork rule: deleted argsfile is undetectable (no match, no crash)") {
+    assert(!Bench.isBenchForkCmdline(
+      cmd("java", "@/tmp/gone.tmp"), _ => None))
+  }
+
+  test("fork rule: non-java exe with an @token does NOT match") {
+    assert(!Bench.isBenchForkCmdline(
+      cmd("cat", "@/tmp/sbt-args123.tmp"), _ => benchArgs))
+  }
+
+  test("fork rule: java without any @argsfile does NOT match") {
+    assert(!Bench.isBenchForkCmdline(
+      cmd("java", "-cp", "a.jar", "SomeMain"), _ => benchArgs))
+  }
+
+  test("isBenchProcess reads a real argsfile on disk") {
+    val f = java.nio.file.Files.createTempFile("sbt-args", ".tmp")
+    try {
+      java.nio.file.Files.writeString(f, benchArgs.get)
+      assert(Bench.isBenchProcess(cmd("java", s"@$f")))
+      java.nio.file.Files.writeString(f, otherArgs.get)
+      assert(!Bench.isBenchProcess(cmd("java", s"@$f")))
+    } finally java.nio.file.Files.delete(f)
+  }
 }
