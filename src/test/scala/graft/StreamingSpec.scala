@@ -468,6 +468,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterVac == grown, "vacuum changed the served view")
   }
 
+  test("s_affinity_update: vacuum tombstone lands BEFORE the deletes — a crashed vacuum stays classified") {
+    // Round-15 advice: the tombstone used to be written AFTER the v-*
+    // deletes, so a vacuum crash in between left the epoch permanently
+    // misclassified as generic corruption (and a re-vacuum could never
+    // repair it — vdirs was empty by then). Now the tombstone is
+    // written first. Three pins:
+    //  (1) a tombstone with the data still INTACT is harmless — the
+    //      crash window where the write landed but no delete ran;
+    //  (2) after the interrupted vacuum resumes, the pinned-read error
+    //      still names the vacuum;
+    //  (3) a re-vacuum merges rather than erases an earlier tombstone.
+    val in = tmp("affts-in"); val store = tmp("affts-store")
+    val ckpt = tmp("affts-ckpt")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType)))
+    def line(ok: Long, pk: Long) = s"""{"l_orderkey":$ok,"l_partkey":$pk}"""
+    def served() = Streams.readAffinityIndex(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    write(in, "d1.ndjson", Seq(line(1, 100), line(1, 200)))
+    val q = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      q.processAllAvailable()
+      write(in, "d2.ndjson", Seq(line(2, 100), line(2, 200)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streams.compactAffinityStore(spark, store) == 2)
+    // a third epoch + second fold, so base version 1 has a vacuumable
+    // horizon (epoch=2 is unfolded FROM v1's perspective)
+    val q2 = Streams.affinityUpdate(
+      spark.readStream.schema(schema).json(in), store, ckpt)
+    try {
+      write(in, "d3.ndjson", Seq(line(3, 100), line(3, 200)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(Streams.compactAffinityStore(spark, store) == 1)
+    val expected = Map((100L, 200L) -> 3L)
+    // (1) simulate the crash window: tombstone present, data intact
+    val e0 = new java.io.File(store, "epoch=0")
+    val vNames = e0.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+      .map(_.getName).sorted
+    assert(vNames.nonEmpty)
+    java.nio.file.Files.writeString(
+      new java.io.File(e0, "VACUUMED").toPath,
+      vNames.mkString("", "\n", "\n"))
+    assert(served() == expected,
+      "a pre-delete tombstone must not affect reads while data is intact")
+    // the epoch's own manifested files still resolve (integrity path
+    // untouched — the tombstone is consulted only after a failure)
+    assert(graft.queries.FixtureLayout
+      .manifestedFiles(e0.getAbsolutePath)._2.nonEmpty)
+    // (2) the interrupted vacuum resumes: deletes run, tombstone merged
+    val reclaimed = Streams.vacuumAffinityStore(store)
+    assert(reclaimed.exists(_.startsWith("epoch=0/")),
+      s"resume vacuum must reclaim epoch 0's data: $reclaimed")
+    val after = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(e0, "VACUUMED").toPath), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+    assert(after == vNames.toSeq,
+      s"re-vacuum must merge, not erase, the tombstone: $after vs ${vNames.toSeq}")
+    assert(served() == expected, "vacuum changed the served view")
+    // (3) pinned read past the horizon names the vacuum, not corruption:
+    // v1's epochs.txt lists epochs 0-1 only, so pin(1) resolves epoch=2
+    // as unfolded — whose data the vacuum just reclaimed
+    val e = intercept[IllegalStateException] {
+      Streams.readAffinityIndexAt(spark, store, 1).collect()
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("s_affinity_update: empty-store read is typed-empty; legacy dir still fails; time travel pins a fold version") {
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType),
