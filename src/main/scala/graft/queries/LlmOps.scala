@@ -79,9 +79,14 @@ object LlmOps {
       // minhash sketch input, constant bytes/doc; every branch
       // re-explodes it as a narrow map over the columnar cache, which
       // costs ~nothing and removes the corpus-token-sized cache
-      // entirely; (b) branches materialize IN SEQUENCE, each to a
-      // checkpointed 1-row/small frame, so peak heap is one branch's
-      // working state + the array cache, never the sum of all; (c) the
+      // entirely; (b) branches materialize CONCURRENTLY from driver
+      // threads, each to a checkpointed 1-row/small frame — local[N]
+      // has N task slots TOTAL, so concurrent jobs interleave on the
+      // same slots and peak task memory stays one slot-set's worth
+      // (the round-15 single-job shape got this interleaving for free
+      // from independent stages of one job; a strictly sequential
+      // staging measured ~1s slower at sf0.1 by leaving the slots idle
+      // between branch jobs); (c) the
       // corpus-wide counts ride ONE scan — exact_dup_docs =
       // n_docs - distinct digests, algebraically q_dedup_exact's
       // sum(n_copies - 1); (d) both set-similarity metrics come from
@@ -97,27 +102,41 @@ object LlmOps {
       // operator's output.
       val docsArr = persistEager(AnnOps.shingleArrays(s, d))
       val (sized, _) = TextOps.shinglePairSizedFromArrays(s, docsArr)
-      val jc = graft.queries.materializeAndFree(sized.agg(
+      // Four independent branch futures over the shared immutable array
+      // cache. docsArr is unpersisted AFTER the join point (not inside
+      // the labels branch) so no branch races the release. Under the
+      // plan-inspection hatch the bodies build lazy plans (persistEager
+      // and materializeAndFree no-op), so concurrency is harmless there
+      // too — the fixpoint loop executes either way, as before.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val jcF = Future(graft.queries.materializeAndFree(sized.agg(
         sum(when(round(col("inter").cast("double")
           / (col("n1") + col("n2") - col("inter")), 6) >= 0.8, 1L)
           .otherwise(0L)).as("jac"),
         sum(when(round(col("inter").cast("double") / col("n1"), 6)
             >= 0.85, 1L).otherwise(0L)
           + when(round(col("inter").cast("double") / col("n2"), 6)
-            >= 0.85, 1L).otherwise(0L)).as("cont")))
+            >= 0.85, 1L).otherwise(0L)).as("cont"))))
       // simhash bit-sums over a fresh narrow explode of the array cache
-      val sim = AnnOps.simhashPairsOf(
-        docsArr.select(col("doc_id"), explode(col("sh")).as("h")))
+      val simF = Future(AnnOps.simhashPairsOf(
+        docsArr.select(col("doc_id"), explode(col("sh")).as("h"))))
       // minhash pairs ride the same array cache; the labels fixpoint
-      // releases it (and the banded cache) once edges are checkpointed
-      val (mhPairs, mhHandles) = AnnOps.minhashPairsAndOf(docsArr)
-      val labels = AnnOps.dedupClusterLabelsFrom(
-        mhPairs, mhHandles :+ docsArr)
-      val basic = graft.queries.materializeAndFree(docs
+      // releases the banded cache once edges are checkpointed
+      val labelsF = Future {
+        val (mhPairs, mhHandles) = AnnOps.minhashPairsAndOf(docsArr)
+        AnnOps.dedupClusterLabelsFrom(mhPairs, mhHandles)
+      }
+      val basicF = Future(graft.queries.materializeAndFree(docs
         .select(md5(lower(trim(col("text"))).cast("binary")).as("digest"))
         .agg(count(lit(1)).as("n_docs"),
           (count(lit(1)) - countDistinct(col("digest")))
-            .as("exact_dups")))
+            .as("exact_dups"))))
+      def await[T](f: Future[T]): T =
+        Await.result(f, scala.concurrent.duration.Duration.Inf)
+      val (jc, sim, labels, basic) =
+        (await(jcF), await(simF), await(labelsF), await(basicF))
+      docsArr.unpersist()
       m("n_docs", sum(col("n_docs")), basic)
         .unionByName(m("exact_dup_docs", sum(col("exact_dups")), basic))
         .unionByName(m("jaccard_pairs", sum(col("jac")), jc))

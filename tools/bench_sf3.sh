@@ -43,7 +43,7 @@ for i in 1 2; do
   SPARK_GRAFT_SF_DIR=$SF3 \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   SPARK_GRAFT_BENCH_ONLY=$KEYS \
-  SPARK_GRAFT_BENCH_ITERS=1 \
+  SPARK_GRAFT_BENCH_ITERS=2 \
   SPARK_GRAFT_BENCH_WAIT_QUIET=${SPARK_GRAFT_BENCH_WAIT_QUIET:-300} \
   SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf3_$i.json \
     sbt -batch "runMain graft.Bench" > /tmp/bench_sf3_$i.log 2>&1
