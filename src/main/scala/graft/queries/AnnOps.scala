@@ -122,10 +122,20 @@ object AnnOps {
     * drift from the standalone operators if the shingle parameters ever
     * changed in one place). Callers persist. */
   private[queries] def shingleArrays(s: SparkSession, d: String): DataFrame =
-    par(Tables(s, d, "documents"))
-      .select(col("doc_id"),
-        graft.functions.ShingleHash60(s, col("text"), 3, distinct = true)
-          .as("sh"))
+    shingleArraysOf(s, par(Tables(s, d, "documents")))
+
+  /** [[shingleArrays]] over a caller-chosen frame carrying (doc_id, text,
+    * …) — the round-17 q_dedup_report seam: the report sketches the
+    * EXACT-CANONICAL corpus (one row per normalized-text digest class)
+    * and reconstructs raw-corpus pair counts algebraically, so it needs
+    * the same shingle parameters over a derived doc set. Passthrough
+    * columns (e.g. the class size `cnt`) survive; `text` is dropped
+    * once hashed. */
+  private[queries] def shingleArraysOf(s: SparkSession,
+      docs: DataFrame): DataFrame =
+    docs.withColumn("sh",
+        graft.functions.ShingleHash60(s, col("text"), 3, distinct = true))
+      .drop("text")
 
   /** [[minhashPairsAnd]] over a caller-persisted (doc_id, sh: hash array)
     * frame — the seam q_dedup_report uses to pay the corpus's

@@ -41,7 +41,7 @@ object GraphOps {
     * (a wholesale order with 10k line items) can no longer emit basket²
     * pair rows on a single order key. The cut is deterministic and
     * repartition-stable (row_number over the total order (ok, pk) —
-    * the shingleDfCap precedent, TextOps.shinglePairSized), and the
+    * the shingleDfCap precedent, TextOps.shinglePairSizedOf), and the
     * window's ok-hash exchange is the same partitioning the self-join
     * needs anyway. With cap >= the corpus max basket the output is
     * bit-identical to uncapped (spec-pinned, QueriesSpec). */

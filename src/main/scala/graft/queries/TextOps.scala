@@ -74,28 +74,19 @@ object TextOps {
   }
 
   /** Shared candidate machinery for the set-similarity dedup family
-    * (jaccard / containment / fuzzy-edit and the dedup dashboard):
-    * per-doc DISTINCT 3-gram shingle hashes persisted once (8 bytes per
-    * shingle, MEMORY_AND_DISK — spills, never OOMs), pair intersection
-    * counts from the shingle equi-join with BOTH set sizes attached.
-    * Honors `spark.graft.shingleDfCap` (df-capped candidate generation
-    * with exact full-set verify — the O(df²) join-row bound). Returns
-    * (sized pairs, shingle cache handle); callers release the handle via
-    * materializeAndFree. One definition so no family member can drift
-    * from the proven candidate semantics, and composite consumers pay
-    * the shingle pipeline exactly once.
-    */
-  private[queries] def shinglePairSized(
-      s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) =
-    shinglePairSizedOf(s, par(graft.Tables(s, d, "documents")))
-
-  /** [[shinglePairSized]] over a caller-chosen (doc_id, text) frame
-    * instead of the whole documents table — the seam q_dedup_pipeline
-    * uses to run the near-dup detector on the EXACT-DEDUPED canonical
-    * corpus (its declared pipeline order; on a replica-heavy drop the
-    * candidate join collapses from O((r·n)·pairs) to the distinct-doc
-    * load). Same capped/exact machinery, same returned (sized, handle). */
+    * (jaccard / containment / fuzzy-edit, the dedup pipeline and the
+    * dashboard) over a caller-chosen (doc_id, text) frame — since round
+    * 17 always a CANONICAL doc set (one row per exact-dup class; the
+    * per-class fan-back lives in [[classFanBack]]): per-doc DISTINCT
+    * 3-gram shingle hashes persisted once (8 bytes per shingle,
+    * MEMORY_AND_DISK — spills, never OOMs), pair intersection counts
+    * from the shingle equi-join with BOTH set sizes attached. Honors
+    * `spark.graft.shingleDfCap` (df-capped candidate generation with
+    * exact full-set verify — the O(df²) join-row bound). Returns
+    * (sized pairs, shingle cache handle); callers release the handle
+    * via materializeAndFree. One definition so no family member can
+    * drift from the proven candidate semantics, and composite consumers
+    * pay the shingle pipeline exactly once. */
   private[queries] def shinglePairSizedOf(
       s: org.apache.spark.sql.SparkSession,
       docs: DataFrame): (DataFrame, DataFrame) =
@@ -157,6 +148,50 @@ object TextOps {
       .select(col("d1"), col("d2"), col("inter"),
         col("s1.n").as("n1"), col("s2.n").as("n2"))
     (sized, arr)
+  }
+
+  /** Exact-dup class machinery for the raw-pair FAN-BACK detectors
+    * (round 17, r16 verdict #3 generalized): the pair-emitting
+    * detectors' verdicts are functions of the two docs' class
+    * representatives alone, so each detector runs once per class on the
+    * canonical corpus and the raw pair list is reconstructed by fanning
+    * canonical pairs back through the membership frame — the output
+    * stays the full declared pair list (inherently quadratic in
+    * replicas), but the candidate join, set verify and per-pair DP drop
+    * to the distinct-document load. `key` picks the invariance class:
+    * the family digest md5(lower(trim(text))) for the set-similarity
+    * detectors (same digest ⇒ same lower-text token sequence ⇒ same
+    * shingle set), md5(text) for byte-exact invariance (levenshtein).
+    *
+    * Returns: canon (ckey, doc_id, text, cnt, len — one row per class,
+    * lowest-doc_id representative), mem (ckey, cdoc, doc_id — every raw
+    * doc keyed by its class and the class canonical), sized (canonical
+    * candidate pairs with set sizes, from the shared shingle
+    * machinery), withinCls (ckey, n_sh, len for classes the raw plan
+    * would self-pair: >= 2 copies and >= 1 shingle), and the shingle
+    * cache handle the caller releases. */
+  private[queries] def classFanBack(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      key: Column => Column = t => md5(lower(trim(t)).cast("binary")))
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val keyed = par(graft.Tables(s, d, "documents"))
+      .select(key(col("text")).as("ckey"), col("doc_id"), col("text"))
+    val canon = keyed.groupBy("ckey")
+      .agg(min(struct(col("doc_id"), col("text"))).as("c"),
+        count(lit(1)).as("cnt"))
+      .select(col("ckey"), col("c.doc_id").as("doc_id"),
+        col("c.text").as("text"), col("cnt"),
+        length(col("c.text")).cast("long").as("len"))
+    val (sized, sh) = shinglePairSizedOf(s,
+      canon.select(col("doc_id"), col("text")))
+    val mem = keyed.select(col("ckey"), col("doc_id"))
+      .join(canon.select(col("ckey"), col("doc_id").as("cdoc")), "ckey")
+    val withinCls = canon
+      .join(sh.select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_sh")), "doc_id")
+      .filter(col("cnt") >= 2 && col("n_sh") > 0)
+      .select(col("ckey"), col("n_sh"), col("len"))
+    (canon, mem, sized, withinCls, sh)
   }
 
   val q: Map[String, Q] = Map(
@@ -418,16 +453,35 @@ object TextOps {
     // rarer than the cap (such pairs are boilerplate-only overlaps —
     // the standard stop-shingle trade). Unset/0 = exact single-pass
     // plan, unchanged at fixture scale.
+    // Round-17 fan-back re-plan (r16 verdict #3 generalized — this key
+    // scaled 20.3x on the 10x sf1 step): detector on the exact-canonical
+    // corpus, raw pairs reconstructed through the class membership
+    // frame. inter/jaccard are digest-class-invariant (same digest ⇒
+    // same shingle set), so cross-class pairs fan verbatim (both
+    // symmetric) and a dup class with >= 1 shingle self-pairs at
+    // inter = |set|, jaccard 1. Oracle unchanged — raw semantics — so
+    // the sf0.01 hash gate checks the reconstruction itself.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val (sized, sh) = shinglePairSized(s, d)
-      val pairs = sized
+      val (_, mem, sized, withinCls, sh) = classFanBack(s, d)
+      val pairs = materializeAndFree(sized
         .select(col("d1"), col("d2"), col("inter"),
           round(col("inter").cast("double")
             / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-      // Tiny pair list: materialize it so the shingle cache can be
-      // released here rather than leak into the session (round-4 advice).
-      materializeAndFree(pairs, sh).orderBy("d1", "d2")
+        .filter(col("jaccard") >= 0.8))
+      val withinM = materializeAndFree(withinCls, sh)
+      val cross = pairs
+        .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")), "d1")
+        .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")), "d2")
+        .select(least(col("x"), col("y")).as("d1"),
+          greatest(col("x"), col("y")).as("d2"),
+          col("inter"), col("jaccard"))
+      val within = withinM
+        .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
+        .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
+        .filter(col("x") < col("y"))
+        .select(col("x").as("d1"), col("y").as("d2"),
+          col("n_sh").as("inter"), lit(1.0).as("jaccard"))
+      cross.unionByName(within).orderBy("d1", "d2")
     }),
 
     // ── Containment near-subset detection (round 10) ─────────────────
@@ -450,8 +504,14 @@ object TextOps {
       // row: the former unionByName of two projections re-ran the whole
       // candidate self-join per side (sized is lazy — round 16,
       // measured ~2x the jaccard twin's time for identical machinery).
-      val (sized, sh) = shinglePairSized(s, d)
-      val dir = sized.select(explode(array(
+      // Round-17 fan-back (19.9x on the sf1 step): detector on the
+      // canonical corpus, directed raw rows reconstructed — a directed
+      // canonical row (a→b) fans to members(a) x members(b) verbatim
+      // (containment is class-invariant and direction rides the row,
+      // so no side-swap is needed), and a dup class with >= 1 shingle
+      // contributes all n(n-1) ordered member pairs at containment 1.
+      val (_, mem, sized, withinCls, sh) = classFanBack(s, d)
+      val dir = materializeAndFree(sized.select(explode(array(
           struct(col("d1").as("d_sub"), col("d2").as("d_super"),
             col("inter"),
             round(col("inter").cast("double") / col("n1"), 6)
@@ -462,8 +522,22 @@ object TextOps {
               .as("containment")))).as("r"))
         .select(col("r.d_sub").as("d_sub"), col("r.d_super").as("d_super"),
           col("r.inter").as("inter"), col("r.containment").as("containment"))
-        .filter(col("containment") >= 0.85)
-      materializeAndFree(dir, sh).orderBy("d_sub", "d_super")
+        .filter(col("containment") >= 0.85))
+      val withinM = materializeAndFree(withinCls, sh)
+      val cross = dir
+        .join(mem.select(col("cdoc").as("d_sub"), col("doc_id").as("x")),
+          "d_sub")
+        .join(mem.select(col("cdoc").as("d_super"), col("doc_id").as("y")),
+          "d_super")
+        .select(col("x").as("d_sub"), col("y").as("d_super"),
+          col("inter"), col("containment"))
+      val within = withinM
+        .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
+        .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
+        .filter(col("x") =!= col("y"))
+        .select(col("x").as("d_sub"), col("y").as("d_super"),
+          col("n_sh").as("inter"), lit(1.0).as("containment"))
+      cross.unionByName(within).orderBy("d_sub", "d_super")
     }),
 
     // ── Fuzzy edit-distance dedup (round 10) ─────────────────────────
@@ -481,25 +555,67 @@ object TextOps {
     // with both texts joined back by doc_id. Everything compared is an
     // exact integer (edit distance, lengths), so the 6dp relative-edit
     // quotient is engine-identical by construction.
+    // Round-17 re-plan (r16 verdict #3 — the suite's worst scaler:
+    // 46.4 s / 31.6x at sf1): the permissive 0.5 candidate bar made
+    // this the last detector still paying the replica quadratic — on a
+    // 10x-replicated drop every copy-pair re-entered the candidate
+    // join AND re-ran the O(len²) levenshtein DP. Every emitted column
+    // reads only the two RAW text values, so the verdict is invariant
+    // across byte-identical docs; the detector therefore runs once per
+    // distinct RAW text (md5(text) class — stricter than the dedup
+    // family's lower(trim) digest precisely because levenshtein is
+    // case/whitespace-sensitive, so this needs NO fixture assumption),
+    // and the raw pair list is reconstructed exactly:
+    //   cross-class: each verified canonical pair fans to members x
+    //     members via two equi-joins (output-proportional — the
+    //     contract is the full pair list), len1/len2 swapped when the
+    //     reordered ids swap sides;
+    //   within-class: byte-identical docs are candidates iff the text
+    //     has >= 1 shingle (as on the raw plan) and then score
+    //     edit 0 / rel 0 / dup — a members self-join per dup class.
+    // Oracle unchanged (raw semantics) — the sf0.01 hash gate checks
+    // the reconstruction, not a re-statement of it.
     "q_dedup_fuzzy_edit" -> ((s, d) => {
-      val (sized, sh) = shinglePairSized(s, d)
+      val (canon, mem, sized, withinCls, sh) =
+        classFanBack(s, d, t => md5(t.cast("binary")))
       val cands = sized
         .filter(round(col("inter").cast("double")
           / (col("n1") + col("n2") - col("inter")), 6) >= 0.5)
         .select("d1", "d2")
-      val t = par(Tables(s, d, "documents"))
-        .select(col("doc_id"), col("text"))
-      val out = cands
+      val t = canon.select(col("doc_id"), col("text"))
+      // O(len²) DP once per distinct-text candidate pair — the win
+      val verified = materializeAndFree(cands
         .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
         .select(col("d1"), col("d2"),
           length(col("t1")).cast("long").as("len1"),
           length(col("t2")).cast("long").as("len2"),
-          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
+          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist")))
+      // dup classes the raw plan would pair (checkpointed small, then
+      // the shingle cache is freed)
+      val withinM = materializeAndFree(withinCls, sh)
+      val cross = verified
+        .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")), "d1")
+        .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")), "d2")
+        .select(least(col("x"), col("y")).as("d1"),
+          greatest(col("x"), col("y")).as("d2"),
+          when(col("x") < col("y"), col("len1")).otherwise(col("len2"))
+            .as("len1"),
+          when(col("x") < col("y"), col("len2")).otherwise(col("len1"))
+            .as("len2"),
+          col("edit_dist"))
+      val within = withinM
+        .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
+        .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
+        .filter(col("x") < col("y"))
+        .select(col("x").as("d1"), col("y").as("d2"),
+          col("len").as("len1"), col("len").as("len2"),
+          lit(0L).as("edit_dist"))
+      cross.unionByName(within)
         .withColumn("rel_edit", round(col("edit_dist").cast("double")
           / greatest(col("len1"), col("len2")), 6))
         .withColumn("is_dup", col("rel_edit") <= 0.2)
-      materializeAndFree(out, sh).orderBy("d1", "d2")
+        .orderBy("d1", "d2")
     }),
 
     // ── N-gram novelty (round 10) ────────────────────────────────────
