@@ -86,23 +86,27 @@ object BenchStreaming {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val warnThreshold = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_LOAD_WARN", "2.0").toDouble
-    // Default 120 s, same as Bench.scala (round-15 advice: the streaming
-    // re-record ran with waited_quiet_sec=0 on a loaded host and its
-    // bounded-trigger leg read 2.6x low — the quiet-wait must be the
-    // default here too, not an opt-in). Opt out with =0.
+    // Same quiet-wait contract as Bench.scala, including the round-17
+    // 5-min-loadavg gate (the r15 streaming re-record ran with
+    // waited_quiet_sec=0 on a loaded host and read 2.6x low; the r16
+    // batch record was poisoned by a DRAINING host the 1-min average
+    // called quiet). Opt out with =0.
     val waitBudgetSec = sys.env
-      .getOrElse("SPARK_GRAFT_BENCH_WAIT_QUIET", "120").toLong
+      .getOrElse("SPARK_GRAFT_BENCH_WAIT_QUIET", "420").toLong
+    def isLoaded(l: (Double, Double)): Boolean =
+      l._1 >= warnThreshold || (l._2 >= 0 && l._2 >= warnThreshold)
     var waitedSec = 0L
-    while (waitedSec < waitBudgetSec
-        && osBean.getSystemLoadAverage >= warnThreshold) {
-      System.err.println(s"[bench-streaming] loadavg " +
-        s"${osBean.getSystemLoadAverage} >= $warnThreshold — waiting " +
+    var lw = Bench.loadAvgs()
+    while (waitedSec < waitBudgetSec && isLoaded(lw)) {
+      System.err.println(s"[bench-streaming] loadavg ${lw._1} (1m) / " +
+        s"${lw._2} (5m) >= $warnThreshold — waiting " +
         s"($waitedSec/${waitBudgetSec}s)")
       Thread.sleep(10000)
       waitedSec += 10
+      lw = Bench.loadAvgs()
     }
-    val loadStart = osBean.getSystemLoadAverage
-    val loadWarn = loadStart >= warnThreshold
+    val (loadStart, load5Start) = Bench.loadAvgs()
+    val loadWarn = isLoaded((loadStart, load5Start))
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -186,13 +190,26 @@ object BenchStreaming {
 
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    // n passes per leg, min-time (= max-throughput) headline — batch-row
+    // methodology parity (round 17, r16 verdict #5): the single-pass
+    // record's first quiet attempt once read 3-4x low on a cold page
+    // cache and only a prose caveat marked the committed row as the
+    // second pass. Now every leg records its per-pass times and the min
+    // IS the row, so the steady-state number needs no caveat. Passes
+    // run back-to-back per leg (fresh out/checkpoint dirs each), the
+    // same fixed drop every time.
+    val iters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_ITERS", "2").toInt)
     val results = legs.map { case (name, f) =>
-      val (sec, batches) = f()
-      val rps = rows / sec
-      System.err.println(
-        s"[bench-streaming] $name: ${fmt(sec)}s, $batches batches, " +
-          s"${fmt(rps)} rows/s")
-      name -> (sec, batches, rps)
+      val passes = (1 to iters).map { i =>
+        val (sec, batches) = f()
+        System.err.println(
+          s"[bench-streaming] $name pass $i/$iters: ${fmt(sec)}s, " +
+            s"$batches batches, ${fmt(rows / sec)} rows/s")
+        (sec, batches)
+      }
+      val (sec, batches) = passes.minBy(_._1)
+      name -> (sec, batches, rows / sec, passes.map(_._1))
     }
     val kafkaStatus =
       try { Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
@@ -200,16 +217,19 @@ object BenchStreaming {
       catch { case _: ClassNotFoundException => "skipped_no_client_jar" }
 
     val loadEnd = osBean.getSystemLoadAverage
-    val legsJson = results.map { case (n, (sec, b, rps)) =>
+    val legsJson = results.map { case (n, (sec, b, rps, passes)) =>
       s""""$n":{"sec":${fmt(sec)},"micro_batches":$b,""" +
-        s""""rows_per_sec":${fmt(rps)}}"""
+        s""""rows_per_sec":${fmt(rps)},""" +
+        s""""passes_sec":${passes.map(fmt).mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
     val best = results.map(_._2._3).max
     val json = s"""{"metric":"streaming_rows_per_sec","value":${fmt(best)},""" +
       s""""unit":"rows/sec","legs":$legsJson,"rows":$rows,"files":$files,""" +
       s""""rows_per_file":$rowsPerFile,"topics":$topics,""" +
       s""""small_trigger_files":$smallTrigger,"kafka":"$kafkaStatus",""" +
-      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""iters":$iters,"stat":"min",""" +
+      s""""loadavg_start":$loadStart,"loadavg5_start":$load5Start,""" +
+      s""""loadavg_end":$loadEnd,""" +
       s""""load_warn":$loadWarn,"waited_quiet_sec":$waitedSec,""" +
       s""""cpus":$cpus}"""
     Files.write(

@@ -31,6 +31,11 @@ N=${1:?usage: tools/bench_sf3.sh <round number>}
 SF3=${SF3:-/tmp/graft_sf3}
 KEYS=q_entity_cluster,q_record_linkage,q_dedup_pipeline,q_semdedup_pipeline
 KEYS=$KEYS,q_pagerank,q_dedup_report
+# round 17: q_dedup_fuzzy_edit rides along — the r16 sf1 worst scaler
+# (31.6x), re-planned this round to the exact-first fan-back; the sf3
+# row is the standing proof the detector cost stays distinct-doc-bound
+# while the output fan-out alone pays the 900x pair contract.
+KEYS=$KEYS,q_dedup_fuzzy_edit
 if pgrep -f "runMain graft.Bench" | while read -r p; do
     ps -o comm= -p "$p"; done | grep -qE "java|sbt"; then
   echo "another graft.Bench JVM is live — refusing to contaminate" >&2
