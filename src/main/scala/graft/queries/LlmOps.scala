@@ -114,15 +114,18 @@ object LlmOps {
       // from driver futures over the one shared array cache (the r16
       // slot-interleaving win), and the only cache remains the
       // constant-bytes-per-doc shingle-array frame.
-      val canon = Tables(s, d, "documents")
+      // class assignment shuffles only (digest, doc_id); canonical text
+      // comes back through a doc_id join against the scan — text never
+      // shuffles by digest (classFanBack's construction)
+      val docsRaw = par(Tables(s, d, "documents"))
+      val cls = docsRaw
         .select(md5(lower(trim(col("text"))).cast("binary")).as("digest"),
-          col("doc_id"), col("text"))
+          col("doc_id"))
         .groupBy("digest")
-        .agg(min(struct(col("doc_id"), col("text"))).as("c"),
-          count(lit(1)).as("cnt"))
-        .select(col("c.doc_id").as("doc_id"), col("cnt"),
-          col("c.text").as("text"))
-      val arr = persistEager(AnnOps.shingleArraysOf(s, par(canon)))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cnt"))
+      val canon = docsRaw.select(col("doc_id"), col("text"))
+        .join(cls.select(col("doc_id"), col("cnt")), "doc_id")
+      val arr = persistEager(AnnOps.shingleArraysOf(s, canon))
       val cnts = arr.select(col("doc_id"), col("cnt"))
       def withCnts(pairs: org.apache.spark.sql.DataFrame) = pairs
         .join(cnts.select(col("doc_id").as("d1"), col("cnt").as("cnt1")),

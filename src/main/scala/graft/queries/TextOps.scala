@@ -174,18 +174,29 @@ object TextOps {
       s: org.apache.spark.sql.SparkSession, d: String,
       key: Column => Column = t => md5(lower(trim(t)).cast("binary")))
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val keyed = par(graft.Tables(s, d, "documents"))
-      .select(key(col("text")).as("ckey"), col("doc_id"), col("text"))
-    val canon = keyed.groupBy("ckey")
-      .agg(min(struct(col("doc_id"), col("text"))).as("c"),
-        count(lit(1)).as("cnt"))
-      .select(col("ckey"), col("c.doc_id").as("doc_id"),
-        col("c.text").as("text"), col("cnt"),
-        length(col("c.text")).cast("long").as("len"))
+    // Class assignment shuffles only (ckey, doc_id) — never text. The
+    // canonical rows' text comes back through a doc_id join against the
+    // scan (AQE broadcasts the class side at fixture scale; at 100 TB
+    // it is a doc_id-keyed equi join, still cheaper than shuffling
+    // every text copy by ckey). canon and mem are persistEager'd: the
+    // first cut of this helper left both lazy and every consumer
+    // (sized arrays, the two cross-fan joins, the two within-fan
+    // joins, the fuzzy text join) re-executed the corpus groupBy —
+    // measured 3-4x the r16 detector times at sf0.1. Callers release
+    // them by checkpointing their final fan-out through
+    // materializeAndFree(out, canon, mem).
+    val docs = par(graft.Tables(s, d, "documents"))
+    val keyed = docs.select(key(col("text")).as("ckey"), col("doc_id"))
+    val cls = keyed.groupBy("ckey")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cnt"))
+    val canon = persistEager(docs.select(col("doc_id"), col("text"))
+      .join(cls, "doc_id")
+      .select(col("ckey"), col("doc_id"), col("text"), col("cnt"),
+        length(col("text")).cast("long").as("len")))
     val (sized, sh) = shinglePairSizedOf(s,
       canon.select(col("doc_id"), col("text")))
-    val mem = keyed.select(col("ckey"), col("doc_id"))
-      .join(canon.select(col("ckey"), col("doc_id").as("cdoc")), "ckey")
+    val mem = persistEager(keyed
+      .join(canon.select(col("ckey"), col("doc_id").as("cdoc")), "ckey"))
     val withinCls = canon
       .join(sh.select(col("doc_id"),
         size(col("sh")).cast("long").as("n_sh")), "doc_id")
@@ -462,7 +473,7 @@ object TextOps {
     // inter = |set|, jaccard 1. Oracle unchanged — raw semantics — so
     // the sf0.01 hash gate checks the reconstruction itself.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val (_, mem, sized, withinCls, sh) = classFanBack(s, d)
+      val (canon, mem, sized, withinCls, sh) = classFanBack(s, d)
       val pairs = materializeAndFree(sized
         .select(col("d1"), col("d2"), col("inter"),
           round(col("inter").cast("double")
@@ -481,7 +492,8 @@ object TextOps {
         .filter(col("x") < col("y"))
         .select(col("x").as("d1"), col("y").as("d2"),
           col("n_sh").as("inter"), lit(1.0).as("jaccard"))
-      cross.unionByName(within).orderBy("d1", "d2")
+      materializeAndFree(cross.unionByName(within), canon, mem)
+        .orderBy("d1", "d2")
     }),
 
     // ── Containment near-subset detection (round 10) ─────────────────
@@ -510,7 +522,7 @@ object TextOps {
       // (containment is class-invariant and direction rides the row,
       // so no side-swap is needed), and a dup class with >= 1 shingle
       // contributes all n(n-1) ordered member pairs at containment 1.
-      val (_, mem, sized, withinCls, sh) = classFanBack(s, d)
+      val (canon, mem, sized, withinCls, sh) = classFanBack(s, d)
       val dir = materializeAndFree(sized.select(explode(array(
           struct(col("d1").as("d_sub"), col("d2").as("d_super"),
             col("inter"),
@@ -537,7 +549,8 @@ object TextOps {
         .filter(col("x") =!= col("y"))
         .select(col("x").as("d_sub"), col("y").as("d_super"),
           col("n_sh").as("inter"), lit(1.0).as("containment"))
-      cross.unionByName(within).orderBy("d_sub", "d_super")
+      materializeAndFree(cross.unionByName(within), canon, mem)
+        .orderBy("d_sub", "d_super")
     }),
 
     // ── Fuzzy edit-distance dedup (round 10) ─────────────────────────
@@ -611,10 +624,10 @@ object TextOps {
         .select(col("x").as("d1"), col("y").as("d2"),
           col("len").as("len1"), col("len").as("len2"),
           lit(0L).as("edit_dist"))
-      cross.unionByName(within)
+      materializeAndFree(cross.unionByName(within)
         .withColumn("rel_edit", round(col("edit_dist").cast("double")
           / greatest(col("len1"), col("len2")), 6))
-        .withColumn("is_dup", col("rel_edit") <= 0.2)
+        .withColumn("is_dup", col("rel_edit") <= 0.2), canon, mem)
         .orderBy("d1", "d2")
     }),
 
