@@ -174,29 +174,35 @@ object TextOps {
       s: org.apache.spark.sql.SparkSession, d: String,
       key: Column => Column = t => md5(lower(trim(t)).cast("binary")))
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // Class assignment shuffles only (ckey, doc_id) — never text. The
-    // canonical rows' text comes back through a doc_id join against the
+    // Class assignment shuffles only (ckey, doc_id) — never text — and
+    // since round 17's optimization pass it is ONE unordered window
+    // over that id frame (min + count per ckey), which yields the
+    // membership frame `mem` directly: the previous groupBy + join-back
+    // shape shuffled the same (ckey, doc_id) bytes TWICE (once into the
+    // class agg, once re-keying every row against the class list) and
+    // ran a third eager count to fill mem's cache (guide §2.4 — two
+    // operations keyed the same way share one exchange). The canonical
+    // rows' text still comes back through a doc_id join against the
     // scan (AQE broadcasts the class side at fixture scale; at 100 TB
     // it is a doc_id-keyed equi join, still cheaper than shuffling
-    // every text copy by ckey). canon and mem are persistEager'd: the
-    // first cut of this helper left both lazy and every consumer
-    // (sized arrays, the two cross-fan joins, the two within-fan
-    // joins, the fuzzy text join) re-executed the corpus groupBy —
-    // measured 3-4x the r16 detector times at sf0.1. Callers release
-    // them by checkpointing their final fan-out through
-    // materializeAndFree(out, canon, mem).
+    // every text copy by ckey), and canon's eager fill doubles as mem's
+    // (the join reads mem through a filter, which materializes the
+    // whole cache — no per-consumer race is possible because nothing
+    // else runs first). Callers release both by checkpointing their
+    // final fan-out through materializeAndFree(out, canon, mem, sh).
     val docs = par(graft.Tables(s, d, "documents"))
-    val keyed = docs.select(key(col("text")).as("ckey"), col("doc_id"))
-    val cls = keyed.groupBy("ckey")
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("ckey")
+    val mem = persistLazy(docs
+      .select(key(col("text")).as("ckey"), col("doc_id"))
+      .withColumn("cdoc", min(col("doc_id")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w)))
     val canon = persistEager(docs.select(col("doc_id"), col("text"))
-      .join(cls, "doc_id")
+      .join(mem.filter(col("doc_id") === col("cdoc"))
+        .select(col("ckey"), col("doc_id"), col("cnt")), "doc_id")
       .select(col("ckey"), col("doc_id"), col("text"), col("cnt"),
         length(col("text")).cast("long").as("len")))
     val (sized, sh) = shinglePairSizedOf(s,
       canon.select(col("doc_id"), col("text")))
-    val mem = persistEager(keyed
-      .join(canon.select(col("ckey"), col("doc_id").as("cdoc")), "ckey"))
     val withinCls = canon
       .join(sh.select(col("doc_id"),
         size(col("sh")).cast("long").as("n_sh")), "doc_id")
@@ -473,26 +479,32 @@ object TextOps {
     // inter = |set|, jaccard 1. Oracle unchanged — raw semantics — so
     // the sf0.01 hash gate checks the reconstruction itself.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
+      // Round-17 optimization pass: the candidate-pair filter and the
+      // within-class frame each feed exactly ONE consumer below, so the
+      // former per-stage checkpoints (pairs / withinM) were pure job
+      // barriers — everything upstream they could recompute is already
+      // persisted inside classFanBack (canon / mem / sh). One final
+      // materializeAndFree releases all three handles (guide §1.2:
+      // fewer sequential actions, same exchanges).
       val (canon, mem, sized, withinCls, sh) = classFanBack(s, d)
-      val pairs = materializeAndFree(sized
+      val pairs = sized
         .select(col("d1"), col("d2"), col("inter"),
           round(col("inter").cast("double")
             / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.8))
-      val withinM = materializeAndFree(withinCls, sh)
+        .filter(col("jaccard") >= 0.8)
       val cross = pairs
         .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")), "d1")
         .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")), "d2")
         .select(least(col("x"), col("y")).as("d1"),
           greatest(col("x"), col("y")).as("d2"),
           col("inter"), col("jaccard"))
-      val within = withinM
+      val within = withinCls
         .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
         .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
         .filter(col("x") < col("y"))
         .select(col("x").as("d1"), col("y").as("d2"),
           col("n_sh").as("inter"), lit(1.0).as("jaccard"))
-      materializeAndFree(cross.unionByName(within), canon, mem)
+      materializeAndFree(cross.unionByName(within), canon, mem, sh)
         .orderBy("d1", "d2")
     }),
 
@@ -522,8 +534,11 @@ object TextOps {
       // (containment is class-invariant and direction rides the row,
       // so no side-swap is needed), and a dup class with >= 1 shingle
       // contributes all n(n-1) ordered member pairs at containment 1.
+      // Round-17 optimization pass: single-consumer stages compose
+      // lazily (no per-stage checkpoint barriers — the jaccard twin's
+      // comment); one final materializeAndFree releases every handle.
       val (canon, mem, sized, withinCls, sh) = classFanBack(s, d)
-      val dir = materializeAndFree(sized.select(explode(array(
+      val dir = sized.select(explode(array(
           struct(col("d1").as("d_sub"), col("d2").as("d_super"),
             col("inter"),
             round(col("inter").cast("double") / col("n1"), 6)
@@ -534,8 +549,7 @@ object TextOps {
               .as("containment")))).as("r"))
         .select(col("r.d_sub").as("d_sub"), col("r.d_super").as("d_super"),
           col("r.inter").as("inter"), col("r.containment").as("containment"))
-        .filter(col("containment") >= 0.85))
-      val withinM = materializeAndFree(withinCls, sh)
+        .filter(col("containment") >= 0.85)
       val cross = dir
         .join(mem.select(col("cdoc").as("d_sub"), col("doc_id").as("x")),
           "d_sub")
@@ -543,13 +557,13 @@ object TextOps {
           "d_super")
         .select(col("x").as("d_sub"), col("y").as("d_super"),
           col("inter"), col("containment"))
-      val within = withinM
+      val within = withinCls
         .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
         .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
         .filter(col("x") =!= col("y"))
         .select(col("x").as("d_sub"), col("y").as("d_super"),
           col("n_sh").as("inter"), lit(1.0).as("containment"))
-      materializeAndFree(cross.unionByName(within), canon, mem)
+      materializeAndFree(cross.unionByName(within), canon, mem, sh)
         .orderBy("d_sub", "d_super")
     }),
 
@@ -596,17 +610,18 @@ object TextOps {
           / (col("n1") + col("n2") - col("inter")), 6) >= 0.5)
         .select("d1", "d2")
       val t = canon.select(col("doc_id"), col("text"))
-      // O(len²) DP once per distinct-text candidate pair — the win
-      val verified = materializeAndFree(cands
+      // O(len²) DP once per distinct-text candidate pair — the win.
+      // Round-17 optimization pass: cands → verified → cross is a
+      // single-consumer chain over persisted inputs, so it composes
+      // lazily (the former per-stage checkpoints were pure job
+      // barriers); one final materializeAndFree releases every handle.
+      val verified = cands
         .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
         .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
         .select(col("d1"), col("d2"),
           length(col("t1")).cast("long").as("len1"),
           length(col("t2")).cast("long").as("len2"),
-          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist")))
-      // dup classes the raw plan would pair (checkpointed small, then
-      // the shingle cache is freed)
-      val withinM = materializeAndFree(withinCls, sh)
+          levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
       val cross = verified
         .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")), "d1")
         .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")), "d2")
@@ -617,7 +632,7 @@ object TextOps {
           when(col("x") < col("y"), col("len2")).otherwise(col("len1"))
             .as("len2"),
           col("edit_dist"))
-      val within = withinM
+      val within = withinCls
         .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
         .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
         .filter(col("x") < col("y"))
@@ -627,7 +642,7 @@ object TextOps {
       materializeAndFree(cross.unionByName(within)
         .withColumn("rel_edit", round(col("edit_dist").cast("double")
           / greatest(col("len1"), col("len2")), 6))
-        .withColumn("is_dup", col("rel_edit") <= 0.2), canon, mem)
+        .withColumn("is_dup", col("rel_edit") <= 0.2), canon, mem, sh)
         .orderBy("d1", "d2")
     }),
 

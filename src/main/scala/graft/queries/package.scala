@@ -49,6 +49,20 @@ package object queries {
     }
   }
 
+  /** [[persistEager]] without the cache-filling count job — for a frame
+    * whose FIRST consumer is itself a single eagerly-materialized frame
+    * (the consumer's one action fills this cache as it runs, so the
+    * explicit count would be a pure extra job; the per-side race
+    * persistEager exists to prevent cannot happen when exactly one
+    * consumer runs first). Honors the DumpPlans escape hatch like
+    * persistEager: a plan-inspection session gets the bare frame and
+    * no cache to leak. */
+  private[queries] def persistLazy(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf
+        .get("spark.graft.skipEagerMaterialize", "false") == "true") df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Eagerly materialize `df` via localCheckpoint, then release the
     * internal caches it depended on. Sketch queries (minhash / simhash /
     * sign-LSH / ngram-jaccard) persist big intermediates that a
