@@ -407,48 +407,14 @@ object AnnOps {
   // session-global conf mid-build (round-15 review finding). Lesson
   // pinned here: adjudicate loop-width experiments on quiet full-suite
   // medians, never a targeted-run profile.
-  /** Has Dataset.observe delivered a metric for an eager localCheckpoint
-    * in this JVM? Tri-state: null = untested, TRUE = works (fused
-    * convergence sums ride the checkpoint job), FALSE = never landed
-    * once — skip the bounded wait for the rest of the JVM and pay the
-    * explicit tiny sum job per round instead. Defensive: on every Spark
-    * version tested the checkpoint runs through withAction and fires
-    * QueryExecutionListeners, but a hang here would freeze every
-    * fixpoint consumer, so the fallback stays. */
-  @volatile private var observeOnCheckpoint: java.lang.Boolean = null
-
   /** Eagerly checkpoint a (doc_id, label) frame and return it with its
     * label sum — the per-round convergence witness — WITHOUT a second
-    * job: the sum rides the checkpoint's own action as a
-    * Dataset.observe metric (round 16; the old shape re-scanned every
-    * checkpointed round with a separate agg action, one extra job per
-    * round for every fixpoint consumer). coalesce: an edgeless corpus
-    * gives an EMPTY frame and a null sum — 0, not an NPE. */
-  private def checkpointedWithLabelSum(df: DataFrame): (DataFrame, Long) = {
-    def explicitSum(out: DataFrame): Long =
-      out.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-    if (observeOnCheckpoint == java.lang.Boolean.FALSE) {
-      val out = df.localCheckpoint(true)
-      (out, explicitSum(out))
-    } else {
-      val obs = org.apache.spark.sql.Observation()
-      val out = df
-        .observe(obs, coalesce(sum(col("label")), lit(0L)).as("labelSum"))
-        .localCheckpoint(true)
-      // listener delivery is async (post-action) — bounded wait, then
-      // fall back once and remember for the JVM
-      try {
-        val row = scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(2, "s"))
-        observeOnCheckpoint = java.lang.Boolean.TRUE
-        (out, row.getAs[Long]("labelSum"))
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          observeOnCheckpoint = java.lang.Boolean.FALSE
-          (out, explicitSum(out))
-      }
-    }
-  }
+    * job (round 16; the sum rides the checkpoint's own action as a
+    * Dataset.observe metric — machinery now shared via
+    * queries.checkpointedWithSum, round 17). coalesce: an edgeless
+    * corpus gives an EMPTY frame and a null sum — 0, not an NPE. */
+  private def checkpointedWithLabelSum(df: DataFrame): (DataFrame, Long) =
+    checkpointedWithSum(df, coalesce(sum(col("label")), lit(0L)))
 
   private[graft] def propagateMinLabels(edges: DataFrame)
       : (DataFrame, Int) = {

@@ -63,6 +63,50 @@ package object queries {
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Has Dataset.observe delivered a metric for an eager localCheckpoint
+    * in this JVM? Tri-state: null = untested, TRUE = works (fused
+    * per-round scalars ride the checkpoint job), FALSE = never landed
+    * once — skip the bounded wait for the rest of the JVM and pay the
+    * explicit tiny agg job instead. Defensive: on every Spark version
+    * tested the checkpoint runs through withAction and fires
+    * QueryExecutionListeners, but a hang here would freeze every
+    * fixpoint consumer, so the fallback stays. Shared by the CC kernel's
+    * convergence sum (AnnOps) and PageRank's dangling-mass sum
+    * (GraphOps) — round 17 generalized it out of AnnOps. */
+  @volatile private var observeOnCheckpoint: java.lang.Boolean = null
+
+  /** Eagerly checkpoint `df` and return it with the value of `metric`
+    * (a long-valued aggregate over df's rows) WITHOUT a second job: the
+    * aggregate rides the checkpoint's own action as a Dataset.observe
+    * metric. The old shape re-scanned every checkpointed round with a
+    * separate agg action — one extra job per round for every fixpoint
+    * consumer. Callers must coalesce the metric so an empty frame gives
+    * 0, not null. */
+  private[queries] def checkpointedWithSum(
+      df: DataFrame, metric: Column): (DataFrame, Long) = {
+    def explicit(out: DataFrame): Long =
+      out.agg(metric).head().getLong(0)
+    if (observeOnCheckpoint == java.lang.Boolean.FALSE) {
+      val out = df.localCheckpoint(true)
+      (out, explicit(out))
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, metric.as("m")).localCheckpoint(true)
+      // listener delivery is async (post-action) — bounded wait, then
+      // fall back once and remember for the JVM
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(2, "s"))
+        observeOnCheckpoint = java.lang.Boolean.TRUE
+        (out, row.getAs[Long]("m"))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          observeOnCheckpoint = java.lang.Boolean.FALSE
+          (out, explicit(out))
+      }
+    }
+  }
+
   /** Eagerly materialize `df` via localCheckpoint, then release the
     * internal caches it depended on. Sketch queries (minhash / simhash /
     * sign-LSH / ngram-jaccard) persist big intermediates that a
