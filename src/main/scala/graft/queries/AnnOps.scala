@@ -435,6 +435,19 @@ object AnnOps {
     var converged = false
     var rounds = 0
     while (!converged) {
+      // NB round 17 A/B-tested the r16-verdict-#4 fusion — folding the
+      // path-halving lookup into the neighbor-min join by unioning the
+      // pointer edges (v -> label(v)) into the edge join's input (one
+      // groupBy computes min(neighbor labels, label(label(v))); ~2
+      // exchanges and the double-executed stepped-subtree saved per
+      // round). It REGRESSED 10-15% on every CC consumer (n=3
+      // targeted-bench medians: q_entity_cluster 9.69->11.10 s,
+      // q_graph_components 9.16->10.97, q_dedup_cluster 3.42->3.95,
+      // q_curation_keep 5.50->6.01): halving against the PREVIOUS
+      // round's labels instead of the just-stepped ones costs one extra
+      // round (simulated: chain-16 5 vs 4 incl. detection), and a full
+      // round (edge join + checkpoint) costs more than the self-join it
+      // saves. Kept the sequential two-join round.
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("label").as("nl")), "dst")

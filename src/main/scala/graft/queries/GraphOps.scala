@@ -47,19 +47,32 @@ object GraphOps {
     * bit-identical to uncapped (spec-pinned, QueriesSpec). */
   private[graft] def pairCounts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
+    // Round-17 re-plan (guide §2.4 — the old shape paid THREE exchanges:
+    // distinct (ok, pk), the ok-keyed self-join re-partitioning, and the
+    // (p1, p2) pair agg; the basketCap mode paid a fourth for the
+    // row_number window): one groupBy(ok) with a map-side-partial
+    // collect_set replaces distinct + self-join — the per-order pair
+    // fan-out becomes a nested explode over the sorted basket array
+    // (p2 ranges over the elements greater than p1, so exactly the
+    // a.pk < b.pk join rows appear), and the basketCap cut is a slice
+    // of the same sorted array (identical to the window's "cap LOWEST
+    // part keys" rule, still deterministic and repartition-stable).
+    // Two exchanges total, in EVERY cap mode, and the basket array
+    // shuffles deduplicated instead of row-per-line. The incidence
+    // frame consumers read is the narrow re-explode of the same
+    // grouped frame (same rows as the old distinct by construction).
     val cap = s.conf.get("spark.graft.basketCap", "0").toInt
-    val incAll = Tables(s, d, "lineitem")
+    val grouped0 = Tables(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val inc = if (cap <= 0) incAll else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("ok").orderBy("pk")
-      incAll.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= cap).drop("rn")
-    }
-    val pairs = inc.as("a").join(inc.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+    val grouped = if (cap <= 0) grouped0
+      else grouped0.select(col("ok"), slice(col("ps"), 1, cap).as("ps"))
+    val inc = grouped.select(col("ok"), explode(col("ps")).as("pk"))
+    val pairs = grouped
+      .select(col("ok"), explode(col("ps")).as("p1"), col("ps"))
+      .select(col("p1"),
+        explode(filter(col("ps"), x => x > col("p1"))).as("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= 2)
     (inc, pairs)

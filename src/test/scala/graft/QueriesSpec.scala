@@ -305,62 +305,62 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("AQE splits a planted-hub co-purchase wedge join (runtime backup to basketCap)") {
-    // round-12 (r11 verdict #8): the graph family's incidence self-join
-    // is the skew-prone key now — one mega-basket puts its whole order
-    // on ONE join key. basketCap is the planned fix; pin that the
-    // runtime complement (AQE skew split) also fires on exactly that
-    // shape, so an uncapped session still cannot wedge one executor.
-    val confs = Seq(
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "3k",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val saved = confs.map { case (k, _) =>
-      k -> scala.util.Try(spark.conf.get(k)).toOption }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+  test("planted-hub co-purchase pairs: wedge rows partial-aggregate before any exchange") {
+    // round-12 (r11 verdict #8) planted the mega-basket fixture to pin
+    // AQE's skew-join split on the incidence SELF-JOIN. Round 17
+    // re-planned pairCounts (guide §2.4): the self-join is gone — one
+    // groupBy(ok) collects the sorted basket array and the per-order
+    // pair fan-out is a nested explode. The skew contract shifts with
+    // it, and THIS pin shifts too: (a) end-to-end, the planted closing
+    // pair is still the only survivor of the co >= 2 floor; (b) the
+    // basket² wedge rows never cross an exchange un-aggregated — the
+    // pair Generate feeds the partial HashAggregate INSIDE one stage
+    // (guide §2.3 "aggregate before you shuffle"), so a mega-basket
+    // costs one task CPU burst, never a skewed shuffle partition.
+    // basketCap stays the planned bound for that CPU burst (the capped
+    // == uncapped equality pin lives in the basketCap test below).
     val dir = java.nio.file.Files.createTempDirectory("hub-fixture")
     dir.toFile.deleteOnExit()
-    try {
-      // planted lineitem: order 0 is a 1500-part mega-basket (the hot
-      // join key); 300 background 1-part orders set the median; orders
-      // 9001/9002 share two parts so exactly one pair survives the
-      // co >= 2 floor (end-to-end sanity)
-      val hub = spark.range(1, 1501)
-        .selectExpr("0L AS l_orderkey", "id AS l_partkey")
-      val bg = spark.range(1, 301)
-        .selectExpr("id AS l_orderkey", "id + 100000 AS l_partkey")
-      val closing = spark.range(9001, 9003)
-        .selectExpr("id AS l_orderkey", "200001L AS l_partkey")
-        .unionByName(spark.range(9001, 9003)
-          .selectExpr("id AS l_orderkey", "200002L AS l_partkey"))
-      hub.unionByName(bg).unionByName(closing)
-        .selectExpr("l_orderkey", "l_partkey", "1L AS l_suppkey",
-          "1 AS l_linenumber", "CAST(1.0 AS DOUBLE) AS l_quantity",
-          "CAST(1.0 AS DOUBLE) AS l_extendedprice",
-          "CAST(0.0 AS DOUBLE) AS l_discount",
-          "CAST(0.0 AS DOUBLE) AS l_tax",
-          "'N' AS l_returnflag", "'O' AS l_linestatus",
-          "TIMESTAMP_NTZ '1995-01-01 00:00:00' AS l_shipdate")
-        .write.parquet(s"$dir/lineitem.parquet")
-      val (_, pairs) = graft.queries.GraphOps.pairCounts(spark, dir.toString)
-      val out = pairs.collect()
-      // the floor keeps only the planted closing pair — the hub's 1.1M
-      // wedge rows all have co=1 (they flowed through the split join)
-      assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .toSeq == Seq((200001L, 200002L, 2L)),
-        s"planted graph produced ${out.mkString(",")}")
-      val plan = pairs.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"expected AQE to split the mega-basket's wedge partition:\n$plan")
-    } finally {
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+    // planted lineitem: order 0 is a 1500-part mega-basket (the hot
+    // order key); 300 background 1-part orders set the median; orders
+    // 9001/9002 share two parts so exactly one pair survives the
+    // co >= 2 floor (end-to-end sanity)
+    val hub = spark.range(1, 1501)
+      .selectExpr("0L AS l_orderkey", "id AS l_partkey")
+    val bg = spark.range(1, 301)
+      .selectExpr("id AS l_orderkey", "id + 100000 AS l_partkey")
+    val closing = spark.range(9001, 9003)
+      .selectExpr("id AS l_orderkey", "200001L AS l_partkey")
+      .unionByName(spark.range(9001, 9003)
+        .selectExpr("id AS l_orderkey", "200002L AS l_partkey"))
+    hub.unionByName(bg).unionByName(closing)
+      .selectExpr("l_orderkey", "l_partkey", "1L AS l_suppkey",
+        "1 AS l_linenumber", "CAST(1.0 AS DOUBLE) AS l_quantity",
+        "CAST(1.0 AS DOUBLE) AS l_extendedprice",
+        "CAST(0.0 AS DOUBLE) AS l_discount",
+        "CAST(0.0 AS DOUBLE) AS l_tax",
+        "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "TIMESTAMP_NTZ '1995-01-01 00:00:00' AS l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val (_, pairs) = graft.queries.GraphOps.pairCounts(spark, dir.toString)
+    val out = pairs.collect()
+    // the floor keeps only the planted closing pair — the hub's 1.1M
+    // wedge rows all partial-aggregated to co=1 rows map-side
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((200001L, 200002L, 2L)),
+      s"planted graph produced ${out.mkString(",")}")
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the pair explode and the partial pair-count aggregate sit in the
+    // SAME stage: reading the plan bottom-up there is no Exchange
+    // between the Generate and the first (partial) HashAggregate
+    val genIdx = plan.indexOf("Generate explode(filter(")
+    assert(genIdx >= 0, s"expected the nested pair explode:\n$plan")
+    val above = plan.substring(0, genIdx)
+    val aggIdx = above.lastIndexOf("HashAggregate")
+    val exIdx = above.lastIndexOf("Exchange")
+    assert(aggIdx >= 0 && (exIdx < 0 || exIdx < aggIdx),
+      s"expected the pair Generate to feed a partial HashAggregate " +
+        s"before any Exchange:\n$plan")
   }
 
   test("q_join_bloom: prefilter reaches the fact side pre-join and is semantics-neutral") {
