@@ -1298,9 +1298,13 @@ object AnnOps {
     // disjointness, the vote arithmetic, and the equi-join-only plan.
     "q_knn_classify" -> ((s, d) => {
       import graft.functions.DotProduct
-      val assigned = semAssigned(s, d)
+      // Round-17 (guide §1.2 / §5): the assignment projection (K
+      // DotProduct kernels per row) + label join feeds train, test AND
+      // the final true-label select — cached, it runs once instead of
+      // three times. O(corpus) rows x (embedding + 3 scalars): small.
+      val assigned = persistEager(semAssigned(s, d)
         .join(Tables(s, d, "embeddings").select("vec_id", "label"),
-          "vec_id")
+          "vec_id"))
       val isTest = pmod(h60(col("vec_id")), lit(100)) >= 90
       val train = assigned.filter(!isTest)
         .select(col("vec_id").as("tid"), col("cell"),
@@ -1349,8 +1353,12 @@ object AnnOps {
     // WindowGroupLimit prunes before the shuffle. Nothing all-pairs, no
     // driver collect beyond semAssigned's O(K x dims) centroid step.
     "q_cluster_summary" -> ((s, d) => {
-      val cells = semAssigned(s, d)
-        .select(col("vec_id").as("doc_id"), col("cell"))
+      // Round-17 (guide §1.2 / §5): the cell assignment is an
+      // argmax-of-K projection (K DotProduct kernels per row) read by
+      // THREE branches (sizes, the token attach, the final join) — a
+      // narrow (doc_id, cell) cache runs it once instead of per branch.
+      val cells = persistEager(semAssigned(s, d)
+        .select(col("vec_id").as("doc_id"), col("cell")))
       val sz = cells.groupBy("cell").agg(count(lit(1)).as("n_docs"))
       val toks = par(Tables(s, d, "documents"))
         .select(col("doc_id"),

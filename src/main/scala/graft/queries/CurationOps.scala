@@ -55,7 +55,25 @@ object CurationOps {
     * (the q_quantiles-proven DuckDB quantile_cont formula parity). */
   private def exactTypeQuantiles(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame, ps: Seq[(Double, String)],
-      guard: String): org.apache.spark.sql.DataFrame = {
+      guard: String): org.apache.spark.sql.DataFrame =
+    exactTypeQuantilesParted(s, df, ps, guard)._1
+
+  /** [[exactTypeQuantiles]] that ALSO returns the range-partitioned
+    * `(event_type, value, id, pid)` frame its rank machinery is built
+    * on (round 17, guide §2.4): a caller that joins the quantile row
+    * back onto the input (winsorize clip, MAD deviations, the robust-z
+    * projection) reads THIS frame instead of re-scanning the base
+    * table — the range exchange is already in the plan twice (subtotal
+    * + rank passes) and a third identical reference rides the same
+    * reused shuffle output, where a fresh scan would re-read parquet
+    * and re-run the projection single-task on the unsplittable fixture
+    * row group. Rows are identical to the input by construction (the
+    * exchange only moves them). */
+  private def exactTypeQuantilesParted(
+      s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, ps: Seq[(Double, String)],
+      guard: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     val nPart = s.sparkContext.defaultParallelism
     val parted = df
       .repartitionByRange(nPart, col("event_type"), col("value"),
@@ -86,7 +104,7 @@ object CurationOps {
     def interp(p: Double, tag: String) = Seq(
       max(when(col("rn") === floor(h(p)), col("value"))).as(s"lo_$tag"),
       max(when(col("rn") === ceil(h(p)), col("value"))).as(s"hi_$tag"))
-    ranked.groupBy("event_type")
+    val res = ranked.groupBy("event_type")
       .agg(max(col("n")).as("n"),
         ps.flatMap { case (p, tag) => interp(p, tag) }: _*)
       .select(col("event_type") +: ps.map { case (p, tag) =>
@@ -94,6 +112,7 @@ object CurationOps {
           - floor(lit(p) * (col("n") - 1) + 1.0))
           * (col(s"hi_$tag") - col(s"lo_$tag")), 4).as(tag)
       }: _*)
+    (res, parted)
   }
 
   val q: Map[String, Q] = Map(
@@ -422,11 +441,16 @@ object CurationOps {
     // q_quantiles_grouped. Clip bounds come back as a 5-row broadcast.
     "q_winsorize" -> ((s, d) => {
       val ev = Tables(s, d, "events")
-      val stats = exactTypeQuantiles(s,
+      // Round-17 (guide §2.4): the clip projection reads the quantile
+      // pass's own range-partitioned frame (reused shuffle output)
+      // instead of a second events scan.
+      val (stats, parted) = exactTypeQuantilesParted(s,
         ev.select(col("event_type"), col("value"),
           col("event_id").as("id")),
         Seq(0.01 -> "p01", 0.99 -> "p99"), "q_winsorize")
-      ev.join(broadcast(stats), "event_type")
+      parted.select(col("event_type"), col("value"),
+          col("id").as("event_id"))
+        .join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
           col("p01"), col("p99"),
           least(greatest(col("value"), col("p01")), col("p99"))
@@ -455,6 +479,14 @@ object CurationOps {
     // when >50% of a type's values are identical) yields NULL
     // rob_z/is_outlier on both engines rather than an inf/NaN fork.
     "q_anomaly_mad" -> ((s, d) => {
+      // Round-17 note: feeding the MAD pass and the final projection
+      // from the median pass's range-partitioned frame (the winsorize
+      // §2.4 rewire) was tried and MEASURED SLOWER here (TimeOne warm
+      // 3.7-4.9 s vs 2.6-3.0 s, targeted bench median 8.8 vs 3.6 s):
+      // the second quantile pass then range-SAMPLES a
+      // shuffle-read + broadcast-join chain instead of a cheap
+      // columnar scan, and the fresh scan is the cheaper producer for
+      // both consumers. Kept on the proven two-scan shape.
       val ev = Tables(s, d, "events")
       val med = exactTypeQuantiles(s,
         ev.select(col("event_type"), col("value"),
@@ -642,12 +674,19 @@ object CurationOps {
         sum(col("converted")).as("conv"),
         round(sum(pvDec), 2).cast("double").as("sx"),
         round(sum(pvDec * pvDec), 4).cast("double").as("sxx"))
-      val a = byV.filter(col("variant") === "A")
-        .select(col("n").as("n_a"), col("conv").as("conv_a"),
-          col("sx").as("sx_a"), col("sxx").as("sxx_a"))
-      val b = byV.filter(col("variant") === "B")
-        .select(col("n").as("n_b"), col("conv").as("conv_b"),
-          col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+      // Round-17 (guide §2.4): the old filter(A)/filter(B) + crossJoin
+      // pushed a DIFFERENT variant predicate below each branch's
+      // aggregation exchange, so the two branches were not
+      // stage-reusable and the events scan + user agg executed TWICE.
+      // One conditional-max pivot over the 2-row byV frame computes the
+      // identical (n/conv/sx/sxx per arm) row from a single execution.
+      def arm(v: String, c: String) =
+        max(when(col("variant") === v, col(c)))
+      val ab = byV.agg(
+        arm("A", "n").as("n_a"), arm("A", "conv").as("conv_a"),
+        arm("A", "sx").as("sx_a"), arm("A", "sxx").as("sxx_a"),
+        arm("B", "n").as("n_b"), arm("B", "conv").as("conv_b"),
+        arm("B", "sx").as("sx_b"), arm("B", "sxx").as("sxx_b"))
       val r1 = col("conv_a").cast("double") / col("n_a")
       val r2 = col("conv_b").cast("double") / col("n_b")
       val pp = (col("conv_a") + col("conv_b")).cast("double") /
@@ -663,7 +702,7 @@ object CurationOps {
       val v2 = (col("sxx_b") - m2 * col("sx_b")) / (col("n_b") - lit(1))
       val zMean = (m1 - m2) /
         sqrt(v1 / col("n_a") + v2 / col("n_b"))
-      a.crossJoin(b)
+      ab
         .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
           round(r1, 6).as("rate_a"), round(r2, 6).as("rate_b"),
           round(zRate, 6).as("z_rate"),
@@ -748,14 +787,19 @@ object CurationOps {
         .withColumn("recency_days",
           datediff(col("mxd"), col("lastd")).cast("long"))
         .drop("mxd", "lastd")
-      val unpiv = cust.select(lit("recency").as("event_type"),
-          col("recency_days").cast("double").as("value"),
-          col("o_custkey").as("id"))
-        .unionByName(cust.select(lit("freq").as("event_type"),
-          col("frequency").cast("double").as("value"),
-          col("o_custkey").as("id")))
-        .unionByName(cust.select(lit("monetary").as("event_type"),
-          col("monetary").as("value"), col("o_custkey").as("id")))
+      // Round-17 (guide §2.4): one explode-unpivot replaces the 3-way
+      // union of the SAME customer-agg subtree — the metric rows ride a
+      // single read of cust instead of three union branches each
+      // re-running the post-exchange final aggregate.
+      val unpiv = cust.select(col("o_custkey").as("id"), explode(array(
+          struct(lit("recency").as("event_type"),
+            col("recency_days").cast("double").as("value")),
+          struct(lit("freq").as("event_type"),
+            col("frequency").cast("double").as("value")),
+          struct(lit("monetary").as("event_type"),
+            col("monetary").as("value")))).as("mv"))
+        .select(col("mv.event_type").as("event_type"),
+          col("mv.value").as("value"), col("id"))
       val th = exactTypeQuantiles(s, unpiv,
         Seq(0.2 -> "p20", 0.4 -> "p40", 0.6 -> "p60", 0.8 -> "p80"),
         "q_rfm_segments")

@@ -159,9 +159,16 @@ object GraphOps {
   }
 
   private def pairsPreFloor(i: DataFrame): DataFrame =
-    i.as("a").join(i.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+    // Round-17: same one-exchange basket-array shape as the batch
+    // pairCounts (guide §2.4) — the input is already the distinct
+    // (ok, pk) incidence, so collect_set + the sorted nested explode
+    // emits exactly the a.pk < b.pk self-join rows without the join's
+    // extra ok-keyed repartition of both sides.
+    i.groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(col("ps")).as("p1"), col("ps"))
+      .select(col("p1"),
+        explode(filter(col("ps"), x => x > col("p1"))).as("p2"))
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("co"))
 
   private val incSql =

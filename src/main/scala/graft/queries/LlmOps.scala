@@ -567,10 +567,21 @@ object LlmOps {
       else {
         val pair = best(0).getString(0)
         merges += pair
+        // Round-17 (guide §1.2 per-round job count): merges stack as a
+        // LAZY replace chain over the one checkpointed wordcount base —
+        // a merge is a single cheap string expression, so re-running
+        // round r's <= r replaces inside the next pair-count job costs
+        // far less than the eager localCheckpoint barrier per round paid
+        // before (one extra job + full vocab materialization per merge,
+        // 16 of each). Plan depth grows by one Project per round —
+        // Catalyst collapses the projections; nothing iterative
+        // re-embeds upstream of the checkpointed base, so the
+        // plan-growth hazard the checkpoint guarded against (each round
+        // re-embedding a GROWING dag) does not apply to this flat
+        // chain.
         vocab = vocab.withColumn("sym",
           replace(col("sym"), lit(s" $pair "),
             lit(" " + pair.replace("  ", "") + " ")))
-          .localCheckpoint(true)
       }
       r += 1
     }

@@ -271,8 +271,12 @@ object TextOps {
           explode(split(lower(col("text")), " ")).as("token"))
         .filter(col("token") =!= "")
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val cnts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val tot = toks.agg(count(lit(1)).as("total"))
+      // Round-17 (guide §2.3): the unigram counts are the exact sums of
+      // the per-(doc, token) tf frame, and the corpus total the exact
+      // sum of those — ONE corpus explode pass feeds all three
+      // aggregates instead of three.
+      val cnts = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+      val tot = cnts.agg(sum(col("cnt")).as("total"))
       tf.join(cnts, "token").crossJoin(broadcast(tot))
         .select(col("doc_id"), col("tf"),
           // Round-7 hardening of the round-5 accepted risk: terms
@@ -330,7 +334,9 @@ object TextOps {
         .select(col("doc_id"), col("w1"), col("w").as("w2"))
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
       val c1 = toks.groupBy("w").agg(count(lit(1)).as("n1"))
-      val tot = toks.agg(count(lit(1)).as("n_total"))
+      // Round-17 (guide §2.3): same total-from-counts derivation as
+      // q_pmi_collocations — one fewer corpus explode pass.
+      val tot = c1.agg(sum(col("n1")).as("n_total"))
       // Terms ride as exact integer PICO-units (k = term * 1e12, a
       // long: the 12dp decimal is integral there), and BOTH roundings —
       // total at 6dp, the per-bigram average at 6dp — are half-up
@@ -389,7 +395,9 @@ object TextOps {
       val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
         .filter(col("n2") >= 5)
       val c1 = toks.groupBy("w").agg(count(lit(1)).as("n1"))
-      val tot = toks.agg(count(lit(1)).as("n_total"))
+      // Round-17 (guide §2.3): N is the exact sum of the unigram counts
+      // — no third corpus explode pass for a 1-row total.
+      val tot = c1.agg(sum(col("n1")).as("n_total"))
       c2.join(c1.select(col("w").as("w1"), col("n1").as("n1w1")), "w1")
         .join(c1.select(col("w").as("w2"), col("n1").as("n1w2")), "w2")
         .crossJoin(broadcast(tot))
@@ -416,7 +424,10 @@ object TextOps {
       val counts = toks.groupBy("token")
         .agg(count(lit(1)).as("occurrences"),
           countDistinct(col("doc_id")).as("doc_freq"))
-      val total = toks.agg(count(lit(1)).as("total"))
+      // Round-17 (guide §2.3): the corpus total is the exact sum of the
+      // per-token counts — derive it from the O(vocab) frame instead of
+      // re-running the corpus explode a second time.
+      val total = counts.agg(sum(col("occurrences")).as("total"))
       counts.crossJoin(broadcast(total))
         .withColumn("share",
           round(col("occurrences").cast("double") / col("total"), 6))
