@@ -735,26 +735,38 @@ object CurationOps {
           .select(lit(idx).as("rule_idx"), lit(name).as("rule"),
             col("n_violations"),
             (col("n_violations") === 0).as("pass"))
+      // Round-17 (guide §2.3/§2.4): the five map-side rules (3-7) are
+      // conditional sums over the SAME orders scan — fused into ONE
+      // aggregate pass (the q_profile_nulls pattern), so orders is read
+      // three times total (anti join, key agg, fused rule scan) instead
+      // of seven. Row output identical: each rule row projects its own
+      // counter off the shared 1-row agg.
+      val fused = o.agg(
+        sum((!col("o_orderstatus").isin("F", "O", "P")).cast("long"))
+          .as("v3"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("v4"),
+        sum((col("o_orderdate") < lit("1990-01-01").cast("timestamp_ntz") ||
+          col("o_orderdate") >= lit("2010-01-01").cast("timestamp_ntz"))
+          .cast("long")).as("v5"),
+        sum(col("o_custkey").isNull.cast("long")).as("v6"),
+        // deliberately tight cap the fixture genuinely violates — a QA
+        // suite where every rule passes proves nothing about counting
+        sum((col("o_totalprice") > 400000).cast("long")).as("v7"))
+      def fusedRule(idx: Long, name: String, v: String) =
+        fused.select(lit(idx).as("rule_idx"), lit(name).as("rule"),
+          coalesce(col(v), lit(0L)).cast("long").as("n_violations"),
+          (coalesce(col(v), lit(0L)) === 0).as("pass"))
       rule(1L, "orders_custkey_resolves",
           count(lit(1)),
           o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
         .unionByName(rule(2L, "orderkey_unique",
           sum(when(col("n") > 1, col("n")).otherwise(lit(0L))),
           o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))))
-        .unionByName(rule(3L, "status_in_domain",
-          sum((!col("o_orderstatus").isin("F", "O", "P")).cast("long")), o))
-        .unionByName(rule(4L, "totalprice_positive",
-          sum((col("o_totalprice") <= 0).cast("long")), o))
-        .unionByName(rule(5L, "orderdate_in_window",
-          sum((col("o_orderdate") < lit("1990-01-01").cast("timestamp_ntz") ||
-            col("o_orderdate") >= lit("2010-01-01").cast("timestamp_ntz"))
-            .cast("long")), o))
-        .unionByName(rule(6L, "custkey_not_null",
-          sum(col("o_custkey").isNull.cast("long")), o))
-        // deliberately tight cap the fixture genuinely violates — a QA
-        // suite where every rule passes proves nothing about counting
-        .unionByName(rule(7L, "totalprice_below_cap",
-          sum((col("o_totalprice") > 400000).cast("long")), o))
+        .unionByName(fusedRule(3L, "status_in_domain", "v3"))
+        .unionByName(fusedRule(4L, "totalprice_positive", "v4"))
+        .unionByName(fusedRule(5L, "orderdate_in_window", "v5"))
+        .unionByName(fusedRule(6L, "custkey_not_null", "v6"))
+        .unionByName(fusedRule(7L, "totalprice_below_cap", "v7"))
         .orderBy("rule_idx")
     }),
 
