@@ -363,14 +363,37 @@ object GraphOps {
         .unionByName(pairs.select(col("p2").as("w"), col("p1").as("nbr")))
       val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
       val cap = s.conf.get("spark.graft.linkDegCap", "0").toInt
-      // the wedge self-join reads the degree-carrying adjacency twice
-      val adjd = persistEager(sketchAdjacency(adj, cap).join(deg, "w"))
-      val aaTerm = round(lit(1.0) / log(col("a.deg").cast("double")), 12)
+      // Round-17 re-plan (guide §2.3/§2.4 — the pairCounts basket-array
+      // mechanism): wedges through a middle node w are the unordered
+      // pairs of w's (possibly sketched) neighbor set, so one
+      // groupBy(w) with map-side-partial collect_set + a nested explode
+      // over the sorted array replaces the adjacency self-join (and its
+      // persistEager barrier — the basket frame feeds exactly one
+      // consumer). The AA term is a function of the middle's PRE-sketch
+      // degree alone, so it projects once per basket before the
+      // fan-out; a hub middle's d² pair burst is in-stage CPU bounded
+      // by linkDegCap, never a skewed shuffle partition (the planted-
+      // hub pin). With cap > 0 the sketch window hashes on w — the
+      // exact exchange the basket groupBy reuses.
+      val baskets = sketchAdjacency(adj, cap)
+        .groupBy("w").agg(sort_array(collect_set(col("nbr"))).as("nbrs"))
+        .join(deg, "w")
+      val aaTerm = round(lit(1.0) / log(col("deg").cast("double")), 12)
         .cast("decimal(14,12)")
-      val scored = persistEager(adjd.as("a").join(adjd.as("b"),
-          col("a.w") === col("b.w") && col("a.nbr") < col("b.nbr"))
-        .groupBy(col("a.nbr").as("u"), col("b.nbr").as("v"))
-        .agg(count(lit(1)).as("cn"), sum(aaTerm).as("aa"))
+      val wedges = baskets
+        // a sub-2 basket emits no wedge (the nested explode would drop
+        // it anyway) — filtering it FIRST keeps the AA projection off
+        // degree-1 middles, where 1/ln(deg) is an ANSI divide-by-zero
+        // the old join shape never evaluated (deg >= basket size >= 2
+        // on every surviving row, so ln(deg) > 0 here)
+        .filter(size(col("nbrs")) >= 2)
+        .select(aaTerm.as("aat"), explode(col("nbrs")).as("u"),
+          col("nbrs"))
+        .select(col("aat"), col("u"),
+          explode(filter(col("nbrs"), x => x > col("u"))).as("v"))
+      val scored = persistEager(wedges
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("cn"), sum(col("aat")).as("aa"))
         .join(pairs, col("u") === col("p1") && col("v") === col("p2"),
           "left_anti")
         .join(deg.select(col("w").as("u"), col("deg").as("du")), "u")
@@ -391,7 +414,7 @@ object GraphOps {
         .select(col("part"), col("rk").cast("long").as("rk"), col("cand"),
           col("cn"), col("jaccard"), col("adamic_adar"))
         .orderBy("part", "rk")
-      materializeAndFree(out, pairs, adjd, scored)
+      materializeAndFree(out, pairs, scored)
     }),
 
     // ── Degree distribution histogram (round 11) ─────────────────────
@@ -718,19 +741,36 @@ object GraphOps {
   /** ONE definition of the degree-oriented triangle enumeration
     * (round-11 verdict #7: q_graph_stats had inlined a second copy of
     * this wedge join, which could silently diverge from the per-node
-    * pass). Wedges pair the out-neighbors of each oriented source in
-    * (ddeg, dst) order and the closing edge is looked up in the same
-    * oriented list; each triangle {a,b,c} appears exactly once, at its
-    * lowest-(degree, id) corner. Output columns (a, b, c). */
+    * pass). Each triangle {a,b,c} appears exactly once, at its
+    * lowest-(degree, id) corner. Output columns (a, b, c).
+    *
+    * Round-17 re-plan (guide §2.3/§2.4 — the pairCounts basket-array
+    * mechanism applied to adjacency): the old shape enumerated wedges
+    * via an ori×ori self-join and shuffled the O(Σ out-deg²) wedge
+    * rows into a (src, dst)-keyed closure join against ori a third
+    * time. Triangles at the lowest corner are exactly
+    *   Σ over oriented edges (a→b) of |out(a) ∩ out(b)|
+    * — a triple (a,b,c) has a→b, a→c, b→c, so c ∈ out(a) ∩ out(b),
+    * and the old wedgeOrder condition was IMPLIED by the closure edge
+    * (b→c oriented ⇒ (deg_b, b) < (deg_c, c)); no other edge of the
+    * triangle sees a common out-neighbor, so each triple lands exactly
+    * once. The out-neighbor sets ride as per-node sorted arrays (one
+    * groupBy(src) — map-side-partial collect_set over the cached ori),
+    * the two attach joins are node-cardinality array frames (their
+    * identical build exchanges deduplicate via ReuseExchange), and the
+    * per-edge intersection is in-stage CPU — the wedge-row shuffle and
+    * the pair-keyed closure exchange are gone. An edge whose dst has no
+    * out-edge closes nothing and drops at the inner join; empty
+    * intersections drop at the explode. */
   private[graft] def orientedTriangles(ori: DataFrame): DataFrame = {
-    val wedgeOrder = col("e1.ddeg") < col("e2.ddeg") ||
-      (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
-    ori.as("e1")
-      .join(ori.as("e2"), col("e1.src") === col("e2.src") && wedgeOrder)
-      .join(ori.as("e3"),
-        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-        col("e2.dst").as("c"))
+    val outArr = ori.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("onb"))
+    ori.select(col("src"), col("dst"))
+      .join(outArr.select(col("src"), col("onb").as("oa")), "src")
+      .join(outArr.select(col("src").as("dst"), col("onb").as("ob")),
+        "dst")
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("oa"), col("ob"))).as("c"))
   }
 
   /** ── Triangle count + local clustering coefficient (round 10) ─────
