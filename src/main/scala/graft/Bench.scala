@@ -112,6 +112,29 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage, -1.0)
     }
 
+  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
+    * line — the hypervisor-steal telemetry (round 18, r17 verdict #7):
+    * this sandbox's ±50% single-key noise is stolen CPU windows, which
+    * loadavg cannot see (the runnable queue looks normal while the vCPU
+    * is descheduled). A record that carries its own steal fraction can
+    * discount itself without judge forensics. Non-procfs hosts return
+    * None and the telemetry simply disables. */
+  private[graft] def stealJiffies(): Option[(Long, Long)] =
+    try {
+      val cpu = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.find(_.startsWith("cpu ")).get
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal [guest guest_nice]
+      if (f.length < 8) None else Some((f(7), f.sum))
+    } catch { case _: Exception => None }
+
+  /** Percent of elapsed CPU time stolen between two stealJiffies samples. */
+  private[graft] def stealPct(a: Option[(Long, Long)],
+      b: Option[(Long, Long)]): Option[Double] =
+    for { (s1, t1) <- a; (s2, t2) <- b if t2 > t1 }
+      yield 100.0 * (s2 - s1) / (t2 - t1)
+
   /** Parse a bench/baseline record's {"queries": {...}} map and its "sf"
     * stamp. Jackson rides in with Spark, so no hand-rolled JSON. Returns
     * empty on any malformed input — a corrupt baseline must degrade to
@@ -266,6 +289,12 @@ object Bench {
     if (concurrentBenchStart > 0)
       System.err.println(s"[bench] WARNING: $concurrentBenchStart other " +
         "graft.Bench JVM(s) running — timings will be contaminated")
+    // Steal-time telemetry (round 18, r17 verdict #7): sampled at start,
+    // after the main pass (arms the smear retry) and at the end (stamped
+    // into the record). Threshold is percent of elapsed CPU stolen.
+    val stealWarnThreshold = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_STEAL_WARN", "5.0").toDouble
+    val stealStart = stealJiffies()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -326,8 +355,13 @@ object Bench {
     // JSON ("only":[...]) so a partial record can never read as a full
     // one even if redirected elsewhere.
     val partial = only.nonEmpty || skip.nonEmpty
+    // Default output is CPUS-SUFFIXED (round 18, r17 verdict #2): the
+    // driver's 8-cpu scaling leg used to clobber the 32-cpu full record
+    // at the shared BENCH_LOCAL.json name, so the committed durable copy
+    // of the main run was silently the c8 run. Each core count now owns
+    // its file; explicit SPARK_GRAFT_BENCH_OUT still wins.
     val defaultOut =
-      if (!partial) "BENCH_LOCAL.json" else "BENCH_ONLY_LOCAL.json"
+      if (!partial) s"BENCH_LOCAL_c$cpus.json" else "BENCH_ONLY_LOCAL.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     require(!partial ||
         java.nio.file.Paths.get(outPath).getFileName.toString
@@ -391,8 +425,19 @@ object Bench {
       .map(_._1).getOrElse(Map.empty)
     val smearInitial =
       smearedKeys(resultsMap, baseline, smearRatio, smearDelta)
+    // Second armed condition (round 18, r17 verdict #7): a measured
+    // hypervisor-steal window over the main pass arms the retry even
+    // below the key-count bar — stolen CPU smears few keys hard rather
+    // than many keys mildly, which is exactly the pattern the count
+    // threshold misses.
+    val stealPctMain = stealPct(stealStart, stealJiffies())
+    val stealArmed = stealPctMain.exists(_ >= stealWarnThreshold)
+    if (stealArmed)
+      System.err.println(f"[bench] ${stealPctMain.get}%.1f%% CPU stolen " +
+        "during the main pass — smear retry armed")
     val smearRetried =
-      if (smearInitial.size >= smearMin && smearInitial.size <= smearRetryMax) {
+      if (smearInitial.nonEmpty && smearInitial.size <= smearRetryMax &&
+          (smearInitial.size >= smearMin || stealArmed)) {
         System.err.println(s"[bench] ${smearInitial.size} keys read >= " +
           s"${smearRatio}x their quiet baseline — re-waiting, then " +
           "retrying those keys once")
@@ -448,7 +493,14 @@ object Bench {
       s""","smear_keys_retried":${smearRetried.size}""" +
       s""","smear_keys_final":${smearFinal.size}""" +
       s""","smear_suspect":$smearSuspect"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs$onlyField,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg5_start":$load5Start,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"load_warn_threshold":$warnThreshold,"waited_quiet_sec":$waitedSec,"concurrent_bench":$concurrentBench$smearFields,"cpus":$cpus,"sf":"$sfDir"}"""
+    // Whole-run steal fraction: a reader discounts a record whose CPU was
+    // visibly stolen, exactly like load_warn / concurrent_bench.
+    val stealPctRun = stealPct(stealStart, stealJiffies())
+    val stealWarn = stealPctRun.exists(_ >= stealWarnThreshold)
+    val stealFields =
+      s""","steal_pct":${stealPctRun.map(fmt).getOrElse("null")}""" +
+      s""","steal_warn":$stealWarn"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs$onlyField,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"loadavg5_start":$load5Start,"loadavg_end":$loadEnd,"load_warn":$loadWarn,"load_warn_threshold":$warnThreshold,"waited_quiet_sec":$waitedSec,"concurrent_bench":$concurrentBench$smearFields$stealFields,"cpus":$cpus,"sf":"$sfDir"}"""
     // Durable artifact (round-9 ADVICE): BENCH_r09's stdout tail arrived
     // front-truncated, losing half the timing map. The file is the record;
     // stdout is a convenience copy.
@@ -456,7 +508,19 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
-    // last stdout write of the process, so a bounded tail capture keeps it
+    // The full contract line first: one JSON line with the complete
+    // per-query map (the declared stdout contract since round 1).
     println(json)
+    // Compact summary LAST (round 18, r17 verdict #2): the harness that
+    // reads this process keeps only a bounded 2000-char stdout tail, and
+    // the full line above is ~6 KB with 177 keys — it arrived
+    // front-truncated and unparseable in BOTH prior optimization rounds
+    // (BENCH_r16/r17 "parsed": null), blinding the round-over-round perf
+    // comparison. This line carries every scalar of the record plus a
+    // pointer to the durable per-query file, stays well under the tail
+    // budget, and is the LAST stdout write so the tail always holds it
+    // whole. It ADDS a line; the contract line above is unchanged.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_file":"$outPath","failed":$fs$onlyField,"iters":$iters,"stat":"$stat","loadavg_start":$loadStart,"load_warn":$loadWarn,"waited_quiet_sec":$waitedSec,"concurrent_bench":$concurrentBench,"smear_keys_final":${smearFinal.size},"smear_suspect":$smearSuspect$stealFields,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(compact)
   }
 }

@@ -57,26 +57,55 @@ object AnnOps {
     ((h(s"mh-a-$i") % (P - 1)) + 1, h(s"mh-b-$i") % P)
   }
 
-  /** MinHash near-dup pairs via 48 parallel min-aggregates over the
-    * exploded shingle hashes (one codegen'd HashAggregate), LSH banding,
-    * exact-Jaccard verify on candidates. Shared by q_dedup_minhash (the
-    * pair listing) and q_dedup_cluster (which treats the pairs as the
-    * duplicate-graph edge set). Unordered.
+  /** Canonical-corpus MinHash machinery (round 18, r17 verdict #1 — the
+    * q_dedup_report treatment for the CLUSTER consumers): every minhash
+    * verdict is a function of the two docs' exact-dup digest classes
+    * alone (same md5(lower(trim(text))) digest ⇒ same lower-text token
+    * sequence ⇒ same shingle set ⇒ same 48 affine min-hashes ⇒ same 16
+    * band buckets), so the sketch build, the banded candidate join and
+    * the exact-Jaccard verify all run ONCE per distinct class instead of
+    * once per raw doc — a replica-heavy drop no longer pays O(class²)
+    * candidate pairs inside each digest class (the exact shape that made
+    * q_dedup_report 421 s at sf3 before round 17). Raw pairs/labels fan
+    * back through the membership frame:
+    *   cross-class: identical docs share every band, so raw pair (a, b)
+    *     is a candidate iff its class reps are, and jaccard(a, b) =
+    *     jaccard(rep_a, rep_b) — each verified canonical pair fans to
+    *     members(A) x members(B) verbatim;
+    *   within-class: byte-identical-after-normalization docs share all
+    *     buckets, so a class with >= 2 copies and >= 1 shingle raw-pairs
+    *     every member with every other at inter = |set|, jaccard 1
+    *     (a shingle-less class has no bands, hence no candidates — on
+    *     the raw plan too).
+    * Oracles are UNCHANGED raw-corpus SQL, so the sf0.01/sf0.1 hash
+    * gates check the reconstruction algebra itself; QueriesSpec pins
+    * fan-back == raw-plan output on a replicated planted fixture.
     *
     * No shingle df-cap is needed here (unlike q_dedup_ngram_jaccard's
     * `spark.graft.shingleDfCap`): candidates come from (band, bucket)
-    * equi-joins — O(docs x bands) rows regardless of how hot any single
-    * shingle is — and the shingle explode only feeds per-doc
+    * equi-joins — O(classes x bands) rows regardless of how hot any
+    * single shingle is — and the shingle explode only feeds per-class
     * aggregations, never a shingle-keyed join.
     *
-    * Materialized eagerly (the pair list is tiny) so the two internal
-    * persists (docs, banded) can be released before returning instead of
-    * leaking into the session's CacheManager; dedupCluster uses
-    * `minhashPairsAnd` directly and frees the same handles once its edge
-    * frame is checkpointed. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val (pairs, handles) = minhashPairsAnd(s, d)
-    materializeAndFree(pairs, handles: _*)
+    * Returns (canonical verified pairs, mem, arr — the persisted
+    * (ckey, doc_id, cnt, sh) class sketch frame, internal handles,
+    * fanOut). fanOut mirrors classFanBack's short-circuit: arr's
+    * cache-filling count observes max(cnt), and a replica-free corpus
+    * (every class a singleton) provably makes the fan-back joins
+    * identity/empty, so consumers skip them; plan-digest sessions
+    * observe nothing and take the general branch. Callers release mem
+    * and arr (and the returned handles if they bypass
+    * dedupClusterLabelsFrom) via materializeAndFree. */
+  private def minhashClassAnd(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame], Boolean) = {
+    val (mem, canon) = TextOps.classMembership(s, d)
+    val (arr, maxCnt) = persistEagerWithLong(
+      shingleArraysOf(s, canon
+        .select(col("ckey"), col("doc_id"), col("cnt"), col("text"))),
+      max(col("cnt")))
+    val (pairs, handles) =
+      minhashPairsAndOf(arr.select(col("doc_id"), col("sh")))
+    (pairs, mem, arr, handles, maxCnt.forall(_ > 1))
   }
 
   /** (doc_id, band, bucket) LSH banding of a (doc_id, sh) frame: 48
@@ -103,46 +132,28 @@ object AnnOps {
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
   }
 
-  private def minhashPairsAnd(
-    s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    // Distinct-shingle HASH arrays (8-byte elements, not ~25-byte text) —
-    // read twice by the exact-Jaccard verify join. Intersecting hashes is
-    // exactly the oracle's semantics: its `inter` CTE equi-joins the
-    // hashes too, so the (negligible) collision case matches engines.
-    // eager fill before the two verify-join reads
-    val docs = persistEager(shingleArrays(s, d))
-    val (pairs, handles) = minhashPairsAndOf(docs)
-    (pairs, docs +: handles)
-  }
-
-  /** (doc_id, sh: distinct 3-gram 60-bit hash array) — THE shingle-array
-    * frame of the dedup family, one definition shared by
-    * [[minhashPairsAnd]] and q_dedup_report's shared cache (round-15
+  /** Shingle arrays over a caller-chosen frame carrying (doc_id, text,
+    * …) — THE shingle-array definition of the dedup family (round-15
     * review: two copies of this literal would let the report's metrics
     * drift from the standalone operators if the shingle parameters ever
-    * changed in one place). Callers persist. */
-  private[queries] def shingleArrays(s: SparkSession, d: String): DataFrame =
-    shingleArraysOf(s, par(Tables(s, d, "documents")))
-
-  /** [[shingleArrays]] over a caller-chosen frame carrying (doc_id, text,
-    * …) — the round-17 q_dedup_report seam: the report sketches the
-    * EXACT-CANONICAL corpus (one row per normalized-text digest class)
-    * and reconstructs raw-corpus pair counts algebraically, so it needs
-    * the same shingle parameters over a derived doc set. Passthrough
-    * columns (e.g. the class size `cnt`) survive; `text` is dropped
-    * once hashed. */
+    * changed in one place), shared by [[minhashClassAnd]] and
+    * q_dedup_report's cache. Since round 18 every minhash consumer
+    * sketches a CANONICAL doc set (one row per normalized-text digest
+    * class). Passthrough columns (e.g. the class size `cnt`) survive;
+    * `text` is dropped once hashed. Callers persist. */
   private[queries] def shingleArraysOf(s: SparkSession,
       docs: DataFrame): DataFrame =
     docs.withColumn("sh",
         graft.functions.ShingleHash60(s, col("text"), 3, distinct = true))
       .drop("text")
 
-  /** [[minhashPairsAnd]] over a caller-persisted (doc_id, sh: hash array)
-    * frame — the seam q_dedup_report uses to pay the corpus's
-    * ShingleHash60 pass ONCE across the jaccard/simhash/minhash-cluster
-    * branches (round-14 verdict #5, the d96e96e sharing pattern).
-    * Returned handles cover only the internal banded cache; the caller
-    * owns `docsSh`. */
+  /** Banded LSH candidates + exact-Jaccard verify over a
+    * caller-persisted (doc_id, sh: hash array) frame — the seam
+    * q_dedup_report uses to pay the corpus's ShingleHash60 pass ONCE
+    * across the jaccard/simhash/minhash-cluster branches (round-14
+    * verdict #5, the d96e96e sharing pattern), and since round 18 the
+    * shared kernel of [[minhashClassAnd]]. Returned handles cover only
+    * the internal banded cache; the caller owns `docsSh`. */
   private[queries] def minhashPairsAndOf(
     docsSh: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val docs = docsSh
@@ -178,7 +189,33 @@ object AnnOps {
   // ------------------------------------------------------------- queries
 
   private val pairQ: Map[String, Q] = Map(
-    "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d).orderBy("d1", "d2")),
+    // Raw near-dup pair listing, detector run once per digest class
+    // (round 18 — see minhashClassAnd for the fan-back algebra; oracle
+    // unchanged, raw exact-Jaccard semantics).
+    "q_dedup_minhash" -> ((s, d) => {
+      val (pairs, mem, arr, handles, fanOut) = minhashClassAnd(s, d)
+      val out = if (!fanOut) pairs else {
+        val cross = pairs
+          .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")),
+            "d1")
+          .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")),
+            "d2")
+          .select(least(col("x"), col("y")).as("d1"),
+            greatest(col("x"), col("y")).as("d2"),
+            col("inter"), col("jaccard"))
+        val within = arr
+          .filter(col("cnt") >= 2 && size(col("sh")) > 0)
+          .select(col("ckey"), size(col("sh")).cast("long").as("inter"))
+          .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
+          .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
+          .filter(col("x") < col("y"))
+          .select(col("x").as("d1"), col("y").as("d2"), col("inter"),
+            lit(1.0).as("jaccard"))
+        cross.unionByName(within)
+      }
+      materializeAndFree(out, mem +: arr +: handles: _*)
+        .orderBy("d1", "d2")
+    }),
 
     // Incremental near-dup dedup against a PERSISTED corpus index (round
     // 7) — the production dedup shape: a new drop (here doc_id % 10 = 3,
@@ -316,28 +353,49 @@ object AnnOps {
     }),
   )
 
+  /** Per-doc duplicate-cluster labels, with the CC fixpoint run on the
+    * CANONICAL class graph (round 18, r17 verdict #1) and labels fanned
+    * back by digest class. Raw component structure = canonical
+    * component structure expanded by class membership:
+    *   - a doc whose class canonical carries a canonical-graph label L
+    *     is labeled L (within-class jaccard-1 edges glue every member
+    *     to its canonical, which connects onward; the canonical-graph
+    *     component min IS the raw component min, because every class
+    *     canonical is its class's min doc_id);
+    *   - a shingled dup class (cnt >= 2, >= 1 shingle) with NO
+    *     canonical-graph edge is a raw component of exactly its own
+    *     members — label = cdoc;
+    *   - everything else (singleton class with no verified partner, or
+    *     a shingle-less class whose members have no bands and hence no
+    *     candidates, on the raw plan too) is a raw singleton — label =
+    *     own doc_id.
+    * The corpus never rejoins by a second scan: the membership frame
+    * already carries every doc_id. */
   private def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val (rawPairs, sketchHandles) = minhashPairsAnd(s, d)
-    dedupClusterFrom(s, d, rawPairs, sketchHandles)
-  }
-
-  /** [[dedupCluster]] from a caller-supplied near-dup pair frame — the
-    * q_dedup_report seam: the report builds the minhash pairs from its
-    * one shared shingle cache and the cluster step must not rebuild
-    * them. `sketchHandles` are unpersisted once the edge list is
-    * checkpointed (pass only handles no other consumer still needs). */
-  private[queries] def dedupClusterFrom(s: SparkSession, d: String,
-      rawPairs: DataFrame, sketchHandles: Seq[DataFrame]): DataFrame = {
-      val labels = dedupClusterLabelsFrom(rawPairs, sketchHandles)
-      val csz = Window.partitionBy("cluster_id")
-      par(Tables(s, d, "documents")).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(csz))
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          (col("doc_id") === col("cluster_id")).as("is_canonical"))
-        .orderBy("doc_id")
+    val (pairs, mem, arr, handles, fanOut) = minhashClassAnd(s, d)
+    val labels = dedupClusterLabelsFrom(pairs, handles)
+    val csz = Window.partitionBy("cluster_id")
+    val perDoc =
+      if (!fanOut)
+        mem.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      else
+        mem
+          .join(arr.select(col("ckey"),
+            (size(col("sh")) > 0).as("has_sh")), "ckey")
+          .join(labels.select(col("doc_id").as("cdoc"), col("label")),
+            Seq("cdoc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"),
+              when(col("cnt") >= 2 && col("has_sh"), col("cdoc"))
+                .otherwise(col("doc_id"))).as("cluster_id"))
+    val out = perDoc
+      .withColumn("cluster_size", count(lit(1)).over(csz))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    materializeAndFree(out, mem, arr).orderBy("doc_id")
   }
 
   /** The SUBGRAPH label fixpoint of [[dedupClusterFrom]] without the
@@ -448,6 +506,15 @@ object AnnOps {
       // round (simulated: chain-16 5 vs 4 incl. detection), and a full
       // round (edge join + checkpoint) costs more than the self-join it
       // saves. Kept the sequential two-join round.
+      // NB round 18 also A/B-tested folding the OWN-label retention into
+      // the neighbor-min groupBy via per-node self-loops (edges ∪ (v,v)
+      // rows derived from the round's label frame — bit-identical label
+      // sequence, one join fewer per round on paper). It measured
+      // 15-20% WORSE warm on q_graph_components (TimeOne n=5 both
+      // trees, 4.8-6.3 s → 5.7-7.2 s): the retention join below is a
+      // node-sized BROADCAST left join (nbrMin is tiny), while the
+      // self-loop union inflates the shuffled edge join AND the groupBy
+      // input by |nodes| rows per round. Kept the two-join round.
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("label").as("nl")), "dst")
@@ -857,14 +924,21 @@ object AnnOps {
       }
     }
     (0 until iters).foreach { _ =>
-      // Materialize the encoded frame BEFORE the per-dim explode:
-      // pq_encode is CodegenFallback, and the interpreted projection
-      // path has no subexpression elimination, so without the barrier
+      // Cache the encoded frame BEFORE the per-dim explode: pq_encode is
+      // CodegenFallback, and the interpreted projection path has no
+      // subexpression elimination, so without the barrier
       // CollapseProject inlines the m x ks x subDim encode loop into the
       // post-explode projection — re-running it once per DIM (64x per
       // row; measured 8.5 s/iter vs ~1 s with the barrier at sf0.1).
-      // eager: encode exactly once per row per iteration
-      val enc = persistEager(emb
+      // Round 18 (r17 verdict #6): the persist is LAZY — the cache
+      // boundary alone is the optimizer barrier (the InMemoryRelation's
+      // child plan is planned separately, so the collapse cannot cross
+      // it), and the sums collect below is this frame's ONLY consumer,
+      // so its execution fills the cache — encode still runs exactly
+      // once per row per iteration, one job instead of two. The
+      // per-side race persistEager guards against needs a second
+      // concurrent consumer, which does not exist here.
+      val enc = persistLazy(emb
         .select(col("cell"), col("embedding"),
           graft.functions.PqCodec.encode(s, col("embedding"), col("cell"),
             coarseLit, typedLit[Seq[Seq[Seq[Double]]]](books)).as("codes")))

@@ -394,25 +394,29 @@ object Joins {
     // quadratic term anywhere.
     "q_entity_cluster" -> ((s, d) => {
       val (dirtyRows, masterRows, verified) = linkageNameGraph(s, d)
-      // entityHubEdges returns an eagerly-checkpointed frame (its
-      // internal caches are freed there), so no extra checkpoint here.
-      // Under the plan-inspection escape hatch it stays LAZY instead
-      // (materializeAndFree no-ops), so a digest session re-executes
-      // the un-cached hub pipeline per fixpoint round — acceptable: the
-      // digest reads the labels' LogicalRDD either way and the digest
-      // fixture is sf0.001.
-      val edges = entityHubEdges(dirtyRows, masterRows, verified)
-      val (labels, _) = AnnOps.propagateMinLabels(edges)
+      // Round-18 re-plan (r17 verdict #5 + guide §2.3 "iterate on a
+      // lightweight proxy, attach the payload once"): customer KEYS no
+      // longer enter the fixpoint at all — the closure runs on the
+      // hub-only star graph of entityHubStarEdges (size a function of
+      // the distinct-NAME structure, independent of per-entity row
+      // duplication), and per-key labels fan back through one
+      // fold-keyed join per side. entityHubStarEdges checkpoints the
+      // edges and returns the persisted hubIds frame the fan-back
+      // reads; materializeAndFree releases it with the final frame.
+      // Under the plan-inspection escape hatch everything stays LAZY
+      // (the digest fixture is sf0.001).
+      val (keyLab, hubIds) =
+        entityKeyLabels(dirtyRows, masterRows, verified)
       val csz = Window.partitionBy("entity_id")
-      Tables(s, d, "customer").select(col("c_custkey"))
-        .join(labels.withColumnRenamed("doc_id", "c_custkey"),
+      val out = Tables(s, d, "customer").select(col("c_custkey"))
+        .join(keyLab.withColumnRenamed("key", "c_custkey"),
           Seq("c_custkey"), "left")
         .select(col("c_custkey"),
           coalesce(col("label"), col("c_custkey")).as("entity_id"))
         .withColumn("entity_size", count(lit(1)).over(csz))
         .select(col("c_custkey"), col("entity_id"), col("entity_size"),
           (col("c_custkey") === col("entity_id")).as("is_canonical"))
-        .orderBy("c_custkey")
+      materializeAndFree(out, hubIds).orderBy("c_custkey")
     }),
   )
 
@@ -441,32 +445,85 @@ object Joins {
       .select(col("import_id"), col("c_custkey"), col("lev"))
   }
 
-  /** Hub-graph CC edges for q_entity_cluster (see the operator's comment
-    * for the full argument): one hub node per verified distinct-name
-    * pair, import rows attach by d_fold, master rows by m_fold, hub id =
-    * min attached key (collision-safe: the min key IS attached, so an
-    * id-space merge is component-internal). Returns (src, dst) in both
-    * directions, self-loops dropped, O(rows × hubs-per-name) edges —
-    * component-identical to the O(Σ dups²) row-pair graph
-    * (EntityHub legs in QueriesSpec prove equality against the row-pair
-    * closure on TPC-H and on a planted replica-heavy fixture). */
-  private[graft] def entityHubEdges(
+  /** Hub-only star-graph CC edges for q_entity_cluster (round 18 — keys
+    * contracted out of the r13 key–hub bipartite graph): one hub node
+    * per verified distinct-name pair, hub id = min attached key
+    * (collision-free AS a node-id space: hub ids are the labels the
+    * closure emits, and the component-min hub id equals the
+    * component-min attached key because every attached key is >= its
+    * own hub's id and the component's min key IS some hub's id).
+    *
+    * A key k attaches to the hub set H(k) = {hubs carrying k's import
+    * fold} ∪ {hubs carrying k's master fold} — a function of k's
+    * (block, d_fold, m_fold) PROFILE alone. In the r13 graph k was a
+    * node with an edge to every member of H(k); here each profile
+    * instead stars its H through the profile's min hub id
+    * (edge (h, kmin) per h ∈ H), which merges exactly the same hub
+    * sets — so hub components are IDENTICAL — while replica keys with
+    * the same profile collapse into ONE star by distinct(): the
+    * fixpoint input is sized by the distinct-name structure,
+    * independent of per-entity row duplication (the r13 graph's edge
+    * count grew linearly with rows, so 10x-replicated fixtures paid
+    * 10x per round). Keys themselves never iterate; per-key labels fan
+    * back by fold (see q_entity_cluster), and the EntityHub legs in
+    * QueriesSpec prove the end-to-end labeling equals the row-pair
+    * closure on TPC-H and on a planted replica-heavy fixture.
+    *
+    * Returns (edges, hubIds): edges (src, dst) both directions,
+    * self-loops dropped, eagerly checkpointed with the internal caches
+    * released (the closure loop iterates over a LogicalRDD leaf);
+    * hubIds (blk, d_fold, m_fold, hub_id) persisted lazily — its cache
+    * fills during the edges checkpoint and the CALLER releases it
+    * after the fan-back. */
+  /** Per-key entity labels via the hub-only star closure: (key, label)
+    * for every key attached to >= 1 hub (keys matching nothing are
+    * absent — callers coalesce to the key itself), plus the persisted
+    * hubIds handle the caller releases after its final materialization.
+    * Label algebra: every hub carrying a fold is star-connected through
+    * any key attached to that fold, so the min-hub representative's
+    * label is the fold's label; an isolated hub (its keys attach to
+    * nothing else) is its own component — coalesce to its hub_id, the
+    * min attached key. A key's d-side and m-side folds are
+    * star-connected through the key's own profile, so both sides'
+    * labels agree; the final min() per key is pure dedup. */
+  private[graft] def entityKeyLabels(
       dirtyRows: org.apache.spark.sql.DataFrame,
       masterRows: org.apache.spark.sql.DataFrame,
       verified: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (edges, hubIds) =
+      entityHubStarEdges(dirtyRows, masterRows, verified)
+    val (labels, _) = AnnOps.propagateMinLabels(edges)
+    def foldLab(foldCol: String) = hubIds
+      .groupBy(col("blk_nat"), col("blk_seg"), col(foldCol).as("fold"))
+      .agg(min(col("hub_id")).as("h"))
+      .join(labels.withColumnRenamed("doc_id", "h"), Seq("h"), "left")
+      .select(col("blk_nat"), col("blk_seg"), col("fold"),
+        coalesce(col("label"), col("h")).as("label"))
+    val keyLab = dirtyRows
+      .select(col("blk_nat"), col("blk_seg"),
+        col("d_fold").as("fold"), col("import_id").as("key"))
+      .join(foldLab("d_fold"), Seq("blk_nat", "blk_seg", "fold"))
+      .unionByName(masterRows
+        .select(col("blk_nat"), col("blk_seg"),
+          col("m_fold").as("fold"), col("c_custkey").as("key"))
+        .join(foldLab("m_fold"), Seq("blk_nat", "blk_seg", "fold")))
+      .groupBy("key").agg(min(col("label")).as("label"))
+    (keyLab, hubIds)
+  }
+
+  private[graft] def entityHubStarEdges(
+      dirtyRows: org.apache.spark.sql.DataFrame,
+      masterRows: org.apache.spark.sql.DataFrame,
+      verified: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val hubCols = Seq("blk_nat", "blk_seg", "d_fold", "m_fold")
     // Round-15 constant-cost fix (r14 verdict #2): `hubs` feeds TWO
     // joins and `att` TWO consumers (hub-id aggregate + id join-back),
     // so without a cache the whole PassJoin candidate pipeline upstream
-    // of `verified` re-ran up to four times inside the one edges job —
-    // measured 8.6 s -> ~4 s at sf0.1. Both frames are
-    // O(verified pairs) / O(rows x hubs-per-name) — the linear-in-rows
-    // sizes this hub formulation exists to guarantee — so caching them
-    // is bounded at any scale. The returned edge list is checkpointed
-    // eagerly and the caches released here (materializeAndFree), so the
-    // closure loop iterates over a LogicalRDD leaf and nothing leaks
-    // into the session's CacheManager.
+    // of `verified` re-ran up to four times inside the one edges job.
+    // Both frames are O(verified pairs) / O(rows x hubs-per-name) —
+    // one bounded pre-loop pass; the LOOP no longer sees row counts.
     val hubs = persistEager(verified.select(hubCols.map(col): _*))
     val att = persistEager(hubs
       .join(dirtyRows, Seq("blk_nat", "blk_seg", "d_fold"))
@@ -474,13 +531,15 @@ object Joins {
       .unionByName(hubs
         .join(masterRows, Seq("blk_nat", "blk_seg", "m_fold"))
         .select(hubCols.map(col) :+ col("c_custkey").as("key"): _*)))
-    val hubIds = att.groupBy(hubCols.map(col): _*)
-      .agg(min(col("key")).as("hub_id"))
-    // Undirected distinct pair once, then ONE narrow explode emits both
-    // directions — the former  e.unionByName(e.reversed)  evaluated the
-    // whole distinct subtree twice.
-    val und = att.join(hubIds, hubCols)
-      .select(col("key").as("a"), col("hub_id").as("b"))
+    val hubIds = persistLazy(att.groupBy(hubCols.map(col): _*)
+      .agg(min(col("key")).as("hub_id")))
+    val withIds = att.join(hubIds, hubCols)
+      .select(col("key"), col("hub_id"))
+    val kmin = withIds.groupBy("key").agg(min(col("hub_id")).as("kmin"))
+    // Undirected distinct star pair once, then ONE narrow explode emits
+    // both directions — distinct() is where replica profiles collapse.
+    val und = withIds.join(kmin, "key")
+      .select(col("hub_id").as("a"), col("kmin").as("b"))
       .filter(col("a") =!= col("b")) // self-loops move no labels
       .distinct()
     val edges = und
@@ -488,7 +547,7 @@ object Joins {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    materializeAndFree(edges, hubs, att)
+    (materializeAndFree(edges, hubs, att), hubIds)
   }
 
   /** The three shared frames of the linkage machinery:

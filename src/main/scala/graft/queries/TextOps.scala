@@ -170,37 +170,65 @@ object TextOps {
     * machinery), withinCls (ckey, n_sh, len for classes the raw plan
     * would self-pair: >= 2 copies and >= 1 shingle), and the shingle
     * cache handle the caller releases. */
-  private[queries] def classFanBack(
+  /** Class-assignment frames shared by [[classFanBack]] and the minhash
+    * cluster family (AnnOps, round 18): `mem` (ckey, doc_id, cdoc, cnt —
+    * every raw doc keyed by its class and the class canonical,
+    * lazily persisted: the first consumer's eager fill materializes it)
+    * and `canon` (ckey, doc_id, text, cnt, len — one row per class,
+    * lowest-doc_id representative, UNPERSISTED: each consumer persists
+    * the derived frame it actually re-reads and observes max(cnt) on
+    * that fill, see the callers).
+    *
+    * Class assignment shuffles only (ckey, doc_id) — never text — as
+    * ONE unordered window over that id frame (min + count per ckey),
+    * which yields the membership frame `mem` directly: a groupBy +
+    * join-back shape would shuffle the same (ckey, doc_id) bytes TWICE
+    * (guide §2.4 — two operations keyed the same way share one
+    * exchange). The canonical rows' text comes back through a doc_id
+    * join against the scan (AQE broadcasts the class side at fixture
+    * scale; at 100 TB it is a doc_id-keyed equi join, still cheaper
+    * than shuffling every text copy by ckey). */
+  private[queries] def classMembership(
       s: org.apache.spark.sql.SparkSession, d: String,
       key: Column => Column = t => md5(lower(trim(t)).cast("binary")))
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // Class assignment shuffles only (ckey, doc_id) — never text — and
-    // since round 17's optimization pass it is ONE unordered window
-    // over that id frame (min + count per ckey), which yields the
-    // membership frame `mem` directly: the previous groupBy + join-back
-    // shape shuffled the same (ckey, doc_id) bytes TWICE (once into the
-    // class agg, once re-keying every row against the class list) and
-    // ran a third eager count to fill mem's cache (guide §2.4 — two
-    // operations keyed the same way share one exchange). The canonical
-    // rows' text still comes back through a doc_id join against the
-    // scan (AQE broadcasts the class side at fixture scale; at 100 TB
-    // it is a doc_id-keyed equi join, still cheaper than shuffling
-    // every text copy by ckey), and canon's eager fill doubles as mem's
-    // (the join reads mem through a filter, which materializes the
-    // whole cache — no per-consumer race is possible because nothing
-    // else runs first). Callers release both by checkpointing their
-    // final fan-out through materializeAndFree(out, canon, mem, sh).
+      : (DataFrame, DataFrame) = {
     val docs = par(graft.Tables(s, d, "documents"))
     val w = Window.partitionBy("ckey")
     val mem = persistLazy(docs
       .select(key(col("text")).as("ckey"), col("doc_id"))
       .withColumn("cdoc", min(col("doc_id")).over(w))
       .withColumn("cnt", count(lit(1)).over(w)))
-    val canon = persistEager(docs.select(col("doc_id"), col("text"))
+    val canon = docs.select(col("doc_id"), col("text"))
       .join(mem.filter(col("doc_id") === col("cdoc"))
         .select(col("ckey"), col("doc_id"), col("cnt")), "doc_id")
       .select(col("ckey"), col("doc_id"), col("text"), col("cnt"),
-        length(col("text")).cast("long").as("len")))
+        length(col("text")).cast("long").as("len"))
+    (mem, canon)
+  }
+
+  /** The sixth return value `fanOut` is the round-18 short-circuit
+    * (r17 verdict #4): canon's cache-filling count also observes the
+    * corpus's max class size, and when every class is a singleton
+    * (max(cnt) = 1) the membership fan-out joins and the within-class
+    * branches are PROVABLY identity/empty — mem maps every canonical
+    * pair to itself and no class can self-pair — so consumers skip
+    * them and emit the canonical pairs directly. The branch is a
+    * function of the data alone (same rows either way; QueriesSpec
+    * pins fan-back == raw on a replicated fixture, and the sf0.01/0.1
+    * oracle gates run the short-circuited path against the raw-corpus
+    * SQL). Plan-digest sessions observe nothing (None) and always take
+    * the general branch, so digests stay data-independent. */
+  private[queries] def classFanBack(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      key: Column => Column = t => md5(lower(trim(t)).cast("binary")))
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Boolean) = {
+    // canon's eager fill doubles as mem's (the join reads mem through a
+    // filter, which materializes the whole cache — no per-consumer race
+    // is possible because nothing else runs first). Callers release
+    // both by checkpointing their final fan-out through
+    // materializeAndFree(out, canon, mem, sh).
+    val (mem, canonRaw) = classMembership(s, d, key)
+    val (canon, maxCnt) = persistEagerWithLong(canonRaw, max(col("cnt")))
     val (sized, sh) = shinglePairSizedOf(s,
       canon.select(col("doc_id"), col("text")))
     val withinCls = canon
@@ -208,7 +236,7 @@ object TextOps {
         size(col("sh")).cast("long").as("n_sh")), "doc_id")
       .filter(col("cnt") >= 2 && col("n_sh") > 0)
       .select(col("ckey"), col("n_sh"), col("len"))
-    (canon, mem, sized, withinCls, sh)
+    (canon, mem, sized, withinCls, sh, maxCnt.forall(_ > 1))
   }
 
   val q: Map[String, Q] = Map(
@@ -497,25 +525,34 @@ object TextOps {
       // persisted inside classFanBack (canon / mem / sh). One final
       // materializeAndFree releases all three handles (guide §1.2:
       // fewer sequential actions, same exchanges).
-      val (canon, mem, sized, withinCls, sh) = classFanBack(s, d)
+      val (canon, mem, sized, withinCls, sh, fanOut) = classFanBack(s, d)
       val pairs = sized
         .select(col("d1"), col("d2"), col("inter"),
           round(col("inter").cast("double")
             / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-      val cross = pairs
-        .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")), "d1")
-        .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")), "d2")
-        .select(least(col("x"), col("y")).as("d1"),
-          greatest(col("x"), col("y")).as("d2"),
-          col("inter"), col("jaccard"))
-      val within = withinCls
-        .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
-        .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
-        .filter(col("x") < col("y"))
-        .select(col("x").as("d1"), col("y").as("d2"),
-          col("n_sh").as("inter"), lit(1.0).as("jaccard"))
-      materializeAndFree(cross.unionByName(within), canon, mem, sh)
+      // Replica-free short-circuit (round 18, r17 verdict #4): every
+      // class is a singleton, so the membership joins map each
+      // canonical pair to itself and withinCls is empty — the
+      // canonical pairs ARE the raw pairs.
+      val out = if (!fanOut) pairs else {
+        val cross = pairs
+          .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")),
+            "d1")
+          .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")),
+            "d2")
+          .select(least(col("x"), col("y")).as("d1"),
+            greatest(col("x"), col("y")).as("d2"),
+            col("inter"), col("jaccard"))
+        val within = withinCls
+          .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
+          .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
+          .filter(col("x") < col("y"))
+          .select(col("x").as("d1"), col("y").as("d2"),
+            col("n_sh").as("inter"), lit(1.0).as("jaccard"))
+        cross.unionByName(within)
+      }
+      materializeAndFree(out, canon, mem, sh)
         .orderBy("d1", "d2")
     }),
 
@@ -548,7 +585,7 @@ object TextOps {
       // Round-17 optimization pass: single-consumer stages compose
       // lazily (no per-stage checkpoint barriers — the jaccard twin's
       // comment); one final materializeAndFree releases every handle.
-      val (canon, mem, sized, withinCls, sh) = classFanBack(s, d)
+      val (canon, mem, sized, withinCls, sh, fanOut) = classFanBack(s, d)
       val dir = sized.select(explode(array(
           struct(col("d1").as("d_sub"), col("d2").as("d_super"),
             col("inter"),
@@ -561,20 +598,25 @@ object TextOps {
         .select(col("r.d_sub").as("d_sub"), col("r.d_super").as("d_super"),
           col("r.inter").as("inter"), col("r.containment").as("containment"))
         .filter(col("containment") >= 0.85)
-      val cross = dir
-        .join(mem.select(col("cdoc").as("d_sub"), col("doc_id").as("x")),
-          "d_sub")
-        .join(mem.select(col("cdoc").as("d_super"), col("doc_id").as("y")),
-          "d_super")
-        .select(col("x").as("d_sub"), col("y").as("d_super"),
-          col("inter"), col("containment"))
-      val within = withinCls
-        .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
-        .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
-        .filter(col("x") =!= col("y"))
-        .select(col("x").as("d_sub"), col("y").as("d_super"),
-          col("n_sh").as("inter"), lit(1.0).as("containment"))
-      materializeAndFree(cross.unionByName(within), canon, mem, sh)
+      // Replica-free short-circuit (round 18, r17 verdict #4): see the
+      // jaccard twin — the directed canonical rows ARE the raw rows.
+      val out = if (!fanOut) dir else {
+        val cross = dir
+          .join(mem.select(col("cdoc").as("d_sub"), col("doc_id").as("x")),
+            "d_sub")
+          .join(mem.select(col("cdoc").as("d_super"),
+            col("doc_id").as("y")), "d_super")
+          .select(col("x").as("d_sub"), col("y").as("d_super"),
+            col("inter"), col("containment"))
+        val within = withinCls
+          .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
+          .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
+          .filter(col("x") =!= col("y"))
+          .select(col("x").as("d_sub"), col("y").as("d_super"),
+            col("n_sh").as("inter"), lit(1.0).as("containment"))
+        cross.unionByName(within)
+      }
+      materializeAndFree(out, canon, mem, sh)
         .orderBy("d_sub", "d_super")
     }),
 
@@ -614,7 +656,7 @@ object TextOps {
     // Oracle unchanged (raw semantics) — the sf0.01 hash gate checks
     // the reconstruction, not a re-statement of it.
     "q_dedup_fuzzy_edit" -> ((s, d) => {
-      val (canon, mem, sized, withinCls, sh) =
+      val (canon, mem, sized, withinCls, sh, fanOut) =
         classFanBack(s, d, t => md5(t.cast("binary")))
       val cands = sized
         .filter(round(col("inter").cast("double")
@@ -633,24 +675,33 @@ object TextOps {
           length(col("t1")).cast("long").as("len1"),
           length(col("t2")).cast("long").as("len2"),
           levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
-      val cross = verified
-        .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")), "d1")
-        .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")), "d2")
-        .select(least(col("x"), col("y")).as("d1"),
-          greatest(col("x"), col("y")).as("d2"),
-          when(col("x") < col("y"), col("len1")).otherwise(col("len2"))
-            .as("len1"),
-          when(col("x") < col("y"), col("len2")).otherwise(col("len1"))
-            .as("len2"),
-          col("edit_dist"))
-      val within = withinCls
-        .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
-        .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
-        .filter(col("x") < col("y"))
-        .select(col("x").as("d1"), col("y").as("d2"),
-          col("len").as("len1"), col("len").as("len2"),
-          lit(0L).as("edit_dist"))
-      materializeAndFree(cross.unionByName(within)
+      // Replica-free short-circuit (round 18, r17 verdict #4): the
+      // verified canonical pairs ARE the raw pairs (d1 < d2 already
+      // holds on canonical ids, so the least/greatest projection is
+      // the identity) and no class can self-pair.
+      val base = if (!fanOut) verified else {
+        val cross = verified
+          .join(mem.select(col("cdoc").as("d1"), col("doc_id").as("x")),
+            "d1")
+          .join(mem.select(col("cdoc").as("d2"), col("doc_id").as("y")),
+            "d2")
+          .select(least(col("x"), col("y")).as("d1"),
+            greatest(col("x"), col("y")).as("d2"),
+            when(col("x") < col("y"), col("len1")).otherwise(col("len2"))
+              .as("len1"),
+            when(col("x") < col("y"), col("len2")).otherwise(col("len1"))
+              .as("len2"),
+            col("edit_dist"))
+        val within = withinCls
+          .join(mem.select(col("ckey"), col("doc_id").as("x")), "ckey")
+          .join(mem.select(col("ckey"), col("doc_id").as("y")), "ckey")
+          .filter(col("x") < col("y"))
+          .select(col("x").as("d1"), col("y").as("d2"),
+            col("len").as("len1"), col("len").as("len2"),
+            lit(0L).as("edit_dist"))
+        cross.unionByName(within)
+      }
+      materializeAndFree(base
         .withColumn("rel_edit", round(col("edit_dist").cast("double")
           / greatest(col("len1"), col("len2")), 6))
         .withColumn("is_dup", col("rel_edit") <= 0.2), canon, mem, sh)

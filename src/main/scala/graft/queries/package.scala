@@ -107,6 +107,42 @@ package object queries {
     }
   }
 
+  /** [[persistEager]] whose cache-filling count also delivers a
+    * long-valued aggregate over `df` via Dataset.observe — the
+    * fan-back short-circuit's data probe (round 18): the dedup family
+    * branches on the corpus's max exact-dup class size without paying
+    * a second job. Same bounded-wait + explicit-agg fallback contract
+    * as [[checkpointedWithSum]] (the fallback reads the just-filled
+    * cache, so either path returns the same data-determined value —
+    * the branch can never depend on timing). In a plan-inspection
+    * session (skipEagerMaterialize) no job runs, so the metric is None
+    * and callers MUST take their general branch — plan digests stay
+    * data-independent. Callers coalesce NULL aggregates themselves if
+    * an empty frame is possible (getAs returns 0L for a null long
+    * here via the isNullAt guard). */
+  private[queries] def persistEagerWithLong(
+      df: DataFrame, metric: Column): (DataFrame, Option[Long]) = {
+    if (df.sparkSession.conf
+        .get("spark.graft.skipEagerMaterialize", "false") == "true")
+      (df, None)
+    else {
+      val obs = org.apache.spark.sql.Observation()
+      val p = df.observe(obs, metric.as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      val v = try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(2, "s"))
+        if (row.isNullAt(0)) 0L else row.getAs[Long]("m")
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          val r = p.agg(metric.as("m")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      (p, Some(v))
+    }
+  }
+
   /** Eagerly materialize `df` via localCheckpoint, then release the
     * internal caches it depended on. Sketch queries (minhash / simhash /
     * sign-LSH / ngram-jaccard) persist big intermediates that a

@@ -33,6 +33,72 @@ class AnnSpec extends AnyFunSuite {
     assert(c1 != seeds, "training left every centroid at its seed")
   }
 
+  test("q_dedup_minhash / q_dedup_cluster: class fan-back == raw semantics on a replicated corpus") {
+    // Round-18 pin (r17 verdict #1 done-criterion): the minhash family
+    // now sketches ONCE per exact-dup digest class and reconstructs the
+    // raw pair list / per-doc labels algebraically. On a corpus where
+    // every doc has a byte-identical replica, the outputs must equal
+    // the RAW semantics computed independently: exact all-pairs jaccard
+    // >= 0.8 over the full replicated doc set (the operator's own
+    // oracle semantics — banding recall on the fixture is exact, which
+    // the standing sf gates already pin) and min-label closure over
+    // those pairs.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val off = 10000000000L
+    val fix = java.nio.file.Files.createTempDirectory("graft-mhfan").toString
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + off))
+      .coalesce(1).write.parquet(s"$fix/documents.parquet")
+    // driver-side ground truth over the tiny fixture
+    val shRows = docs.select(col("doc_id"),
+        graft.functions.ShingleHash60(spark, col("text"), 3,
+          distinct = true).as("sh")).collect()
+    val baseSets = shRows.map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sets = baseSets ++ baseSets.map { case (k, v) => (k + off, v) }
+    val ids = sets.keys.toSeq.sorted
+    def jac6(a: Set[Long], b: Set[Long]): (Long, Double) = {
+      val i = (a & b).size
+      (i.toLong, BigDecimal(i.toDouble / (a.size + b.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expPairs = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      if a.nonEmpty && b.nonEmpty
+      (inter, jc) = jac6(a, b) if jc >= 0.8
+    } yield (ids(i), ids(j), inter, jc)).toSet
+    val gotPairs = SparkEntry.queries("q_dedup_minhash")(spark, fix)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(expPairs.exists(_._4 < 1.0),
+      "fixture self-check: needs at least one genuine cross-class pair")
+    assert(gotPairs == expPairs,
+      s"pair mismatch: missing=${(expPairs -- gotPairs).take(3)} " +
+        s"extra=${(gotPairs -- expPairs).take(3)}")
+    // min-label closure over the expected pairs, driver-side union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    expPairs.foreach { case (a, b, _, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lab = ids.map(i => i -> find(i)).toMap
+    val size = lab.values.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    val expCluster = ids.map(i =>
+      (i, lab(i), size(lab(i)), i == lab(i))).toSet
+    val gotCluster = SparkEntry.queries("q_dedup_cluster")(spark, fix)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(gotCluster == expCluster,
+      s"cluster mismatch: missing=${(expCluster -- gotCluster).take(3)} " +
+        s"extra=${(gotCluster -- expCluster).take(3)}")
+  }
+
   test("q_dedup_cluster propagation: planted 16-doc chain converges in O(log n) rounds") {
     // A chain is the worst case for plain neighbor-min propagation:
     // 0-1-2-...-15 needs 15 rounds (one per hop) plus the detection

@@ -1407,12 +1407,18 @@ class QueriesSpec extends AnyFunSuite {
     val verified = graft.queries.Joins.nameMatchPairs(
       dirtyRows.select("blk_nat", "blk_seg", "d_fold").distinct(),
       masterRows.select("blk_nat", "blk_seg", "m_fold").distinct())
-    val hubEdges = graft.queries.Joins
-      .entityHubEdges(dirtyRows, masterRows, verified)
+    val (hubEdges, hubIdsHandle) = graft.queries.Joins
+      .entityHubStarEdges(dirtyRows, masterRows, verified)
     val nEdges = hubEdges.count()
     val nRows = rows.size.toLong
-    assert(nEdges <= 6 * nRows, // hubs-per-name is tiny on this fixture
-      s"hub edges not linear: $nEdges edges for $nRows rows")
+    // Round 18: keys are contracted out of the star graph, so the edge
+    // count is a function of the distinct-NAME structure alone — pin
+    // replication-independence (ents names, reps copies each: the old
+    // key–hub graph paid ~2 edges per ROW; the star graph must stay at
+    // the per-NAME level regardless of reps).
+    assert(nEdges <= 12 * ents,
+      s"star edges not replication-independent: $nEdges edges for " +
+        s"$ents names x $reps replicas ($nRows rows)")
     // identical closure vs the row-pair formulation
     val rowPairs = dirtyRows
       .join(verified, Seq("blk_nat", "blk_seg", "d_fold"))
@@ -1426,12 +1432,16 @@ class QueriesSpec extends AnyFunSuite {
     val rowEdges = rowPairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(rowPairs.select(col("b").as("src"), col("a").as("dst")))
     val (rowLab, _) = graft.queries.AnnOps.propagateMinLabels(rowEdges)
-    val (hubLab, _) = graft.queries.AnnOps.propagateMinLabels(hubEdges)
+    hubIdsHandle.unpersist()
+    // end-to-end per-key labels through the operator's own fan-back path
+    val (keyLab, hubIds2) = graft.queries.Joins
+      .entityKeyLabels(dirtyRows, masterRows, verified)
     val keyIds = rows.map(_._1).toSet
-    def entMap(lab: org.apache.spark.sql.DataFrame) =
-      lab.collect().map(r => r.getLong(0) -> r.getLong(1))
-        .filter(kv => keyIds.contains(kv._1)).toMap
-    val (re, he) = (entMap(rowLab), entMap(hubLab))
+    val he = keyLab.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(kv => keyIds.contains(kv._1)).toMap
+    hubIds2.unpersist()
+    val re = rowLab.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(kv => keyIds.contains(kv._1)).toMap
     assert(re.nonEmpty && he == re,
       s"closure mismatch: ${(he.toSet -- re.toSet).take(5)}")
     // and the closure is what the fixture planted: one entity per name
