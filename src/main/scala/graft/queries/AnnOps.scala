@@ -335,21 +335,34 @@ object AnnOps {
     // the only join left is with the near-dup cluster verdict, whose
     // minhash pipeline is inherently its own subgraph iteration.
     "q_curation_keep" -> ((s, d) => {
+      // Round-18 re-plan (guide §2.3/§2.4): the old shape paid TWO
+      // digest passes — its own rn window, which shuffled the full text
+      // PLUS every lang/quality column by digest, and dedupCluster's
+      // internal class assignment — and dedupCluster's cluster_size
+      // window, which this operator never reads. Both canonicality bits
+      // now ride the ONE shared classMembership frame (ids-only digest
+      // shuffle; exact_canonical = doc_id == cdoc IS the old rn = 1),
+      // lang/quality stay stateless projections on the scan, and the
+      // near-dup side stops at the per-doc label fan-back (no size
+      // window).
+      val (pairs, mem, arr, handles, fanOut) = minhashClassAnd(s, d)
+      val labels = dedupClusterLabelsFrom(pairs, handles)
+      val near = clusterPerDoc(mem, arr, labels, fanOut)
+        .select(col("doc_id"),
+          (col("doc_id") === col("cluster_id")).as("near_canonical"))
       val base = TextOps.withQualityCols(TextOps.withLangCols(
           par(Tables(s, d, "documents"))))
-        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("digest").orderBy("doc_id")))
-        .select(col("doc_id"), col("pred_lang"), col("quality"),
-          (col("rn") === 1).as("exact_canonical"))
-      val near = dedupCluster(s, d)
-        .select(col("doc_id"), col("is_canonical").as("near_canonical"))
-      base.join(near, "doc_id")
+        .select(col("doc_id"), col("pred_lang"), col("quality"))
+      val out = base
+        .join(mem.select(col("doc_id"),
+          (col("doc_id") === col("cdoc")).as("exact_canonical")),
+          "doc_id")
+        .join(near, "doc_id")
         .select(col("doc_id"), col("pred_lang"), col("quality"),
           col("exact_canonical"), col("near_canonical"),
           (col("pred_lang") === "en" && col("quality") >= 0.15 &&
             col("exact_canonical") && col("near_canonical")).as("keep"))
-        .orderBy("doc_id")
+      materializeAndFree(out, mem, arr).orderBy("doc_id")
     }),
   )
 
@@ -371,27 +384,33 @@ object AnnOps {
     *     own doc_id.
     * The corpus never rejoins by a second scan: the membership frame
     * already carries every doc_id. */
+  /** Per-doc (doc_id, cluster_id) fan-back off the canonical-graph
+    * labels — the shared core of q_dedup_cluster (which adds the
+    * cluster_size window) and q_curation_keep (which needs only
+    * canonicality, so it skips that window entirely). */
+  private def clusterPerDoc(mem: DataFrame, arr: DataFrame,
+      labels: DataFrame, fanOut: Boolean): DataFrame =
+    if (!fanOut)
+      mem.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    else
+      mem
+        .join(arr.select(col("ckey"),
+          (size(col("sh")) > 0).as("has_sh")), "ckey")
+        .join(labels.select(col("doc_id").as("cdoc"), col("label")),
+          Seq("cdoc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"),
+            when(col("cnt") >= 2 && col("has_sh"), col("cdoc"))
+              .otherwise(col("doc_id"))).as("cluster_id"))
+
   private def dedupCluster(s: SparkSession, d: String): DataFrame = {
     val (pairs, mem, arr, handles, fanOut) = minhashClassAnd(s, d)
     val labels = dedupClusterLabelsFrom(pairs, handles)
     val csz = Window.partitionBy("cluster_id")
-    val perDoc =
-      if (!fanOut)
-        mem.select(col("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      else
-        mem
-          .join(arr.select(col("ckey"),
-            (size(col("sh")) > 0).as("has_sh")), "ckey")
-          .join(labels.select(col("doc_id").as("cdoc"), col("label")),
-            Seq("cdoc"), "left")
-          .select(col("doc_id"),
-            coalesce(col("label"),
-              when(col("cnt") >= 2 && col("has_sh"), col("cdoc"))
-                .otherwise(col("doc_id"))).as("cluster_id"))
-    val out = perDoc
+    val out = clusterPerDoc(mem, arr, labels, fanOut)
       .withColumn("cluster_size", count(lit(1)).over(csz))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
@@ -1199,7 +1218,13 @@ object AnnOps {
     * See q_semdedup's Scaladoc for the full determinism contract; the
     * SQL twin of this helper is `semAssignCtes`. */
   private def semAssigned(s: SparkSession, d: String): DataFrame =
-    semAssignedOf(s, Tables(s, d, "embeddings"))
+    // par (round 18): the sf1 probe read q_semdedup at a c8/c32 ratio
+    // of 0.92 with ~24 s wall — both corpus passes (the 64-dim seed
+    // explode with a per-row md5 bucket, and the K-DotProduct argmax
+    // assignment) were serialized on the single-row-group fixture scan.
+    // No-op in production sessions; the pipeline twin's canon input is
+    // already partitioned by its class machinery.
+    semAssignedOf(s, par(Tables(s, d, "embeddings")))
 
   /** [[semAssigned]] over an arbitrary (vec_id, embedding) corpus —
     * round-14: q_semdedup_pipeline runs the SAME assignment over the

@@ -41,13 +41,24 @@ object LlmOps {
     // Exact dedup by normalized-text hash: digest shuffle + window, keep
     // the lowest doc_id per digest. Scales as a single hash shuffle.
     "q_dedup_exact" -> ((s, d) => {
+      // Round-18 re-plan (guide §2.3 "shuffle keys and metadata instead
+      // of payloads"): the old digest window shuffled EVERY column —
+      // text included — through the digest exchange and then sorted
+      // each partition twice (row_number + count frames). The class
+      // aggregate shuffles only (digest, doc_id) as a two-phase
+      // map-side-partial HashAggregate, and the kept rows' lang/source
+      // come back through a doc_id equi-join against the scan — the
+      // text payload never crosses an exchange. Same rows: min doc_id
+      // per digest IS the rn=1 row of the doc_id-ordered window.
       val docs = Tables(s, d, "documents")
-        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
-      val w = Window.partitionBy("digest").orderBy("doc_id")
-      docs.withColumn("rn", row_number().over(w))
-        .withColumn("n_copies", count(lit(1)).over(
-          Window.partitionBy("digest")))
-        .filter(col("rn") === 1)
+      val cls = docs
+        .select(md5(lower(trim(col("text"))).cast("binary")).as("digest"),
+          col("doc_id"))
+        .groupBy("digest")
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(cls, "doc_id")
         .select("doc_id", "digest", "lang", "source", "n_copies")
         .orderBy("doc_id")
     }),
@@ -216,13 +227,18 @@ object LlmOps {
     // Scale shape: one digest shuffle over the full corpus, then every
     // downstream stage runs on distinct documents only.
     "q_dedup_pipeline" -> ((s, d) => {
-      val w = Window.partitionBy("digest")
-      val tagged = par(Tables(s, d, "documents"))
-        .withColumn("digest", md5(lower(trim(col("text"))).cast("binary")))
-        .withColumn("rn", row_number().over(w.orderBy("doc_id")))
-        .withColumn("n_copies", count(lit(1)).over(w))
+      // Round-18 re-plan (guide §2.3): the old digest window carried
+      // the full TEXT payload (plus lang/source) through the digest
+      // exchange. The shared classMembership frames shuffle only
+      // (digest, doc_id); the canonical rows' text comes back through a
+      // doc_id join (classFanBack's construction), and the per-doc
+      // verdict columns are pure id/count algebra off the membership
+      // frame (exact_canonical = doc_id == cdoc, n_copies = cnt — the
+      // same rows the rn/count window produced). Detector stages and
+      // the keep rule are unchanged.
+      val (mem, canon) = TextOps.classMembership(s, d)
       val (sized, sh) = TextOps.shinglePairSizedOf(s,
-        tagged.filter(col("rn") === 1).select(col("doc_id"), col("text")))
+        canon.select(col("doc_id"), col("text")))
       val nd = sized.select(col("d1"), col("d2"),
           round(col("inter").cast("double")
             / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
@@ -232,9 +248,9 @@ object LlmOps {
         .groupBy("doc_id").agg(count(lit(1)).as("nd_partners"))
       val droppedNd = nd.select(col("d2").as("doc_id")).distinct()
         .withColumn("nd_dropped", lit(true))
-      val out = tagged
-        .select(col("doc_id"), col("n_copies"),
-          (col("rn") === 1).as("exact_canonical"))
+      val out = mem
+        .select(col("doc_id"), col("cnt").as("n_copies"),
+          (col("doc_id") === col("cdoc")).as("exact_canonical"))
         .join(partners, Seq("doc_id"), "left")
         .join(droppedNd, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_copies"), col("exact_canonical"),
@@ -242,7 +258,7 @@ object LlmOps {
           (col("exact_canonical") &&
             !coalesce(col("nd_dropped"), lit(false))).as("keep"))
         .orderBy("doc_id")
-      graft.queries.materializeAndFree(out, sh)
+      graft.queries.materializeAndFree(out, mem, sh)
     }),
 
     // Global token frequency top-50: explode -> two-phase agg -> top-k.

@@ -133,4 +133,30 @@ class BenchSmearSpec extends AnyFunSuite {
     assert(smeared.toSet == spiked)
     assert(smeared.size < 10)
   }
+
+  // ── round-18 steal telemetry (r17 verdict #7) ─────────────────────
+
+  test("stealPct: percent of elapsed jiffies stolen between samples") {
+    val a = Some((100L, 10000L))
+    val b = Some((150L, 11000L)) // 50 of 1000 elapsed stolen
+    assert(Bench.stealPct(a, b).contains(5.0))
+  }
+
+  test("stealPct degrades to None without procfs or without progress") {
+    assert(Bench.stealPct(None, Some((1L, 2L))).isEmpty)
+    assert(Bench.stealPct(Some((1L, 2L)), None).isEmpty)
+    // clock did not advance (t2 == t1): no division by zero, no value
+    assert(Bench.stealPct(Some((1L, 100L)), Some((1L, 100L))).isEmpty)
+  }
+
+  test("stealJiffies parses this host's /proc/stat when present") {
+    // On a procfs host the sample is (steal, total) with total covering
+    // at least user+idle; on anything else it must be None, never a
+    // throw. Both outcomes are legal — the telemetry degrades.
+    Bench.stealJiffies() match {
+      case Some((steal, total)) =>
+        assert(steal >= 0 && total > 0 && steal <= total)
+      case None => succeed
+    }
+  }
 }
