@@ -350,6 +350,12 @@ object GraphOps {
     // fan-out at cap² candidate rows; nodes at or below the cap stay
     // EXACT, and cap >= max degree is bit-identical to uncapped
     // (spec-pinned, so the fixture CORRECTNESS hash cannot move).
+    // NB (r17 advice): with the cap UNSET the r17 basket re-plan
+    // collect_set buffers a hub middle's whole neighbor set as one
+    // array row in the aggregation buffer (the old self-join streamed
+    // it row-per-neighbor), so uncapped runs at scale should set
+    // linkDegCap to bound the basket array — the same guidance the cap
+    // itself documents for the candidate fan-out.
     // Degrees — and therefore Jaccard/AA denominators — are computed
     // PRE-sketch and stay exact; only cn/aa through over-cap middles
     // become sampled estimates. Then one anti-join against the edge
@@ -471,7 +477,8 @@ object GraphOps {
       val deg = pairs.select(col("p1").as("pk"))
         .unionByName(pairs.select(col("p2").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("degree"))
-      // the tri join reads the oriented list three times
+      // the oriented list feeds the base-edge scan and the out-neighbor
+      // array build (two reads since the r17 basket re-plan)
       val ori = persistEager(orientEdges(pairs, deg))
       val triCount = orientedTriangles(ori)
         .agg(count(lit(1)).as("n_triangles"))
@@ -801,8 +808,9 @@ object GraphOps {
     val deg = pairs.select(col("p1").as("pk"))
       .unionByName(pairs.select(col("p2").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("degree"))
-    // read three times (both wedge sides + closure): persist the tiny
-    // oriented list rather than re-running the two degree joins
+    // the oriented list feeds the base-edge scan and the out-neighbor
+    // array build (two reads since the r17 basket re-plan): persist the
+    // tiny frame rather than re-running the two degree joins
     val ori = persistEager(orientEdges(pairs, deg))
     val tri = orientedTriangles(ori)
     val perNode = tri.select(explode(array(col("a"), col("b"), col("c")))

@@ -36,6 +36,11 @@ KEYS=$KEYS,q_pagerank,q_dedup_report
 # row is the standing proof the detector cost stays distinct-doc-bound
 # while the output fan-out alone pays the 900x pair contract.
 KEYS=$KEYS,q_dedup_fuzzy_edit
+# round 18: the minhash->CC cluster consumers ride along — re-planned to
+# the canonical-corpus fan-back this round (r17 verdict #1); their sf3
+# row is the standing proof the candidate volume stays distinct-class
+# bound while the per-doc fan-back pays only the output contract.
+KEYS=$KEYS,q_dedup_cluster,q_curation_keep,q_dedup_minhash
 if pgrep -f "runMain graft.Bench" | while read -r p; do
     ps -o comm= -p "$p"; done | grep -qE "java|sbt"; then
   echo "another graft.Bench JVM is live — refusing to contaminate" >&2
